@@ -1,0 +1,37 @@
+"""SparkSession factory tuned for this host (local[N]) but cluster-safe.
+
+Every knob here is also the right default on a 1000-executor cluster:
+AQE re-plans skewed shuffles at runtime, shuffle partitions scale with
+input (AQE coalesces), Arrow keeps the Python boundary batched, and UTC
+pins timestamp semantics for oracle comparison (DuckDB is UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "streamy_db_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects; read as epoch-nanos long and derive a
+        # proper timestamp in the loader (full ns precision kept for ordering).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,63 @@
+"""Parquet star-schema loader for the harness testdata (TESTDATA.md).
+
+Columnar parquet scan is the engine's primary batch source — Catalyst
+pushes filters and prunes columns into the scan (check with
+``df.explain("formatted")`` → ``PushedFilters`` / ``ReadSchema``), which is
+what makes the same queries viable at 100 TB: a 2-column projection over a
+16-column table reads 2 columns' worth of bytes, not 16.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _normalize(name: str, df: DataFrame) -> DataFrame:
+    """Normalize physical quirks of the harness parquet.
+
+    ``events.ts`` is INT64 TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as an epoch-nanos
+    long. Keep the long as ``ts_ns`` (lossless total-order key) and derive
+    ``ts`` as a microsecond TimestampType for window/date functions.
+    """
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _normalize(name, df)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every harness table and register each as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = load_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
