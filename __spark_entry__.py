@@ -47,10 +47,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from streamy_db_spark.operators import dedup, relational, text
+    from streamy_db_spark.operators import (
+        dedup,
+        minhash,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, dedup, text):
+    for mod in (relational, dedup, minhash, similarity, multimodal, text):
         out.update(mod.QUERIES)
 
     def _wrap(fn):
@@ -65,9 +72,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each queries() key (driver correctness
     gate). Keys absent here get the weaker rows-only check."""
-    from streamy_db_spark.operators import dedup, relational, text
+    from streamy_db_spark.operators import (
+        dedup,
+        minhash,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
 
     out: dict[str, str] = {}
-    for mod in (relational, dedup, text):
+    for mod in (relational, dedup, minhash, similarity, multimodal, text):
         out.update(mod.ORACLE)
     return out

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, plus the batch
+transaction-protocol replay (the engine's headline capability), and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock over all queries (the driver compares it
+against BASELINE.md round over round). Per-query seconds let us see which
+plan regressed. Each query is forced with a count()-style materialization
+(collect for top-k queries) so the measured time is the full job, not plan
+construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Deliberately-O(N²) exact baselines: they exist to verify the scalable
+# variants' recall at oracle scale (sf0.01) and are not meaningful to time
+# at bench scale (5000 docs → 12.5M list-intersect pairs). Their scalable
+# counterparts (q_minhash_lsh_pairs, q_ann_lsh) ARE timed. Skips are
+# recorded explicitly in the output — no silent caps.
+QUADRATIC_BASELINES = {"q_jaccard_pairs", "q_dedup_near_embedding"}
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_protocol_replay(spark) -> tuple[float, float]:
+    """Deterministic transaction replay throughput on the scale_bench mix
+    (10k txns × 4 keys). Returns (seconds, txns_per_sec)."""
+    from streamy_db_spark import fixtures
+    from streamy_db_spark.engine_batch import replay
+
+    txns = fixtures.generate_df(spark, "scale_bench")
+    txns = txns.localCheckpoint(eager=True)  # exclude generation from timing
+    n = txns.count()
+    t0 = time.perf_counter()
+    results, state = replay(txns)
+    n_res = results.count()
+    state.count()
+    dt = time.perf_counter() - t0
+    assert n_res == n, f"replay dropped transactions: {n_res}/{n}"
+    return dt, n / dt
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from streamy_db_spark.session import get_spark
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+
+    skipped = []
+    for name, fn in sorted(entry_mod.queries().items()):
+        if name in QUADRATIC_BASELINES:
+            skipped.append(name)
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    replay_s, txn_rate = bench_protocol_replay(spark)
+    timings["protocol_replay_10k"] = round(replay_s, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+                "protocol_txn_per_sec": round(txn_rate, 1),
+                "skipped_quadratic_baselines": skipped,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,289 @@
+"""Deterministic batch replay of the transaction protocol.
+
+Re-expresses the reference's three stateful operators (SURVEY.md §2.1:
+S1 KeyedEventTimeSorter flink/StreamyDb.scala:35-64, S2
+KeyTransactionProcessor flink:66-129, S3 TransactionProcessor
+flink:131-175) as a relational fixpoint over DataFrames — the Spark-first
+formulation, not a port of the message-at-a-time state machines.
+
+Semantics (Calvin): transactions execute as if serially in
+``(ts, kafka_partition, kafka_offset)`` order. A transaction commits iff
+every assert (key, expected) matches the state produced by all earlier
+*committed* transactions; committed updates then apply atomically
+(value NULL = delete, flink:113-115).
+
+Why a fixpoint: a read's observed value depends on earlier writers'
+commit outcomes, which depend on *their* reads on other keys — the
+dependency DAG resolves in waves. Each round decides every transaction
+whose assert-reads are unblocked (no undecided earlier writer on any of
+its keys). Progress is guaranteed: the globally-earliest undecided
+transaction depends only on decided ones, so ≥1 transaction resolves per
+round; rounds ≤ longest write-dependency chain.
+
+The loop maintains a single shrinking working set ``ops_active``:
+- undecided transactions' reads and writes (``succeeded`` NULL),
+- committed writes (``succeeded`` TRUE — they supply observed values).
+Decided reads and aborted writes leave the set, so late rounds touch
+only the conflict tail, not the whole log.
+
+Scale notes (100 TB):
+- No global sort, no driver-side data: order is evaluated inside
+  per-key windows over the (ts, partition, offset) tuple; the only
+  shuffles hash-partition by ``key`` (the reference's keyBy boundaries,
+  flink:209,222) and by ``transaction_id`` (flink:230).
+- Per-round deltas (newly-decided outcomes) are broadcast-joined — tiny
+  relative to the log.
+- ``localCheckpoint`` truncates lineage each round (use a reliable
+  checkpoint dir on a real cluster).
+- Hot keys serialize their own window evaluation — that is the
+  protocol's inherent per-key serial order; parallelism comes from key
+  count, exactly as in Calvin.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from streamy_db_spark import schemas
+
+INIT_TXN_ID = "__initial_state__"
+
+KIND_READ = 0  # derived from asserts  (ReadRequest,  flink/StreamyDb.scala:205)
+KIND_WRITE = 1  # derived from updates (LockRequest → write, flink:206,111-118)
+
+_ORDER = ["ts", "kafka_partition", "kafka_offset", "kind"]
+
+
+def _build_ops(transactions: DataFrame, initial_state: DataFrame | None) -> DataFrame:
+    """Flatten the transaction log into the per-key message stream
+    (reference D4, flink/StreamyDb.scala:203-208): one READ row per
+    assert, one WRITE row per update.
+
+    Defensive dedup (SURVEY.md §2.5): duplicate keys inside one list are
+    untested reference behavior — we keep the LAST update per (txn, key)
+    (list application order ⇒ last wins) and DISTINCT asserts.
+    """
+    base = transactions.select(
+        "ts", "kafka_partition", "kafka_offset", "transaction_id", "asserts", "updates"
+    )
+
+    reads = (
+        base.select(
+            "ts",
+            "kafka_partition",
+            "kafka_offset",
+            "transaction_id",
+            F.explode("asserts").alias("a"),
+        )
+        .select(
+            "ts",
+            "kafka_partition",
+            "kafka_offset",
+            F.lit(KIND_READ).alias("kind"),
+            "transaction_id",
+            F.col("a.key").alias("key"),
+            F.col("a.value").alias("expected"),
+            F.lit(None).cast("string").alias("wvalue"),
+        )
+        .distinct()
+    )
+
+    upd = base.select(
+        "ts",
+        "kafka_partition",
+        "kafka_offset",
+        "transaction_id",
+        F.posexplode("updates").alias("upos", "u"),
+    )
+    w_last = Window.partitionBy("transaction_id", F.col("u.key")).orderBy(
+        F.col("upos").desc()
+    )
+    writes = (
+        upd.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select(
+            "ts",
+            "kafka_partition",
+            "kafka_offset",
+            F.lit(KIND_WRITE).alias("kind"),
+            "transaction_id",
+            F.col("u.key").alias("key"),
+            F.lit(None).cast("string").alias("expected"),
+            F.col("u.value").alias("wvalue"),
+        )
+    )
+
+    ops = reads.unionByName(writes)
+
+    if initial_state is not None:
+        init = initial_state.select(
+            F.lit("1970-01-01 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(-1).alias("kafka_partition"),
+            F.lit(-1).cast("long").alias("kafka_offset"),
+            F.lit(KIND_WRITE).alias("kind"),
+            F.lit(INIT_TXN_ID).alias("transaction_id"),
+            F.col("key"),
+            F.lit(None).cast("string").alias("expected"),
+            F.col("value").alias("wvalue"),
+        )
+        ops = ops.unionByName(init)
+    return ops
+
+
+def replay(
+    transactions: DataFrame,
+    initial_state: DataFrame | None = None,
+    max_rounds: int = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministically replay a transaction log.
+
+    transactions: TRANSACTION_LOG-shaped (ts, kafka_partition,
+    kafka_offset, transaction_id, asserts, updates). (ts, partition,
+    offset) must be unique per row — it IS the serial order (reference
+    D13, flink/package.scala:41-56).
+
+    Returns (transaction_results, final_state):
+    - transaction_results: (transaction_id, succeeded)
+    - final_state: (key, value) after all committed writes (deleted /
+      never-written keys absent).
+    """
+    spark = transactions.sparkSession
+
+    ops = _build_ops(transactions, initial_state)
+
+    # S3 completion-gate quantity: deduped assert count per transaction
+    # (flink/StreamyDb.scala:165). Small (one row per txn with asserts);
+    # broadcast everywhere it is joined.
+    n_asserts = (
+        ops.filter(F.col("kind") == KIND_READ)
+        .groupBy("transaction_id")
+        .agg(F.count("*").alias("n_asserts"))
+        .localCheckpoint(eager=True)
+    )
+
+    all_txns = transactions.select("transaction_id").distinct()
+
+    # Round 0: assert-free transactions commit unconditionally (empty
+    # conjunction, flink:165-172 with asserts.size == 0).
+    decided0 = (
+        all_txns.join(F.broadcast(n_asserts), "transaction_id", "left_anti")
+        .select("transaction_id", F.lit(True).alias("succeeded"))
+        .localCheckpoint(eager=True)
+    )
+    result_parts: list[DataFrame] = [decided0]
+
+    seed = [(INIT_TXN_ID, True)] if initial_state is not None else []
+    init_decided = (
+        spark.createDataFrame(seed, schemas.TRANSACTION_RESULT) if seed else None
+    )
+    round0 = decided0 if init_decided is None else decided0.unionByName(init_decided)
+
+    # Working set: every op row, annotated with the owner's outcome
+    # (TRUE committed / NULL undecided). Aborted rows and decided reads
+    # are removed as rounds progress.
+    ops_active = (
+        ops.join(F.broadcast(round0), "transaction_id", "left")
+        .filter(F.col("succeeded").isNull() | ((F.col("kind") == KIND_WRITE) & F.col("succeeded")))
+        .localCheckpoint(eager=True)
+    )
+
+    n_total = all_txns.count()
+    n_decided = decided0.count()
+
+    w_prev = (
+        Window.partitionBy("key")
+        .orderBy(*_ORDER)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    is_write = F.col("kind") == KIND_WRITE
+    committed_effect = F.when(
+        is_write & (F.col("succeeded") == True),  # noqa: E712
+        F.struct(F.col("wvalue").alias("v")),
+    )
+    undecided_write = F.when(is_write & F.col("succeeded").isNull(), 1).otherwise(0)
+
+    rounds = 0
+    while n_decided < n_total:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(f"replay did not converge in {max_rounds} rounds")
+
+        annotated = ops_active.select(
+            "*",
+            F.last(committed_effect, ignorenulls=True).over(w_prev).alias("eff"),
+            F.coalesce(F.sum(undecided_write).over(w_prev), F.lit(0)).alias(
+                "n_blocked"
+            ),
+        )
+
+        observable_reads = annotated.filter(
+            (F.col("kind") == KIND_READ)
+            & F.col("succeeded").isNull()
+            & (F.col("n_blocked") == 0)
+        ).select(
+            "transaction_id",
+            "expected",
+            F.col("eff.v").alias("observed"),  # NULL eff → absent; NULL v → deleted
+        )
+
+        # Decide: complete (all reads observable) OR incremental abort —
+        # any observable failed assert already decides the conjunction
+        # (the optimization the reference left as a comment, flink:163).
+        # Incremental abort also shortens lock-release chains: an aborted
+        # writer's locks stop blocking readers a round earlier.
+        newly = (
+            observable_reads.groupBy("transaction_id")
+            .agg(
+                F.count("*").alias("n_obs"),
+                F.bool_and(F.expr("expected <=> observed")).alias("ok"),
+            )
+            .join(F.broadcast(n_asserts), "transaction_id")
+            .filter((F.col("n_obs") == F.col("n_asserts")) | (~F.col("ok")))
+            .select("transaction_id", F.col("ok").alias("succeeded"))
+            .localCheckpoint(eager=True)
+        )
+        n_new = newly.count()
+        if n_new == 0:
+            raise RuntimeError(
+                f"replay stalled at {n_decided}/{n_total} decided "
+                f"(round {rounds}) — non-unique (ts,partition,offset)?"
+            )
+        n_decided += n_new
+        result_parts.append(newly)
+
+        # Shrink the working set: decided reads leave; decided writes stay
+        # only if committed (they carry state for later readers).
+        nd = F.broadcast(newly.withColumnRenamed("succeeded", "new_outcome"))
+        ops_active = (
+            ops_active.join(nd, "transaction_id", "left")
+            .filter(
+                F.col("new_outcome").isNull()  # untouched this round
+                | (is_write & F.col("new_outcome"))  # newly committed write
+            )
+            .withColumn("succeeded", F.coalesce("new_outcome", "succeeded"))
+            .drop("new_outcome")
+            .localCheckpoint(eager=True)
+        )
+
+    results = reduce(DataFrame.unionByName, result_parts)
+
+    # Final KV state: last committed write per key in serial order
+    # (NULL value = delete ⇒ key absent, flink/StreamyDb.scala:113-118).
+    final_state = (
+        ops_active.filter(is_write & (F.col("succeeded") == True))  # noqa: E712
+        .groupBy("key")
+        .agg(
+            F.max_by(
+                F.struct(F.col("wvalue").alias("v")),
+                F.struct("ts", "kafka_partition", "kafka_offset"),
+            ).alias("last")
+        )
+        .filter(F.col("last.v").isNotNull())
+        .select("key", F.col("last.v").alias("value"))
+    )
+
+    return results, final_state

@@ -1,0 +1,280 @@
+"""MinHash-LSH, SimHash, and n-gram Jaccard near-dedup over ``documents``.
+
+Training-data dedup at 100 TB is shingle → sketch → band → bucket-join:
+the only shuffle moves fixed-width sketches (not text), and candidate
+verification touches same-bucket pairs only — O(N·k + candidates), never
+O(N²). The brute-force Jaccard pair query here is the correctness
+baseline at sf0.01; the LSH path is the scale path.
+
+Oracle discipline: every hash is md5-of-UTF8 (hex, lowercase) and every
+shingle/tokenize step uses constructs DuckDB evaluates bit-identically
+(regexp_split, list_transform, list_min), so all queries sit under the
+driver's strong value-hash gate — no rows-only escapes.
+
+MinHash family trick: hash_i(s) = md5('<i>|' || s); the signature value
+is the lexicographic min hex digest — an order-preserving proxy for a
+uniform hash family, identical in both engines (no integer-conversion
+portability traps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamy_db_spark.operators.text import WS_RE
+from streamy_db_spark.sources.tables import load_table
+
+SHINGLE_W = 3        # word-trigram shingles
+MINHASH_K = 16       # signature length
+LSH_BANDS = 4        # 4 bands × 4 rows
+LSH_ROWS = MINHASH_K // LSH_BANDS
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 16    # 4 md5 hex digits per token → 16-bit fingerprint
+
+
+def _md5(col: Column) -> Column:
+    return F.md5(F.encode(col, "UTF-8"))
+
+
+def shingles(text: Column, w: int = SHINGLE_W) -> Column:
+    """Distinct word w-gram shingles of lowercased, ws-split text."""
+    tokens = F.filter(F.split(F.lower(text), WS_RE), lambda x: x != "")
+    n = F.size(tokens)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - w),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + j + 1) for j in range(w)]
+        ),
+    )
+    return F.when(n >= w, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _seeded_hash(i: int):
+    # NB: must return a ONE-arg lambda — PySpark interprets a second
+    # parameter (even defaulted) as the array-index argument of transform.
+    prefix = f"{i}|"
+    return lambda s: _md5(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature(sh: Column, k: int = MINHASH_K) -> Column:
+    """k-element signature: per hash function i, the lexicographic-min
+    md5('<i>|'||shingle). Empty shingle set → nulls (dropped upstream)."""
+    return F.array(
+        *[F.array_min(F.transform(sh, _seeded_hash(i))) for i in range(k)]
+    )
+
+
+def with_shingles(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("shingles", shingles(F.col("text")))
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) — one row per LSH band. Docs with fewer
+    than SHINGLE_W tokens have no shingles and are excluded (they cannot
+    be near-dups of anything under shingle Jaccard)."""
+    sig = with_shingles(docs).filter(F.size("shingles") > 0).select(
+        "doc_id", minhash_signature(F.col("shingles")).alias("sig")
+    )
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            _md5(
+                F.concat_ws(
+                    "|", *[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bh")
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing ≥1 LSH band bucket.
+
+    Scale shape: self-join co-partitioned on (band, band_hash) — the
+    shuffle key is a 32-hex digest, uniformly distributed; pair blowup is
+    bounded per bucket (skewed buckets = boilerplate text; salt or cap
+    bucket size in production)."""
+    b1 = minhash_bands(docs).select(
+        F.col("doc_id").alias("id_a"), "band", "band_hash"
+    )
+    b2 = minhash_bands(docs).select(
+        F.col("doc_id").alias("id_b"), "band", "band_hash"
+    )
+    return (
+        b1.join(b2, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard ≥ threshold."""
+    sh = with_shingles(docs).select("doc_id", "shingles")
+    cand = lsh_candidate_pairs(docs)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
+        .filter(F.col("j") >= threshold)
+        .select("id_a", "id_b", F.round("j", 4).alias("jaccard"))
+    )
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Bitwise-majority fingerprint over token md5s (first bits/4 hex
+    digits). bit_j = 1 iff Σ_tokens bit_j(md5(token)) * 2 > n_tokens.
+
+    Single scan, no shuffle; Hamming-distance bucketing on the fingerprint
+    is the scale path for near-dup text at 100 TB."""
+    tokens = F.filter(F.split(F.lower(text), WS_RE), lambda x: x != "")
+    n = F.size(tokens)
+    hexes = F.transform(tokens, lambda t: F.substring(_md5(t), 1, bits // 4))
+    out = F.lit(0)
+    for j in range(bits):
+        digit_idx = j // 4 + 1  # 1-based hex digit position
+        bit_in_digit = 3 - (j % 4)  # MSB-first within the hex digit
+        ones = F.aggregate(
+            hexes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.shiftright(
+                F.conv(F.substring(h, digit_idx, 1), 16, 10).cast("int"),
+                bit_in_digit,
+            ).bitwiseAND(F.lit(1)),
+        )
+        out = out + F.when(ones * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs)
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force shingle-Jaccard pairs — exact recall baseline the LSH
+    variant is measured against (O(N²); correctness query, not the scale
+    path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(docs).filter(F.size("shingles") > 0).select("doc_id", "shingles")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
+        .filter(F.col("j") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", F.round("j", 4).alias("jaccard"))
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+
+
+QUERIES = {
+    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "q_jaccard_pairs": q_jaccard_pairs,
+    "q_simhash": q_simhash,
+}
+
+
+# --- DuckDB oracle SQL (identical hashing/shingling, 1-indexed lists) -------
+
+_SQL_TOKENS_LIST = (
+    r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+)
+
+_SQL_SHINGLES = f"""
+    CASE WHEN len({_SQL_TOKENS_LIST}) >= {SHINGLE_W}
+         THEN list_distinct(list_transform(
+                range(1, len({_SQL_TOKENS_LIST}) - {SHINGLE_W - 2}),
+                i -> {_SQL_TOKENS_LIST}[i] || ' ' || {_SQL_TOKENS_LIST}[i+1]
+                     || ' ' || {_SQL_TOKENS_LIST}[i+2]))
+         ELSE []::VARCHAR[] END
+"""
+
+_SQL_SIG_ELEMS = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{i}|' || s)))"
+    for i in range(MINHASH_K)
+)
+
+_SQL_BANDS = ", ".join(
+    "md5(" + " || '|' || ".join(f"sig[{b * LSH_ROWS + r + 1}]" for r in range(LSH_ROWS)) + ")"
+    for b in range(LSH_BANDS)
+)
+
+_SQL_JACCARD = (
+    "len(list_intersect(a.shingles, b.shingles))::DOUBLE / "
+    "len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE"
+)
+
+ORACLE = {
+    "q_minhash_lsh_pairs": f"""
+        WITH sh AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, shingles, [{_SQL_SIG_ELEMS}] AS sig
+            FROM sh WHERE len(shingles) > 0
+        ),
+        bands AS (
+            SELECT doc_id, unnest(generate_series(0, {LSH_BANDS - 1})) AS band,
+                   unnest([{_SQL_BANDS}]) AS band_hash
+            FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.band_hash = y.band_hash
+             AND x.doc_id < y.doc_id
+        )
+        SELECT c.id_a, c.id_b, round({_SQL_JACCARD}, 4) AS jaccard
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b
+        WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+    """,
+    "q_jaccard_pairs": f"""
+        WITH sh AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+        ), nz AS (SELECT * FROM sh WHERE len(shingles) > 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round({_SQL_JACCARD}, 4) AS jaccard
+        FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+    """,
+    "q_simhash": f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_transform({_SQL_TOKENS_LIST},
+                                  t -> substr(md5(t), 1, {SIMHASH_BITS // 4})) AS hexes,
+                   len({_SQL_TOKENS_LIST}) AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST({' + '.join(
+                   f"(CASE WHEN 2 * list_sum(list_transform(hexes, "
+                   f"h -> (strpos('0123456789abcdef', h[{j // 4 + 1}]) - 1) "
+                   f"// {1 << (3 - j % 4)} % 2)) > n THEN {1 << j} ELSE 0 END)"
+                   for j in range(SIMHASH_BITS)
+               )} AS INTEGER) AS simhash
+        FROM tok
+    """,
+}

@@ -1,0 +1,199 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched pandas iterators (``mapInPandas``) — the 100 TB shape:
+decode/resize/frame-sample run scan-side on each partition, no shuffle,
+no driver traffic; batch size bounds executor memory
+(spark.sql.execution.arrow.maxRecordsPerBatch).
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
+decode kernels are import-gated stubs (NotImplementedError) with
+deterministic fake implementations behind them. Everything Spark-side —
+schemas, UDF signatures, Arrow batch iteration, cardinality-changing
+frame fan-out — is real and oracle-tested: the fake kernels are chosen to
+be bit-identically computable in DuckDB SQL (byte length, md5, fixed-size
+frame slicing), so even the Python-UDF path sits under the driver's
+strong value-hash gate rather than a rows-only check.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streamy_db_spark.sources.tables import load_table
+
+# Media-table schema convention: opaque bytes + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField(
+            "meta", T.MapType(T.StringType(), T.StringType()), True
+        ),
+    ]
+)
+
+FRAME_BYTES = 256   # fake "frame" size for frame sampling
+FRAME_STRIDE = 4    # keep every 4th frame
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("digest", T.StringType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_bytes", T.LongType(), False),
+        T.StructField("frame_digest", T.StringType(), False),
+    ]
+)
+
+
+def decode_image(content: bytes) -> Any:
+    """Real image decode — requires PIL, absent in this container."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "image decode requires Pillow; use the deterministic fake path "
+            "(extract_features/sample_frames) for plumbing tests"
+        ) from e
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(content))  # pragma: no cover
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table: document text bytes as content.
+
+    Stands in for real image/audio blobs so the binary plumbing is
+    exercised end-to-end on driver-provided data only."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-media feature extraction via Arrow-batched mapInPandas.
+
+    Fake kernel = (byte length, md5 digest, frame count) — deterministic
+    and SQL-checkable; a real kernel would decode and embed here with the
+    identical signature and batch shape."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": content.map(len),
+                    "digest": content.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "n_frames": content.map(
+                        lambda b: math.ceil(len(b) / FRAME_BYTES)
+                    ),
+                }
+            )
+
+    return media.mapInPandas(kernel, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Cardinality-changing frame sampling: split content into
+    FRAME_BYTES-sized frames, keep every FRAME_STRIDE-th — one output row
+    per kept frame (the video-frame-sampling shape)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, digests = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                n_frames = math.ceil(len(b) / FRAME_BYTES)
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    frame = b[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    ids.append(mid)
+                    idxs.append(i)
+                    sizes.append(len(frame))
+                    digests.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_digest": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(kernel, FRAMES_SCHEMA)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(documents_as_media(docs))
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(documents_as_media(docs))
+
+
+QUERIES = {
+    "q_media_features": q_media_features,
+    "q_media_frames": q_media_frames,
+}
+
+# DuckDB oracle: md5/substring only exist for VARCHAR, so frame slicing
+# runs on the text (char-based). Char slicing == byte slicing because the
+# synthetic corpus is pure ASCII (asserted in tests); Spark-side stays
+# byte-true.
+ORACLE = {
+    "q_media_features": f"""
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS digest,
+               CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT)
+                   AS n_frames
+        FROM documents
+    """,
+    "q_media_frames": f"""
+        WITH m AS (
+            SELECT doc_id AS media_id, text,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        fr AS (
+            SELECT media_id, text, n,
+                   unnest(range(0, CAST(ceil(n / {FRAME_BYTES}.0) AS BIGINT),
+                                {FRAME_STRIDE})) AS frame_idx
+            FROM m
+        )
+        SELECT media_id, frame_idx,
+               length(substring(text, frame_idx * {FRAME_BYTES} + 1,
+                                {FRAME_BYTES})) AS frame_bytes,
+               md5(substring(text, frame_idx * {FRAME_BYTES} + 1,
+                             {FRAME_BYTES})) AS frame_digest
+        FROM fr
+    """,
+}

@@ -105,6 +105,74 @@ def cosine_topk_join(
     )
 
 
+# --- registered queries ------------------------------------------------------
+
+KNN_BATCH_K = 3
+KNN_BATCH_NQ = 5  # vec_id < 5 used as the query set
+
+
+def q_knn_batch(spark, sf_dir: str) -> DataFrame:
+    """Batch k-NN: a small query set (vec_id < 5) broadcast against the
+    full corpus; top-3 per query. The corpus never shuffles — the 100 TB
+    shape for 'embed a prompt set, retrieve neighbors'."""
+    from streamy_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_BATCH_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_join(queries, emb, k=KNN_BATCH_K)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_ann_lsh(spark, sf_dir: str) -> DataFrame:
+    """Approximate k-NN via random-hyperplane LSH buckets (recall < 1 —
+    no exact SQL oracle; driver records the rows-only check). Same query
+    set as q_knn_batch so recall is directly comparable."""
+    from streamy_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_BATCH_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_ann_topk(queries, emb, k=KNN_BATCH_K, n_tables=8, n_planes=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+QUERIES = {
+    "q_knn_batch": q_knn_batch,
+    "q_ann_lsh": q_ann_lsh,
+}
+
+_COS_SQL = (
+    "list_dot_product(q.e, c.e) / "
+    "(sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))"
+)
+
+ORACLE = {
+    "q_knn_batch": f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS_SQL} AS cos_raw
+            FROM v q CROSS JOIN v c
+            WHERE q.vec_id < {KNN_BATCH_NQ}
+        )
+        SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+            ) AS rn FROM scored
+        ) WHERE rn <= {KNN_BATCH_K}
+    """,
+    # q_ann_lsh: intentionally no oracle (approximate op; rows-only check).
+}
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (pure Python LCG — no numpy
     dependency at module import, reproducible across runs/partitions)."""
@@ -138,41 +206,80 @@ def lsh_bucket(df: DataFrame, n_planes: int = 8, vec_col: str = "embedding",
     return df.withColumn("lsh_bucket", bucket)
 
 
+def lsh_buckets_multi(
+    df: DataFrame,
+    n_tables: int,
+    n_planes: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """One row per (input row, table): random-hyperplane bucket per table.
+    Classic multi-table LSH — candidate recall is an OR over tables:
+    P(found) = 1 - (1 - p^n_planes)^n_tables."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = first[0]["d"] if first else 0
+    a = F.col(vec_col).cast("array<double>")
+    tables = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        bucket = F.lit(0)
+        for i, p in enumerate(planes):
+            pcol = F.array(*[F.lit(x) for x in p])
+            bucket = bucket + (dot(a, pcol) >= 0).cast("int") * F.lit(1 << i)
+        tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+    return df.withColumn("tb", F.explode(F.array(*tables))).select(
+        "*", F.col("tb.t").alias("lsh_table"), F.col("tb.b").alias("lsh_bucket")
+    ).drop("tb")
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    n_planes: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate k-NN: bucket both sides with the same hyperplanes, then
-    score only within matching buckets (equi-join on bucket → the candidate
-    set shrinks ~2^n_planes-fold; recall < 1 near bucket boundaries).
+    """Approximate k-NN: multi-table random-hyperplane LSH. Both sides
+    bucket with the same hyperplanes; candidates = pairs sharing a bucket
+    in ANY table (deduped); only candidates are scored.
 
-    At scale this is the right shape: the bucket join co-partitions both
-    sides by ``lsh_bucket`` (hash shuffle on a low-cardinality key — use
-    more planes or multi-probe for skew), and scoring is per-bucket local.
-    """
+    At scale this is the right shape: the candidate join co-partitions
+    both sides by (table, bucket) — a uniform low-skew shuffle key; the
+    candidate set is ~n_tables/2^n_planes of the corpus per query instead
+    of the full scan; scoring is local post-join. Trade recall vs. cost
+    with (n_tables, n_planes)."""
     from pyspark.sql import Window
 
-    qb = lsh_bucket(
-        queries.select(F.col("query_id"), F.col(vec_col)), n_planes, vec_col, seed
-    ).select("query_id", "lsh_bucket", F.col(vec_col).cast("array<double>").alias("qvec"))
-    cb = lsh_bucket(corpus.select(F.col(id_col), F.col(vec_col)), n_planes, vec_col, seed
-    ).select(
+    qb = lsh_buckets_multi(
+        queries.select("query_id", vec_col), n_tables, n_planes, vec_col, seed
+    ).select("query_id", "lsh_table", "lsh_bucket")
+    cb = lsh_buckets_multi(
+        corpus.select(id_col, vec_col), n_tables, n_planes, vec_col, seed
+    ).select(F.col(id_col).alias("neighbor_id"), "lsh_table", "lsh_bucket")
+    cand = (
+        qb.join(cb, ["lsh_table", "lsh_bucket"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select("query_id", F.col(vec_col).cast("array<double>").alias("qvec"))
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        "lsh_bucket",
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
-    scored = qb.join(cb, "lsh_bucket").select(
-        "query_id",
-        "neighbor_id",
-        (
-            dot(F.col("qvec"), F.col("cvec"))
-            / (norm(F.col("qvec")) * norm(F.col("cvec")))
-        ).alias("cosine"),
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("qvec"), F.col("cvec"))
+                / (norm(F.col("qvec")) * norm(F.col("cvec")))
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -1,0 +1,122 @@
+"""Protocol correctness: the distributed batch replay must match the
+pure-Python serial oracle exactly — results AND final state — on every
+workload mix, plus determinism across repartitionings and handwritten
+edge cases (aborts leave state untouched, deletes, CAS chains)."""
+
+from __future__ import annotations
+
+import pytest
+
+from streamy_db_spark import fixtures, oracle, schemas
+from streamy_db_spark.engine_batch import replay
+
+
+def run_and_compare(spark, txns, initial=None):
+    expected_results, expected_state = oracle.serial_replay(
+        txns, dict(initial) if initial else None
+    )
+    df = fixtures.to_dataframe(spark, txns)
+    init_df = (
+        spark.createDataFrame(list(initial.items()), schemas.KV_STATE)
+        if initial
+        else None
+    )
+    results_df, state_df = replay(df, init_df)
+    got_results = {r["transaction_id"]: r["succeeded"] for r in results_df.collect()}
+    got_state = {r["key"]: r["value"] for r in state_df.collect()}
+    assert got_results == expected_results
+    assert got_state == expected_state
+    return got_results, got_state
+
+
+@pytest.mark.parametrize(
+    "mix", ["ref_smoke", "conflict_heavy", "cas_chain", "deletes", "read_only"]
+)
+def test_mix_matches_serial_oracle(spark, mix):
+    run_and_compare(spark, fixtures.generate(mix))
+
+
+def test_determinism_across_partitionings(spark):
+    txns = fixtures.generate("conflict_heavy")
+    df = fixtures.to_dataframe(spark, txns)
+    r1, s1 = replay(df.repartition(1))
+    r64, s64 = replay(df.repartition(64, "transaction_id"))
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r64.collect()))
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s64.collect()))
+
+
+def _txn(ts_s, part, off, tid, asserts, updates):
+    from datetime import datetime, timedelta, timezone
+
+    return {
+        "ts": datetime(2024, 1, 1, tzinfo=timezone.utc) + timedelta(seconds=ts_s),
+        "kafka_partition": part,
+        "kafka_offset": off,
+        "transaction_id": tid,
+        "asserts": asserts,
+        "updates": updates,
+    }
+
+
+def test_abort_leaves_state_untouched(spark):
+    txns = [
+        _txn(0, 0, 0, "t1", [("a", None)], [("a", "1")]),
+        # t2 asserts a absent — must abort (t1 committed) and write nothing
+        _txn(1, 0, 1, "t2", [("a", None)], [("a", "2"), ("b", "2")]),
+        # t3 reads the state t2 would have clobbered
+        _txn(2, 0, 2, "t3", [("a", "1"), ("b", None)], []),
+    ]
+    results, state = run_and_compare(spark, txns)
+    assert results == {"t1": True, "t2": False, "t3": True}
+    assert state == {"a": "1"}
+
+
+def test_delete_then_expect_absent(spark):
+    txns = [
+        _txn(0, 0, 0, "t1", [], [("k", "v1")]),
+        _txn(1, 0, 1, "t2", [("k", "v1")], [("k", None)]),  # CAS delete
+        _txn(2, 0, 2, "t3", [("k", None)], [("k", "v2")]),  # absent again
+    ]
+    results, state = run_and_compare(spark, txns)
+    assert results == {"t1": True, "t2": True, "t3": True}
+    assert state == {"k": "v2"}
+
+
+def test_initial_state_and_read_only(spark):
+    txns = [
+        _txn(0, 0, 0, "t1", [("x", "seed")], []),  # read-only, sees initial
+        _txn(1, 0, 1, "t2", [("x", "seed")], [("x", None)]),
+        _txn(2, 0, 2, "t3", [("x", "seed")], []),  # stale read → abort
+    ]
+    results, state = run_and_compare(spark, txns, initial={"x": "seed", "y": "keep"})
+    assert results == {"t1": True, "t2": True, "t3": False}
+    assert state == {"y": "keep"}
+
+
+def test_same_ts_tiebreak_partition_offset(spark):
+    # identical ts: serial order is (partition, offset)
+    txns = [
+        _txn(0, 1, 0, "late", [("k", "first")], [("k", "second")]),
+        _txn(0, 0, 0, "early", [("k", None)], [("k", "first")]),
+    ]
+    results, state = run_and_compare(spark, txns)
+    assert results == {"early": True, "late": True}
+    assert state == {"k": "second"}
+
+
+def test_same_key_assert_and_update(spark):
+    # read-before-own-write: assert sees the PRE-transaction value
+    txns = [
+        _txn(0, 0, 0, "t1", [("k", None)], [("k", "v")]),
+        _txn(1, 0, 1, "t2", [("k", "v")], [("k", "w")]),
+    ]
+    results, state = run_and_compare(spark, txns)
+    assert results == {"t1": True, "t2": True}
+    assert state == {"k": "w"}
+
+
+def test_heartbeat_empty_transaction(spark):
+    txns = [_txn(0, 0, 0, "hb", [], [])]
+    results, state = run_and_compare(spark, txns)
+    assert results == {"hb": True}
+    assert state == {}

@@ -1,0 +1,152 @@
+"""Streaming-parity correctness: the transformWithStateInPandas pipeline
+must produce the same commit/abort verdicts as the pure-Python serial
+oracle, end-to-end through the externalized feedback loop.
+
+Kafka isn't available in this container, so the loop is file-coupled
+(parquet dirs stand in for the four topics; the operator topology is
+identical — SURVEY.md §3.1). Each driver round runs the three queries
+with availableNow triggers against persistent checkpoints, then appends
+a heartbeat (reference D14, core/HeartBeatGenerator.scala) so the
+watermark advances and buffered event-time timers fire.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from streamy_db_spark import fixtures, oracle
+from streamy_db_spark.streaming import engine_stream as es
+
+
+def _write_heartbeat(spark, requests_dir: str, n: int) -> None:
+    """One KEY_MSG heartbeat row (kind 3 — ignored by the processor) with
+    a fresh event time: advances the global watermark so timers fire."""
+    now = datetime.now(timezone.utc)
+    row = [(now, int(now.timestamp() * 1000), -1, -1, 3, "__hb__", "__hb__", None, None)]
+    spark.createDataFrame(row, es.KEY_MSG).coalesce(1).write.mode("append").parquet(
+        os.path.join(requests_dir, f"hb_{n}")
+    )
+
+
+def run_streaming_replay(spark, txns, tmp, max_rounds=30):
+    d = {n: os.path.join(tmp, n) for n in
+         ("input", "feedback", "read_results", "results", "ckpt")}
+    os.makedirs(d["feedback"], exist_ok=True)
+    os.makedirs(d["read_results"], exist_ok=True)
+    os.makedirs(d["results"], exist_ok=True)
+
+    txn_df = fixtures.to_dataframe(spark, txns)
+    txn_df.write.mode("overwrite").parquet(d["input"])
+    n_txns = txn_df.select("transaction_id").distinct().count()
+
+    # Heartbeat "partition" dir structure: requests + heartbeats co-located.
+    requests_dir = os.path.join(tmp, "requests")
+    es.derive_key_messages(spark.read.parquet(d["input"])).write.mode(
+        "overwrite"
+    ).parquet(requests_dir)
+
+    schema_results = es.TXN_RESULT_OUT
+
+    def run_once(df_stream, out_dir, ckpt_name):
+        q = (
+            df_stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(d["ckpt"], ckpt_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive, "query did not finish in time"
+        exc = q.exception()
+        assert exc is None, f"query failed: {exc}"
+
+    for rnd in range(max_rounds):
+        _write_heartbeat(spark, requests_dir, rnd)
+
+        # Q1 — key stage: requests+heartbeats ∪ feedback → S1+S2.
+        reqs = spark.readStream.schema(es.KEY_MSG).option(
+            "recursiveFileLookup", "true"
+        ).parquet(requests_dir)
+        fb = spark.readStream.schema(es.KEY_MSG).parquet(d["feedback"])
+        run_once(
+            es.key_stage(reqs.unionByName(fb)), d["read_results"], "key_stage"
+        )
+
+        # Q2 — txn stage: bodies ∪ read-results → S3.
+        bodies = es.derive_txn_bodies(
+            spark.readStream.schema(fixtures.schemas.TRANSACTION_LOG).parquet(
+                d["input"]
+            )
+        )
+        reads = es.read_results_as_txn_msgs(
+            spark.readStream.schema(es.READ_RESULT_OUT).parquet(d["read_results"])
+        )
+        run_once(es.txn_stage(bodies.unionByName(reads)), d["results"], "txn_stage")
+
+        # Q3 — feedback derivation (stateless D5).
+        res_stream = spark.readStream.schema(schema_results).parquet(d["results"])
+        run_once(es.derive_feedback(res_stream), d["feedback"], "feedback")
+
+        try:
+            n_done = (
+                spark.read.schema(schema_results)
+                .parquet(d["results"])
+                .select("transaction_id")
+                .distinct()
+                .count()
+            )
+        except Exception:
+            n_done = 0
+        if n_done >= n_txns:
+            break
+
+    results = (
+        spark.read.schema(schema_results).parquet(d["results"])
+        .select("transaction_id", "succeeded")
+        .collect()
+    )
+    return {r["transaction_id"]: r["succeeded"] for r in results}
+
+
+@pytest.mark.parametrize("mix", ["ref_smoke", "cas_chain"])
+def test_streaming_matches_serial_oracle(spark, tmp_path, mix):
+    txns = fixtures.generate(mix)
+    if mix == "cas_chain":  # keep the streaming loop fast: subset
+        txns = txns[:120]
+    expected_results, _ = oracle.serial_replay(txns)
+    got = run_streaming_replay(spark, txns, str(tmp_path))
+    assert got == expected_results
+
+
+def test_streaming_conflicts_and_deletes(spark, tmp_path):
+    txns = [
+        fixtures_txn(0, 0, 0, "t1", [("a", None)], [("a", "1")]),
+        fixtures_txn(1, 0, 1, "t2", [("a", None)], [("a", "2"), ("b", "2")]),
+        fixtures_txn(2, 0, 2, "t3", [("a", "1"), ("b", None)], []),
+        fixtures_txn(3, 0, 3, "t4", [("a", "1")], [("a", None)]),
+        fixtures_txn(4, 0, 4, "t5", [("a", None)], [("a", "5")]),
+    ]
+    expected_results, _ = oracle.serial_replay(txns)
+    assert expected_results == {
+        "t1": True, "t2": False, "t3": True, "t4": True, "t5": True,
+    }
+    got = run_streaming_replay(spark, txns, str(tmp_path))
+    assert got == expected_results
+
+
+def fixtures_txn(ts_s, part, off, tid, asserts, updates):
+    from datetime import timedelta
+
+    return {
+        "ts": datetime(2024, 1, 1, tzinfo=timezone.utc) + timedelta(seconds=ts_s),
+        "kafka_partition": part,
+        "kafka_offset": off,
+        "transaction_id": tid,
+        "asserts": asserts,
+        "updates": updates,
+    }
