@@ -68,6 +68,13 @@ def main() -> None:
     from streamy_db_spark.session import get_spark
 
     spark = get_spark("bench")
+
+    # Warm the JVM + scan paths once so per-query numbers measure the
+    # queries, not first-job class-loading (~5 s on the first parquet
+    # aggregation otherwise).
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
+
     timings: dict[str, float] = {}
 
     skipped = []

@@ -137,6 +137,7 @@ def replay(
     transactions: DataFrame,
     initial_state: DataFrame | None = None,
     max_rounds: int = 10_000,
+    verbose: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministically replay a transaction log.
 
@@ -152,7 +153,9 @@ def replay(
     """
     spark = transactions.sparkSession
 
-    ops = _build_ops(transactions, initial_state)
+    # One checkpoint: the explode+dedup (window) plan feeds three
+    # consumers below — materialize once instead of recomputing per branch.
+    ops = _build_ops(transactions, initial_state).localCheckpoint(eager=True)
 
     # S3 completion-gate quantity: deduped assert count per transaction
     # (flink/StreamyDb.scala:165). Small (one row per txn with asserts);
@@ -254,6 +257,13 @@ def replay(
             )
         n_decided += n_new
         result_parts.append(newly)
+        if verbose:
+            import time as _time
+
+            print(
+                f"[replay] round {rounds}: +{n_new} decided "
+                f"({n_decided}/{n_total}) at {_time.strftime('%X')}"
+            )
 
         # Shrink the working set: decided reads leave; decided writes stay
         # only if committed (they carry state for later readers).

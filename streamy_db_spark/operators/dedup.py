@@ -77,9 +77,54 @@ def q_dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_embedding(emb)
 
 
+def near_dup_pairs_lsh(
+    emb: DataFrame, threshold: float = NEAR_DUP_COS,
+    n_tables: int = 8, n_planes: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidates = same-bucket pairs
+    in ANY of the LSH tables (the O(N²) scoring collapses to per-bucket
+    locality; the shuffle key (table, bucket) is uniform). Same output
+    schema as the exact baseline; recall < 1 by design — guarded by a
+    recall test against near_dup_pairs_embedding."""
+    from streamy_db_spark.operators.similarity import lsh_buckets_multi
+
+    b = lsh_buckets_multi(emb.select(id_col, vec_col), n_tables, n_planes, vec_col)
+    left = b.select(F.col(id_col).alias("id_a"), "lsh_table", "lsh_bucket")
+    right = b.select(F.col(id_col).alias("id_b"), "lsh_table", "lsh_bucket")
+    cand = (
+        left.join(right, ["lsh_table", "lsh_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+def q_dedup_near_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-dup pairs (rows-only check — approximate by
+    design; recall vs the exact baseline guarded in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs_lsh(emb)
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near_embedding": q_dedup_near_embedding,
+    "q_dedup_near_lsh": q_dedup_near_lsh,
 }
 
 ORACLE = {

@@ -37,9 +37,14 @@ def _md5(col: Column) -> Column:
     return F.md5(F.encode(col, "UTF-8"))
 
 
-def shingles(text: Column, w: int = SHINGLE_W) -> Column:
-    """Distinct word w-gram shingles of lowercased, ws-split text."""
-    tokens = F.filter(F.split(F.lower(text), WS_RE), lambda x: x != "")
+def shingles_of_tokens(tokens: Column, w: int = SHINGLE_W) -> Column:
+    """Distinct word w-gram shingles of a pre-materialized token array.
+
+    IMPORTANT perf note: ``tokens`` must be a real column reference, not
+    an inline expression — Catalyst does not CSE subexpressions inside
+    higher-order-function lambdas, so an inline ``split()`` re-runs once
+    per ``element_at`` per gram (~150× per doc; measured ~20× slower at
+    sf0.1). See with_shingles."""
     n = F.size(tokens)
     grams = F.transform(
         F.sequence(F.lit(0), n - w),
@@ -49,6 +54,14 @@ def shingles(text: Column, w: int = SHINGLE_W) -> Column:
     )
     return F.when(n >= w, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def shingles(text: Column, w: int = SHINGLE_W) -> Column:
+    """Shingles from raw text — fine for literals/small inputs; use
+    with_shingles (token materialization) on tables."""
+    return shingles_of_tokens(
+        F.filter(F.split(F.lower(text), WS_RE), lambda x: x != ""), w
     )
 
 
@@ -68,16 +81,26 @@ def minhash_signature(sh: Column, k: int = MINHASH_K) -> Column:
 
 
 def with_shingles(docs: DataFrame) -> DataFrame:
-    return docs.withColumn("shingles", shingles(F.col("text")))
+    return (
+        docs.withColumn(
+            "_tokens", F.filter(F.split(F.lower("text"), WS_RE), lambda x: x != "")
+        )
+        .withColumn("shingles", shingles_of_tokens(F.col("_tokens")))
+        .drop("_tokens")
+    )
 
 
 def minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band, band_hash) — one row per LSH band. Docs with fewer
     than SHINGLE_W tokens have no shingles and are excluded (they cannot
     be near-dups of anything under shingle Jaccard)."""
-    sig = with_shingles(docs).filter(F.size("shingles") > 0).select(
-        "doc_id", minhash_signature(F.col("shingles")).alias("sig")
+    return minhash_bands_from_shingles(
+        with_shingles(docs).filter(F.size("shingles") > 0).select("doc_id", "shingles")
     )
+
+
+def minhash_bands_from_shingles(sh: DataFrame) -> DataFrame:
+    sig = sh.select("doc_id", minhash_signature(F.col("shingles")).alias("sig"))
     bands = [
         F.struct(
             F.lit(b).alias("band"),
@@ -100,19 +123,15 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing ≥1 LSH band bucket.
 
     Scale shape: self-join co-partitioned on (band, band_hash) — the
     shuffle key is a 32-hex digest, uniformly distributed; pair blowup is
     bounded per bucket (skewed buckets = boilerplate text; salt or cap
     bucket size in production)."""
-    b1 = minhash_bands(docs).select(
-        F.col("doc_id").alias("id_a"), "band", "band_hash"
-    )
-    b2 = minhash_bands(docs).select(
-        F.col("doc_id").alias("id_b"), "band", "band_hash"
-    )
+    b1 = bands.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+    b2 = bands.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
     return (
         b1.join(b2, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -122,9 +141,26 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
 
 
 def minhash_near_dup_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """LSH candidates verified by exact shingle Jaccard ≥ threshold."""
-    sh = with_shingles(docs).select("doc_id", "shingles")
-    cand = lsh_candidate_pairs(docs)
+    """LSH candidates verified by exact shingle Jaccard ≥ threshold.
+
+    The shingle set is materialized ONCE (cache) and feeds both the
+    sketch/band side and the two verify joins — the bench-scale analogue
+    of persisting the sketch table, which is how this runs at 100 TB
+    (shingling + 16 md5-min passes dominate; never recompute them per
+    join branch). The repartition spreads the CPU-heavy shingle stage
+    across cores when the input is a handful of small files (one scan
+    partition otherwise); on a real corpus the scan already has
+    thousands of splits and the exchange is just a hash co-location."""
+    from streamy_db_spark.sources.tables import spread
+
+    sh = (
+        with_shingles(spread(docs.select("doc_id", "text"), "doc_id"))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles")
+        .cache()
+    )
+    bands = minhash_bands_from_shingles(sh).cache()
+    cand = lsh_candidate_pairs(bands)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -171,8 +207,15 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force shingle-Jaccard pairs — exact recall baseline the LSH
     variant is measured against (O(N²); correctness query, not the scale
     path)."""
+    from streamy_db_spark.sources.tables import spread
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = with_shingles(docs).filter(F.size("shingles") > 0).select("doc_id", "shingles")
+    sh = (
+        with_shingles(spread(docs.select("doc_id", "text"), "doc_id"))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles")
+        .cache()
+    )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (

@@ -150,13 +150,17 @@ def sample_frames(media: DataFrame) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamy_db_spark.sources.tables import spread
+
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(documents_as_media(docs))
+    return extract_features(documents_as_media(spread(docs, "doc_id")))
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamy_db_spark.sources.tables import spread
+
     docs = load_table(spark, sf_dir, "documents")
-    return sample_frames(documents_as_media(docs))
+    return sample_frames(documents_as_media(spread(docs, "doc_id")))
 
 
 QUERIES = {

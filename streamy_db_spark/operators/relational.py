@@ -226,6 +226,22 @@ def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_rollup_pricing: hierarchical aggregate (ROLLUP) ----------------------
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond the reference (SURVEY §2.3 marks grouping sets ABSENT) —
+    rollup is the one grouping-set shape a reporting engine can't skip.
+    Partial aggregation still applies per grouping set; one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "n", "sum_qty")
+    )
+
+
 # --- q_window_events: tumbling event-time window agg (streaming-window
 #     parity in batch) --------------------------------------------------------
 def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,6 +313,7 @@ QUERIES = {
     "q_topk_orders": q_topk_orders,
     "q_agg_tpch_pricing": q_agg_tpch_pricing,
     "q_join_3way": q_join_3way,
+    "q_rollup_pricing": q_rollup_pricing,
     "q_window_events": q_window_events,
     "q_dedup_events": q_dedup_events,
     "q_text_stats": q_text_stats,
@@ -390,6 +407,12 @@ ORACLE = {
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment, o_orderpriority
+    """,
+    "q_rollup_pricing": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "q_window_events": """
         SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS window_start_ms,

@@ -41,7 +41,8 @@ def _kvo_from_wire(col: Column) -> Column:
         col,
         lambda kvo: F.struct(
             kvo["key"].alias("key"),
-            F.element_at(kvo["valueOption"], 1).alias("value"),
+            # try_: [] must yield NULL, not ANSI-mode index error
+            F.try_element_at(kvo["valueOption"], F.lit(1)).alias("value"),
         ),
     )
 

@@ -51,6 +51,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize(name, df)
 
 
+def spread(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
+    """Redistribute rows across cores ahead of CPU-heavy per-row compute.
+
+    Small local inputs scan as ONE partition, and Catalyst pushes
+    projections below a bare repartition — so the expensive expressions
+    would still evaluate in the single scan task. The localCheckpoint is
+    a materialization barrier that pins the exchange before the compute.
+    On a big cluster input this is a cheap hash exchange (or drop it —
+    real scans already have thousands of splits)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(n or sc.defaultParallelism, key).localCheckpoint(
+        eager=False
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every harness table and register each as a temp view."""
     out: dict[str, DataFrame] = {}

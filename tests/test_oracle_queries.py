@@ -50,6 +50,24 @@ def test_ann_lsh_recall(spark, sf_oracle):
     assert recall >= 0.5, f"ANN recall collapsed: {recall:.2f}"
 
 
+def test_dedup_lsh_recall(spark, sf_oracle):
+    """The LSH near-dup pair set must recover most exact pairs."""
+    from streamy_db_spark.operators import dedup
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.q_dedup_near_embedding(spark, sf_oracle).collect()
+    }
+    if not exact:
+        pytest.skip("no near-dup pairs at this SF")
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.q_dedup_near_lsh(spark, sf_oracle).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH near-dup recall collapsed: {recall:.2f}"
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

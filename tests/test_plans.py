@@ -1,0 +1,77 @@
+"""Physical-plan quality gates (SURVEY.md §4.3): the properties that make
+these queries viable at 100 TB must be visible in the plan, not assumed —
+pushdown reaching the parquet scan, column pruning, broadcast joins for
+dims, top-k as TakeOrderedAndProject (no global sort), and no Python
+row-at-a-time evaluation outside the declared Arrow boundaries."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_formatted(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = explain_formatted(spark, "q_filter_eq")
+    assert "PushedFilters" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_column_pruning(spark):
+    plan = explain_formatted(spark, "q_scan_project")
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    # 16-column table, 4-column projection: only what's needed is read.
+    for col in ("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"):
+        assert col in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_join_3way_broadcasts_dim(spark):
+    # The explicitly-broadcast customer dim must be a broadcast join keyed
+    # on custkey (at tiny SF Spark may auto-broadcast orders too — fine;
+    # at scale AQE picks shuffle joins for fact⋈fact, which we don't pin).
+    plan = plan_of(spark, "q_join_3way")
+    assert "BroadcastHashJoin [o_custkey" in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "q_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_has_map_side_combine(spark):
+    # partial_sum before the exchange = map-side combine: the shuffle
+    # moves one row per group per task, not one per input row.
+    plan = plan_of(spark, "q_agg_tpch_pricing")
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")  # partial is
+    # the INNER (pre-shuffle) aggregate in the printed tree
+
+
+def test_no_python_udf_in_relational_plans(spark):
+    """Relational/text/dedup-exact queries must stay JVM-side; Python may
+    appear only in the declared Arrow-batched operators (media, ANN)."""
+    for name in (
+        "q_agg_tpch_pricing",
+        "q_join_3way",
+        "q_text_stats",
+        "q_token_count",
+        "q_dedup_exact",
+        "q_minhash_lsh_pairs",
+        "q_embedding_knn",
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name  # row-at-a-time Python
+        assert "PythonUDF" not in plan, name
