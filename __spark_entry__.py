@@ -47,6 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
+    from streamy_db_spark.functions import scalar
     from streamy_db_spark.operators import (
         dedup,
         minhash,
@@ -57,7 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, dedup, minhash, similarity, multimodal, text):
+    for mod in (relational, dedup, minhash, similarity, multimodal, text, scalar):
         out.update(mod.QUERIES)
 
     def _wrap(fn):
@@ -72,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each queries() key (driver correctness
     gate). Keys absent here get the weaker rows-only check."""
+    from streamy_db_spark.functions import scalar
     from streamy_db_spark.operators import (
         dedup,
         minhash,
@@ -82,6 +84,6 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out: dict[str, str] = {}
-    for mod in (relational, dedup, minhash, similarity, multimodal, text):
+    for mod in (relational, dedup, minhash, similarity, multimodal, text, scalar):
         out.update(mod.ORACLE)
     return out

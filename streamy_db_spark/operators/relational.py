@@ -260,6 +260,37 @@ def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_sessionize: gap-based session windows (lag + cumulative sum) ---------
+SESSION_GAP_NS = 1_800_000_000_000  # 30 min
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization — the session-window operator the reference lacks
+    (SURVEY §2.3 windows: ABSENT), batch form: a new session starts when
+    the gap to the previous event exceeds 30 min; two window passes over
+    the same (user_id × time) partitioning (ONE shuffle — both windows
+    and the final groupBy share the user_id hash partitioning)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > SESSION_GAP_NS), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = events.select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_idx"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        # integer div, not float: ns longs exceed double's 2^53 exactness
+        F.expr("min(ts_ns) div 1000000").alias("session_start_ms"),
+    )
+
+
 # --- q_dedup_events: exact dedup on (user, type, hour-window) ----------------
 def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -314,6 +345,7 @@ QUERIES = {
     "q_agg_tpch_pricing": q_agg_tpch_pricing,
     "q_join_3way": q_join_3way,
     "q_rollup_pricing": q_rollup_pricing,
+    "q_sessionize": q_sessionize,
     "q_window_events": q_window_events,
     "q_dedup_events": q_dedup_events,
     "q_text_stats": q_text_stats,
@@ -413,6 +445,27 @@ ORACLE = {
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_sessionize": f"""
+        WITH g AS (
+            SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+                   epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                   ) AS gap
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, event_id, ts_ns,
+                   sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_NS}
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts_ns, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_idx
+            FROM g
+        )
+        SELECT user_id, session_idx, count(*) AS n_events,
+               CAST(min(ts_ns) // 1000000 AS BIGINT) AS session_start_ms
+        FROM s GROUP BY user_id, session_idx
     """,
     "q_window_events": """
         SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS window_start_ms,

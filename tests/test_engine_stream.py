@@ -33,7 +33,7 @@ def _write_heartbeat(spark, requests_dir: str, n: int) -> None:
     )
 
 
-def run_streaming_replay(spark, txns, tmp, max_rounds=30):
+def run_streaming_replay(spark, txns, tmp, max_rounds=30, duplicate_feedback=False):
     d = {n: os.path.join(tmp, n) for n in
          ("input", "feedback", "read_results", "results", "ckpt")}
     os.makedirs(d["feedback"], exist_ok=True)
@@ -105,11 +105,42 @@ def run_streaming_replay(spark, txns, tmp, max_rounds=30):
         if n_done >= n_txns:
             break
 
-    results = (
-        spark.read.schema(schema_results).parquet(d["results"])
-        .select("transaction_id", "succeeded")
-        .collect()
+    if duplicate_feedback:
+        # At-least-once delivery: redeliver EVERY commit notification,
+        # then run the two stateful stages once more. The S3 'done' gate
+        # must swallow the duplicates — no new result rows may appear
+        # (output-level exactly-once from at-least-once input, the
+        # property the reference relies on; SURVEY §2.3 exactly-once note).
+        import shutil
+
+        for f in os.listdir(d["feedback"]):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(d["feedback"], f),
+                    os.path.join(d["feedback"], f"dup_{f}"),
+                )
+        _write_heartbeat(spark, requests_dir, 10_000)
+        reqs = spark.readStream.schema(es.KEY_MSG).option(
+            "recursiveFileLookup", "true"
+        ).parquet(requests_dir)
+        fb = spark.readStream.schema(es.KEY_MSG).parquet(d["feedback"])
+        run_once(es.key_stage(reqs.unionByName(fb)), d["read_results"], "key_stage")
+        bodies = es.derive_txn_bodies(
+            spark.readStream.schema(fixtures.schemas.TRANSACTION_LOG).parquet(
+                d["input"]
+            )
+        )
+        reads = es.read_results_as_txn_msgs(
+            spark.readStream.schema(es.READ_RESULT_OUT).parquet(d["read_results"])
+        )
+        run_once(es.txn_stage(bodies.unionByName(reads)), d["results"], "txn_stage")
+
+    results_df = spark.read.schema(schema_results).parquet(d["results"]).select(
+        "transaction_id", "succeeded"
     )
+    results = results_df.collect()
+    # one verdict per transaction, ever — even under redelivery
+    assert len(results) == results_df.select("transaction_id").distinct().count()
     return {r["transaction_id"]: r["succeeded"] for r in results}
 
 
@@ -137,6 +168,21 @@ def test_streaming_conflicts_and_deletes(spark, tmp_path):
     }
     got = run_streaming_replay(spark, txns, str(tmp_path))
     assert got == expected_results
+
+
+def test_streaming_duplicate_feedback_is_idempotent(spark, tmp_path):
+    """Redelivered commit notifications (at-least-once output re-consumed
+    as input) must not change verdicts or emit duplicates."""
+    txns = [
+        fixtures_txn(0, 0, 0, "t1", [("a", None)], [("a", "1")]),
+        fixtures_txn(1, 0, 1, "t2", [("a", "1")], [("a", "2"), ("b", "9")]),
+        fixtures_txn(2, 0, 2, "t3", [("a", "2"), ("b", "9")], []),
+    ]
+    expected, _ = oracle.serial_replay(txns)
+    got = run_streaming_replay(
+        spark, txns, str(tmp_path), duplicate_feedback=True
+    )
+    assert got == expected == {"t1": True, "t2": True, "t3": True}
 
 
 def fixtures_txn(ts_s, part, off, tid, asserts, updates):

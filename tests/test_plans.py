@@ -7,20 +7,18 @@ row-at-a-time evaluation outside the declared Arrow boundaries."""
 from __future__ import annotations
 
 import __spark_entry__ as entrymod
+from streamy_db_spark.plans import inspect
 
 QUERIES = entrymod.queries()
 SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    return inspect.executed_plan(QUERIES[name](spark, SF))
 
 
 def explain_formatted(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF)
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    return inspect.formatted_explain(QUERIES[name](spark, SF))
 
 
 def test_filter_pushdown_reaches_scan(spark):
