@@ -112,15 +112,36 @@ TXN_RESULT_OUT = T.StructType(
 )
 
 # ---------------------------------------------------------------------------
-# S1+S2 per-key state: every reference state handle (SURVEY.md §1.3)
-# packed into one GroupState tuple.
-#   buffer      : S1 reorder buffer  — MapState[ts → elems] in the
-#                 reference (flink:41); cleaned on fire (the Flink variant
-#                 leaks it, flink:56-63 — we follow Beam:66).
-#   cell/has_cell: the database cell  — ValueState[Value] (flink:75).
-#   latest_lock : lock-queue tail     — ValueState[TransactionId] (flink:77).
-#   waiters     : per-holder blocked readers — MapState (flink:76).
+# S1+S2 per-key state, packed into one GroupState tuple.
+#
+# DELIBERATE DEPARTURE from the reference implementation (SURVEY §2.5
+# addendum): the reference parks a read on the *latest* lock holder and
+# applies commit notifications the moment they arrive
+# (flink/StreamyDb.scala:98-100, 103-127). Property-based testing showed
+# that breaks its own serializability claim: with reader R at serial
+# position p parked on writer W1 < p, a LATER writer W2 > p whose commit
+# feedback overtakes W1's (Kafka gives no cross-topic order) applies its
+# write first, so R observes W2's value — a non-serial read; and commit
+# feedback overtaking the sorter (assert-free txn) wedges the lock queue
+# entirely. This machine instead keeps the per-key lock LOG in serial
+# order and applies decided outcomes strictly in log order:
+#   buffer : S1 reorder buffer (flink:41), cleaned on fire (Beam:66).
+#   cell   : value after applying the decided log prefix (flink:75).
+#   entries: ordered lock log [(pos, txn, decided, ok, wvalue)] — the
+#            undecided frontier blocks application and reads behind it.
+#   parked : reads waiting for every earlier lock to decide.
+#   early  : commit outcomes that arrived before their lock flushed.
+# A read at position p emits exactly when all locks < p are decided, and
+# then observes precisely the committed writes < p — feedback arrival
+# order can no longer change any observed value (asserted by
+# tests/test_protocol_properties.py over random permutations).
 # ---------------------------------------------------------------------------
+
+_POS = [
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("kafka_partition", T.IntegerType()),
+    T.StructField("kafka_offset", T.LongType()),
+]
 
 KEY_STATE = T.StructType(
     [
@@ -128,10 +149,8 @@ KEY_STATE = T.StructType(
             "buffer",
             T.ArrayType(
                 T.StructType(
-                    [
-                        T.StructField("ts_ms", T.LongType()),
-                        T.StructField("kafka_partition", T.IntegerType()),
-                        T.StructField("kafka_offset", T.LongType()),
+                    _POS
+                    + [
                         T.StructField("kind", T.IntegerType()),
                         T.StructField("transaction_id", T.StringType()),
                     ]
@@ -140,14 +159,34 @@ KEY_STATE = T.StructType(
         ),
         T.StructField("cell", T.StringType(), True),
         T.StructField("has_cell", T.BooleanType()),
-        T.StructField("latest_lock", T.StringType(), True),
         T.StructField(
-            "waiters",
+            "entries",
+            T.ArrayType(
+                T.StructType(
+                    _POS
+                    + [
+                        T.StructField("txn", T.StringType()),
+                        T.StructField("decided", T.BooleanType()),
+                        T.StructField("ok", T.BooleanType()),
+                        T.StructField("wvalue", T.StringType(), True),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "parked",
+            T.ArrayType(
+                T.StructType(_POS + [T.StructField("txn", T.StringType())])
+            ),
+        ),
+        T.StructField(
+            "early",
             T.ArrayType(
                 T.StructType(
                     [
                         T.StructField("txn", T.StringType()),
-                        T.StructField("readers", T.ArrayType(T.StringType())),
+                        T.StructField("ok", T.BooleanType()),
+                        T.StructField("wvalue", T.StringType(), True),
                     ]
                 )
             ),
@@ -170,7 +209,8 @@ def _as_list(v):
 
 
 class _KeyMachine:
-    """The S2 state machine (flink:85-127), message-at-a-time."""
+    """Deterministic per-key lock-log machine (S2 semantics done right —
+    see the KEY_STATE comment for why this departs from flink:85-127)."""
 
     def __init__(self, key: str, state_tuple):
         self.key = key
@@ -178,64 +218,106 @@ class _KeyMachine:
             self.buffer: list = []
             self.cell = None
             self.has_cell = False
-            self.latest_lock = None
-            self.waiters: dict[str, list] = {}
+            # entries: [pos3, txn, decided, ok, wvalue] in serial order
+            self.entries: list[list] = []
+            self.parked: list[tuple] = []  # (pos3, txn) in serial order
+            self.early: dict[str, tuple] = {}  # txn -> (ok, wvalue)
         else:
-            buf, cell, has_cell, lock, waiters = state_tuple
+            buf, cell, has_cell, entries, parked, early = state_tuple
             self.buffer = [tuple(b) for b in (buf or [])]
             self.cell = _norm_str(cell)
             self.has_cell = bool(has_cell)
-            self.latest_lock = _norm_str(lock)
-            self.waiters = {w[0]: list(w[1]) for w in (waiters or [])}
+            # in-memory pos is a 4-tuple ending in the D7 kind tiebreak
+            # (read=0 < lock=1); the stored schema omits it — implied by
+            # which list the row sits in.
+            self.entries = [
+                [
+                    (e[0], e[1], e[2], 1),
+                    e[3],
+                    bool(e[4]),
+                    bool(e[5]),
+                    _norm_str(e[6]),
+                ]
+                for e in (entries or [])
+            ]
+            self.parked = [((p[0], p[1], p[2], 0), p[3]) for p in (parked or [])]
+            self.early = {w[0]: (bool(w[1]), _norm_str(w[2])) for w in (early or [])}
 
     def to_tuple(self):
         return (
             self.buffer,
             self.cell,
             self.has_cell,
-            self.latest_lock,
-            [(t, r) for t, r in self.waiters.items()],
+            [(*e[0][:3], e[1], e[2], e[3], e[4]) for e in self.entries],
+            [(*pos[:3], txn) for pos, txn in self.parked],
+            [(t, ok, wv) for t, (ok, wv) in self.early.items()],
         )
 
     def current(self):
         return self.cell if self.has_cell else None
 
-    def on_lock(self, txn: str) -> None:
-        # flink:87-89 — the new lock becomes the queue tail; never blocks.
-        self.latest_lock = txn
-        self.waiters[txn] = []
+    # -- event handlers (call _settle(out) after each) ----------------------
 
-    def on_read(self, txn: str, out: list) -> None:
-        if self.latest_lock is None:
-            out.append((txn, self.key, self.current()))  # flink:92-96
+    def on_lock(self, txn: str, pos: tuple) -> None:
+        """Append to the lock log at its serial position; consume an
+        early-arrived outcome if the feedback overtook the sorter."""
+        outcome = self.early.pop(txn, None)
+        if outcome is None:
+            self.entries.append([pos, txn, False, False, None])
         else:
-            self.waiters[self.latest_lock].append(txn)  # flink:98-100
+            self.entries.append([pos, txn, True, outcome[0], outcome[1]])
+
+    def on_read(self, txn: str, pos: tuple, out: list) -> None:
+        self.parked.append((pos, txn))
+        self._settle(out)
 
     def on_txn_result(self, txn: str, succeeded: bool, value, out: list) -> None:
-        my_waiters = self.waiters.pop(txn, [])  # flink:105-106
-        if succeeded:
-            if value is None:
-                self.cell, self.has_cell = None, False  # delete, flink:113-115
+        for e in self.entries:
+            if e[1] == txn and not e[2]:
+                e[2], e[3], e[4] = True, succeeded, value
+                break
+        else:
+            # Feedback overtook the lock request (assert-free txn whose
+            # verdict looped back before the watermark flushed its lock).
+            self.early[txn] = (succeeded, value)
+        self._settle(out)
+
+    def _settle(self, out: list) -> None:
+        """Apply the decided log prefix to the cell in serial order, then
+        release every parked read positioned before the undecided
+        frontier — it observes exactly the committed writes before it."""
+        while self.entries and self.entries[0][2]:
+            _pos, _txn, _dec, ok, wvalue = self.entries.pop(0)
+            if ok:
+                if wvalue is None:
+                    self.cell, self.has_cell = None, False  # delete
+                else:
+                    self.cell, self.has_cell = wvalue, True
+        frontier = self.entries[0][0] if self.entries else None
+        still_parked = []
+        for pos, txn in sorted(self.parked):
+            # pos tuples end in the D7 kind (read=0 < lock=1), so a read
+            # at the same (ts,part,off) as its own transaction's lock
+            # sorts strictly before it — reads see the pre-txn value.
+            if frontier is None or pos < frontier:
+                out.append((txn, self.key, self.current()))
             else:
-                self.cell, self.has_cell = value, True
-        cur = self.current()
-        for w in my_waiters:
-            out.append((w, self.key, cur))  # flink:120-121
-        if self.latest_lock == txn:
-            self.latest_lock = None  # flink:124-126
+                still_parked.append((pos, txn))
+        self.parked = still_parked
 
     def flush(self, up_to_ms: int, out: list) -> None:
-        """S1 fire: replay buffered requests with ts ≤ watermark in serial
-        order (ts, partition, offset, kind, txn) — D7's exact tuple."""
+        """S1 fire: deliver buffered requests with ts ≤ watermark in
+        serial order (ts, partition, offset, kind, txn) — D7's tuple."""
         due = sorted(b for b in self.buffer if b[0] <= up_to_ms)
         if not due:
             return
         self.buffer = [b for b in self.buffer if b[0] > up_to_ms]
-        for _ts, _p, _o, kind, txn in due:
+        for ts, p, o, kind, txn in due:
             if kind == KIND_READ:
-                self.on_read(txn, out)
+                self.on_read(txn, (ts, p, o, 0), out)
             else:
-                self.on_lock(txn)
+                self.on_lock(txn, (ts, p, o, 1))
+        self._settle(out)
 
 
 def sorter_key_processor(key, pdfs: Iterator[pd.DataFrame], state):
@@ -273,7 +355,7 @@ def sorter_key_processor(key, pdfs: Iterator[pd.DataFrame], state):
         if wm > 0:
             m.flush(wm, out)
 
-    if m.buffer or m.has_cell or m.latest_lock is not None or m.waiters:
+    if m.buffer or m.has_cell or m.entries or m.parked or m.early:
         state.update(m.to_tuple())
         if m.buffer:
             next_ts = min(b[0] for b in m.buffer)
