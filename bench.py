@@ -75,6 +75,22 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
 
+    # Warm the Python/Arrow worker pool too: the first pandas-UDF stage in
+    # a session forks + initializes one Python worker per core (~7 s on
+    # local[32]); on a long-lived cluster those workers are resident, so
+    # charging the fork cost to whichever query happens to run first would
+    # misattribute it.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("double")
+    def _warm(v):  # pragma: no cover - trivial
+        return v * 1.0
+
+    spark.range(10_000, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _warm(F.col("id").cast("double"))
+    ).count()
+
     timings: dict[str, float] = {}
 
     skipped = []

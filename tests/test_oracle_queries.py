@@ -50,6 +50,41 @@ def test_ann_lsh_recall(spark, sf_oracle):
     assert recall >= 0.5, f"ANN recall collapsed: {recall:.2f}"
 
 
+def test_dedup_lsh_planted_duplicates(spark):
+    """The fused bucket-scoring path must recover planted near-dups (the
+    harness embeddings have none above 0.9, so the sf-based recall test
+    below can skip — this one cannot)."""
+    import random
+
+    from streamy_db_spark.operators import dedup
+
+    rng = random.Random(7)
+    dim = 16
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(40)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # Plant 10 near-duplicates: tiny perturbations of the first 10 vectors.
+    for j in range(10):
+        rows.append(
+            (100 + j, [float(x + rng.gauss(0, 0.01)) for x in base[j]])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.near_dup_pairs_embedding(emb).collect()
+    }
+    planted = {(j, 100 + j) for j in range(10)}
+    assert planted <= exact, "exact baseline must see every planted pair"
+
+    approx_rows = dedup.near_dup_pairs_lsh(emb).collect()
+    approx = {(r["id_a"], r["id_b"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"planted-dup recall collapsed: {recall:.2f}"
+    for r in approx_rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine"] >= dedup.NEAR_DUP_COS
+
+
 def test_dedup_lsh_recall(spark, sf_oracle):
     """The LSH near-dup pair set must recover most exact pairs."""
     from streamy_db_spark.operators import dedup
