@@ -53,12 +53,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         minhash,
         multimodal,
         relational,
+        relational_ext,
         similarity,
+        temporal,
         text,
     )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, dedup, minhash, similarity, multimodal, text, scalar):
+    for mod in (
+        relational,
+        relational_ext,
+        temporal,
+        dedup,
+        minhash,
+        similarity,
+        multimodal,
+        text,
+        scalar,
+    ):
         out.update(mod.QUERIES)
 
     def _wrap(fn):
@@ -79,11 +91,23 @@ def oracle_sql() -> dict[str, str]:
         minhash,
         multimodal,
         relational,
+        relational_ext,
         similarity,
+        temporal,
         text,
     )
 
     out: dict[str, str] = {}
-    for mod in (relational, dedup, minhash, similarity, multimodal, text, scalar):
+    for mod in (
+        relational,
+        relational_ext,
+        temporal,
+        dedup,
+        minhash,
+        similarity,
+        multimodal,
+        text,
+        scalar,
+    ):
         out.update(mod.ORACLE)
     return out

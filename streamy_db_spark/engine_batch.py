@@ -133,11 +133,72 @@ def _build_ops(transactions: DataFrame, initial_state: DataFrame | None) -> Data
     return ops
 
 
+def _serial_tail_fold(
+    rows: list,
+    n_asserts: dict[str, int],
+) -> dict[str, bool]:
+    """Driver-side serial replay of the conflict tail: walk the collected
+    op rows in serial order ((ts, partition, offset, kind, key) — D7's
+    tuple), apply committed writes unconditionally, and decide each
+    undecided transaction at its first write row (all its reads sort
+    earlier: a transaction's rows share one position and READ kind <
+    WRITE kind). Read-only transactions decide once all rows are walked.
+    Returns {transaction_id: succeeded} for every undecided transaction.
+    """
+    rows = sorted(
+        rows,
+        key=lambda r: (
+            r["ts"],
+            r["kafka_partition"],
+            r["kafka_offset"],
+            r["kind"],
+            r["key"],
+        ),
+    )
+    state: dict[str, str] = {}
+    observed: dict[str, list] = {}
+    verdicts: dict[str, bool] = {}
+
+    def _decide(txn: str) -> bool:
+        if txn not in verdicts:
+            obs = observed.get(txn, [])
+            assert len(obs) == n_asserts.get(txn, 0), (
+                f"tail fold: {txn} decided with {len(obs)} of "
+                f"{n_asserts.get(txn, 0)} reads observed"
+            )
+            verdicts[txn] = all(exp == got for exp, got in obs)
+        return verdicts[txn]
+
+    for r in rows:
+        txn = r["transaction_id"]
+        if r["succeeded"]:  # committed write of an already-decided txn
+            if r["wvalue"] is None:
+                state.pop(r["key"], None)
+            else:
+                state[r["key"]] = r["wvalue"]
+        elif r["kind"] == KIND_READ:
+            observed.setdefault(txn, []).append(
+                (r["expected"], state.get(r["key"]))
+            )
+        else:  # undecided write: verdict is computable here
+            if _decide(txn):
+                if r["wvalue"] is None:
+                    state.pop(r["key"], None)
+                else:
+                    state[r["key"]] = r["wvalue"]
+    # Read-only tail transactions have no write row — decide them now.
+    for txn in observed:
+        _decide(txn)
+    return verdicts
+
+
 def replay(
     transactions: DataFrame,
     initial_state: DataFrame | None = None,
     max_rounds: int = 10_000,
     verbose: bool = False,
+    tail_collapse_txns: int = 5_000,
+    tail_collapse_max_rows: int = 500_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministically replay a transaction log.
 
@@ -150,6 +211,16 @@ def replay(
     - transaction_results: (transaction_id, succeeded)
     - final_state: (key, value) after all committed writes (deleted /
       never-written keys absent).
+
+    Adaptive tail collapse: once ≤ ``tail_collapse_txns`` transactions
+    remain undecided, the conflict tail (their op rows plus the committed
+    writes interleaved on the same keys) is collected — bounded by
+    ``tail_collapse_max_rows`` — and finished with a driver-side serial
+    fold instead of paying a distributed round per dependency-chain link.
+    This is the AQE move (runtime stats pick the physical strategy): the
+    wavefront does the data-scale work; the coordinator absorbs the
+    residual chain latency. If the tail doesn't fit the row bound (hot
+    keys), the wavefront simply continues.
     """
     spark = transactions.sparkSession
 
@@ -203,11 +274,17 @@ def replay(
     )
 
     is_write = F.col("kind") == KIND_WRITE
+    undecided_write = F.when(is_write & F.col("succeeded").isNull(), 1).otherwise(0)
+    # The committed effect carries the undecided-write count AT the write
+    # (``u``): a read is observable iff no undecided write sits BETWEEN
+    # the last committed write and the read — undecided writes shadowed
+    # by a later committed write cannot change the observed value either
+    # way, so they must not block (this widens each wave; without it a
+    # long chain of shadowed writers serializes into one round each).
     committed_effect = F.when(
         is_write & (F.col("succeeded") == True),  # noqa: E712
-        F.struct(F.col("wvalue").alias("v")),
+        F.struct(F.col("wvalue").alias("v"), F.col("u_cum").alias("u")),
     )
-    undecided_write = F.when(is_write & F.col("succeeded").isNull(), 1).otherwise(0)
 
     rounds = 0
     while n_decided < n_total:
@@ -215,18 +292,23 @@ def replay(
         if rounds > max_rounds:
             raise RuntimeError(f"replay did not converge in {max_rounds} rounds")
 
-        annotated = ops_active.select(
+        # Two Window ops over the same (partition, order) spec — Catalyst
+        # plans them back-to-back on one sort, no extra shuffle.
+        with_u = ops_active.select(
+            "*",
+            F.coalesce(F.sum(undecided_write).over(w_prev), F.lit(0)).alias("u_cum"),
+        )
+        annotated = with_u.select(
             "*",
             F.last(committed_effect, ignorenulls=True).over(w_prev).alias("eff"),
-            F.coalesce(F.sum(undecided_write).over(w_prev), F.lit(0)).alias(
-                "n_blocked"
-            ),
         )
 
         observable_reads = annotated.filter(
             (F.col("kind") == KIND_READ)
             & F.col("succeeded").isNull()
-            & (F.col("n_blocked") == 0)
+            & (
+                F.col("u_cum") - F.coalesce(F.col("eff.u"), F.lit(0)) == 0
+            )
         ).select(
             "transaction_id",
             "expected",
@@ -278,6 +360,47 @@ def replay(
             .drop("new_outcome")
             .localCheckpoint(eager=True)
         )
+
+        remaining = n_total - n_decided
+        if 0 < remaining <= tail_collapse_txns:
+            undecided = F.col("succeeded").isNull()
+            tail_keys = ops_active.filter(undecided).select("key").distinct()
+            tail_ops = ops_active.join(F.broadcast(tail_keys), "key")
+            rows = tail_ops.limit(tail_collapse_max_rows + 1).collect()
+            if len(rows) > tail_collapse_max_rows:
+                # Hot-key tail too large to collect — halve the trigger so
+                # the next attempt happens once the set genuinely shrank.
+                tail_collapse_txns = remaining // 2
+            else:
+                und_txn_df = (
+                    ops_active.filter(undecided).select("transaction_id").distinct()
+                )
+                na = {
+                    r["transaction_id"]: r["n_asserts"]
+                    for r in n_asserts.join(
+                        F.broadcast(und_txn_df), "transaction_id"
+                    ).collect()
+                }
+                verdicts = _serial_tail_fold(rows, na)
+                if verbose:
+                    print(
+                        f"[replay] tail collapse after round {rounds}: "
+                        f"{len(verdicts)} txns folded driver-side"
+                    )
+                tail_results = spark.createDataFrame(
+                    sorted(verdicts.items()), schemas.TRANSACTION_RESULT
+                )
+                result_parts.append(tail_results)
+                n_decided += len(verdicts)
+                tr = F.broadcast(
+                    tail_results.withColumnRenamed("succeeded", "new_outcome")
+                )
+                ops_active = (
+                    ops_active.join(tr, "transaction_id", "left")
+                    .withColumn("succeeded", F.coalesce("new_outcome", "succeeded"))
+                    .drop("new_outcome")
+                )
+                break
 
     results = reduce(DataFrame.unionByName, result_parts)
 

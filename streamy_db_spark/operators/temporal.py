@@ -1,0 +1,229 @@
+"""Temporal join operators: as-of join and banded range join.
+
+The reference has no relational join surface at all (SURVEY.md §2.3 —
+its only join-shaped computations are the stream-stream gate S3 and the
+stream-state lookup S2), but any engine claiming its capabilities for
+event logs needs the two temporal joins Spark itself lacks as builtins.
+Both are implemented as compositions of shuffle-friendly DataFrame ops —
+no pairwise blowup, no Python in the hot path:
+
+- **as-of join**: union both sides with a side marker, single window pass
+  per key carrying the last right-side row forward (`last(...,
+  ignorenulls=True)`). ONE shuffle on the join key, O(n log n) per key —
+  the classic log-structured formulation; at 100 TB it scales exactly
+  like the sequencer window (SURVEY §2.3 q_serial_order).
+- **range join**: time-bucket both sides and equi-join on (key, bucket)
+  with the left side exploded over the two buckets that can satisfy a
+  band of width W (bucket size == W covers (t-W, t]). Turns the
+  inequality join Catalyst would nested-loop into a hash join whose
+  shuffle key is uniform; per-bucket fan-out is bounded by data density,
+  not table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamy_db_spark.sources.tables import load_table
+
+HOUR_NS = 3_600_000_000_000
+HOUR_US = 3_600_000_000
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_ns: int | None = None,
+) -> DataFrame:
+    """Left as-of join: for every left row, the right row of the same
+    ``key`` with the greatest ``right_ts`` <= ``left_ts`` (inclusive —
+    DuckDB ``ASOF JOIN ON l.ts >= r.ts`` semantics). Unmatched left rows
+    keep NULLs. ``right_cols`` are emitted with an ``asof_`` prefix.
+
+    Ties: callers must ensure (key, right_ts) is unique on the right side
+    (pre-aggregate otherwise) — the match is then deterministic.
+    """
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1)).withColumn("_rts", F.lit(None).cast("long"))
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias(left_ts),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    for c in right_cols:
+        l = l.withColumn(f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    merged = l.select(r.columns).unionByName(r)
+
+    # Right rows sort before left rows at the same timestamp (_side 0 < 1)
+    # so an equal-timestamp right row is visible to the left row — the
+    # inclusive (>=) as-of bound.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(left_ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "*",
+        F.last("_rts", ignorenulls=True).over(w).alias("_m_ts"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_ns is not None:
+        within = F.col("_m_ts") >= F.col(left_ts) - F.lit(tolerance_ns)
+        out = out.select(
+            *lcols,
+            F.when(within, F.col("_m_ts")).alias("asof_ts"),
+            *[
+                F.when(within, F.col(f"_m_{c}")).alias(f"asof_{c}")
+                for c in right_cols
+            ],
+        )
+    else:
+        out = out.select(
+            *lcols,
+            F.col("_m_ts").alias("asof_ts"),
+            *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in right_cols],
+        )
+    return out
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    band_ns: int,
+    count_alias: str = "n_in_band",
+) -> DataFrame:
+    """For every left row, count right rows of the same ``key`` with
+    ``right_ts`` in (left_ts - band_ns, left_ts] — i.e. the band strictly
+    before-or-at the left event. Zero-count left rows are kept.
+
+    Bucketing: with bucket = ts div band_ns, every qualifying right row
+    sits in the left row's bucket or the one before it, so the inequality
+    join becomes an equi-join on (key, bucket) over two exploded copies
+    of the left side plus a residual band filter.
+    """
+    # Integer div, not `/`: ns epochs (~1.7e18) exceed double's 2^53
+    # exact-integer range, so float division mis-buckets edge rows.
+    lbucket = F.expr(f"`{left_ts}` div {band_ns}")
+    lb = left.withColumn("_b", F.explode(F.array(lbucket, lbucket - 1)))
+    rb = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_rt"),
+        F.expr(f"`{right_ts}` div {band_ns}").alias("_b"),
+    )
+    dt = F.col(left_ts) - F.col("_rt")
+    joined = lb.join(rb, [key, "_b"], "left").withColumn(
+        "_hit", ((dt >= 0) & (dt < band_ns)).cast("int")
+    )
+    return (
+        joined.groupBy(*left.columns)
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).alias(count_alias))
+    )
+
+
+# --- registered queries ------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's latest click at-or-before it
+    (nanosecond event-time; (user_id, ts_ns) is unique in the harness
+    data, so the match is deterministic)."""
+    events = load_table(spark, sf_dir, "events")
+    # Microseconds, not the lossless ts_ns: DuckDB reads TIMESTAMP(NANOS)
+    # parquet at us precision, so the oracle can only see us values.
+    # (user_id, ts_us) is still unique in the harness data — checked.
+    ts_us = F.expr("ts_ns div 1000")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_us.alias("ts_us")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", ts_us.alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="c_ts",
+        right_cols=["click_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("asof_ts").alias("click_ts_us"),
+        F.col("asof_click_id").alias("click_id"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases with the count of same-user clicks in the preceding hour
+    (inclusive of simultaneous clicks) — the banded self-join shape."""
+    events = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts_ns div 1000")  # us to match oracle precision (see q_asof_join)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_us.alias("ts_us")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", ts_us.alias("c_ts")
+    )
+    return range_join_count(
+        purchases, clicks, "user_id", "ts_us", "c_ts", HOUR_US,
+        count_alias="n_clicks_1h",
+    )
+
+
+QUERIES = {
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
+}
+
+ORACLE = {
+    "q_asof_join": """
+        WITH p AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+            WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, p.ts_us,
+               c.ts_us AS click_ts_us, c.click_id
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+    """,
+    "q_range_join": """
+        WITH p AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+            WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, epoch_us(ts) AS c_ts FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, p.ts_us,
+               count(c.c_ts) AS n_clicks_1h
+        FROM p LEFT JOIN c
+          ON p.user_id = c.user_id
+         AND p.ts_us - c.c_ts >= 0
+         AND p.ts_us - c.c_ts < 3600000000
+        GROUP BY p.event_id, p.user_id, p.ts_us
+    """,
+}

@@ -11,7 +11,7 @@ from streamy_db_spark import fixtures, oracle, schemas
 from streamy_db_spark.engine_batch import replay
 
 
-def run_and_compare(spark, txns, initial=None):
+def run_and_compare(spark, txns, initial=None, **replay_kwargs):
     expected_results, expected_state = oracle.serial_replay(
         txns, dict(initial) if initial else None
     )
@@ -21,7 +21,7 @@ def run_and_compare(spark, txns, initial=None):
         if initial
         else None
     )
-    results_df, state_df = replay(df, init_df)
+    results_df, state_df = replay(df, init_df, **replay_kwargs)
     got_results = {r["transaction_id"]: r["succeeded"] for r in results_df.collect()}
     got_state = {r["key"]: r["value"] for r in state_df.collect()}
     assert got_results == expected_results
@@ -34,6 +34,14 @@ def run_and_compare(spark, txns, initial=None):
 )
 def test_mix_matches_serial_oracle(spark, mix):
     run_and_compare(spark, fixtures.generate(mix))
+
+
+@pytest.mark.parametrize("mix", ["conflict_heavy", "cas_chain", "deletes"])
+def test_pure_wavefront_matches_oracle(spark, mix):
+    """With tail collapse disabled, the distributed wavefront must run
+    every round itself and still match the oracle (the small mixes would
+    otherwise collapse after round 1 and leave rounds 2+ untested)."""
+    run_and_compare(spark, fixtures.generate(mix), tail_collapse_txns=0)
 
 
 def test_determinism_across_partitionings(spark):

@@ -1,0 +1,74 @@
+"""Unit tests for the generic as-of / range-join operators on planted
+data (the oracle tests cover the registered event-log queries; these pin
+the edge semantics: no-match NULLs, inclusive bounds, tolerance)."""
+
+from __future__ import annotations
+
+from streamy_db_spark.operators.temporal import asof_join, range_join_count
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_basic_and_no_match(spark):
+    left = _df(
+        spark,
+        [(1, "k", 100), (2, "k", 50), (3, "k", 15), (4, "other", 100), (5, "k", 5)],
+        "id long, k string, ts long",
+    )
+    right = _df(
+        spark,
+        [("k", 10, "a"), ("k", 50, "b"), ("k", 99, "c")],
+        "k string, rts long, v string",
+    )
+    out = {
+        r["id"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts", right_cols=["v"]
+        ).collect()
+    }
+    assert out[1] == (99, "c")
+    assert out[2] == (50, "b"), "equal timestamp must match (inclusive bound)"
+    assert out[3] == (10, "a")
+    assert out[4] == (None, None), "unmatched key keeps NULLs"
+    assert out[5] == (None, None), "left row before all right rows keeps NULLs"
+
+
+def test_asof_tolerance(spark):
+    left = _df(spark, [(1, "k", 100)], "id long, k string, ts long")
+    right = _df(spark, [("k", 10, "a")], "k string, rts long, v string")
+    near = asof_join(
+        left, right, "k", "ts", "rts", ["v"], tolerance_ns=200
+    ).collect()[0]
+    far = asof_join(
+        left, right, "k", "ts", "rts", ["v"], tolerance_ns=50
+    ).collect()[0]
+    assert (near["asof_ts"], near["asof_v"]) == (10, "a")
+    assert (far["asof_ts"], far["asof_v"]) == (None, None)
+
+
+def test_range_join_count_band_edges(spark):
+    left = _df(spark, [(1, "k", 1000)], "id long, k string, ts long")
+    right = _df(
+        spark,
+        # dt = 1000 - rts: 1000 (excluded: == band), 999, 0 (included), -1 (future)
+        [("k", 0), ("k", 1), ("k", 1000), ("k", 1001)],
+        "k string, rts long",
+    )
+    out = range_join_count(
+        left, right, key="k", left_ts="ts", right_ts="rts", band_ns=1000
+    ).collect()
+    assert out[0]["n_in_band"] == 2  # rts=1 (dt=999) and rts=1000 (dt=0)
+
+
+def test_range_join_zero_matches_kept(spark):
+    left = _df(spark, [(1, "k", 1000), (2, "x", 5)], "id long, k string, ts long")
+    right = _df(spark, [("k", 10_000)], "k string, rts long")
+    rows = {
+        r["id"]: r["n"]
+        for r in range_join_count(
+            left, right, "k", "ts", "rts", 100, count_alias="n"
+        ).collect()
+    }
+    assert rows == {1: 0, 2: 0}
