@@ -58,6 +58,62 @@ def test_agg_has_map_side_combine(spark):
     # the INNER (pre-shuffle) aggregate in the printed tree
 
 
+def test_semi_join_plans_as_semi(spark):
+    # LeftSemi in the physical plan = no row multiplication; the build
+    # side carries keys only.
+    plan = plan_of(spark, "q_semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_plans_as_anti(spark):
+    plan = plan_of(spark, "q_anti_join")
+    assert "LeftAnti" in plan
+
+
+def test_asof_join_single_shuffle_no_join_operator(spark):
+    """The as-of join must compile to ONE hash exchange on the key and a
+    window — no physical join operator at all (that is the point of the
+    union formulation: an inequality join would nested-loop)."""
+    plan = plan_of(spark, "q_asof_join")
+    assert "Window" in plan
+    for op in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, op
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The banded range join must plan as an equi-join on (key, bucket) —
+    never the nested-loop Catalyst produces for raw inequality joins."""
+    plan = plan_of(spark, "q_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cube_single_scan(spark):
+    # CUBE must expand grouping sets in one pass over the table, not one
+    # scan per grouping set.
+    plan = plan_of(spark, "q_cube_pricing")
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_new_relational_plans_stay_jvm_side(spark):
+    for name in (
+        "q_semi_join",
+        "q_anti_join",
+        "q_set_ops",
+        "q_window_rank",
+        "q_cube_pricing",
+        "q_percentiles",
+        "q_conditional_agg",
+        "q_date_agg",
+        "q_asof_join",
+        "q_range_join",
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "PythonUDF" not in plan, name
+
+
 def test_no_python_udf_in_relational_plans(spark):
     """Relational/text/dedup-exact queries must stay JVM-side; Python may
     appear only in the declared Arrow-batched operators (media, ANN)."""

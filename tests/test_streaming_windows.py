@@ -1,42 +1,41 @@
-"""Streaming-window parity: the tumbling-window aggregation run as a real
-Structured Streaming query (watermark + availableNow over the events
-parquet) must produce exactly the rows of the batch q_window_events —
-the 'streaming-window parity in batch' claim of SURVEY §2.6, proven in
-the streaming direction."""
+"""Streaming-window parity: each streaming transform in
+streaming/windows.py, run as a real Structured Streaming query
+(watermark + availableNow over the events parquet), must produce exactly
+the rows of its batch counterpart — the 'streaming-window parity in
+batch' claim of SURVEY §2.6, proven in the streaming direction.
+
+Append-mode caveat baked into every comparison: windows/sessions still
+open when the stream drains (nothing later to push the watermark) are
+never emitted, so coverage is total minus the open tail only.
+"""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
-from streamy_db_spark.operators.relational import q_window_events
+from streamy_db_spark.operators.relational import (
+    q_dedup_events,
+    q_sessionize,
+    q_window_events,
+)
 from streamy_db_spark.sources.tables import _normalize
+from streamy_db_spark.streaming import windows as sw
 
 
-def test_streaming_window_agg_matches_batch(spark, sf_small, tmp_path):
-    batch = {tuple(r) for r in q_window_events(spark, sf_small).collect()}
-
-    path = f"{sf_small}/events.parquet"
+def _events_stream(spark, sf_dir):
+    path = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(path).schema  # ts arrives as ns-long
     # file stream source needs a directory; glob-filter to the one table
-    stream = (
-        _normalize(
-            "events",
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_small),
-        )
-        .withWatermark("ts", "0 seconds")
-        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(
-            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
+    return _normalize(
+        "events",
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir),
     )
+
+
+def _run_stream(df, tmp_path, out_schema: str):
+    spark = df.sparkSession
     q = (
-        stream.writeStream.format("parquet")
+        df.writeStream.format("parquet")
         .option("path", str(tmp_path / "out"))
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .outputMode("append")
@@ -45,20 +44,54 @@ def test_streaming_window_agg_matches_batch(spark, sf_small, tmp_path):
     )
     q.awaitTermination(120)
     assert q.exception() is None
-
-    got = {
+    return {
         tuple(r)
-        for r in spark.read.schema(
-            "window_start_ms LONG, event_type STRING, n LONG, sum_value DOUBLE"
-        )
-        .parquet(str(tmp_path / "out"))
-        .collect()
+        for r in spark.read.schema(out_schema).parquet(str(tmp_path / "out")).collect()
     }
+
+
+def test_streaming_window_agg_matches_batch(spark, sf_small, tmp_path):
+    batch = {tuple(r) for r in q_window_events(spark, sf_small).collect()}
+    got = _run_stream(
+        sw.windowed_counts(_events_stream(spark, sf_small)),
+        tmp_path,
+        "window_start_ms LONG, event_type STRING, n LONG, sum_value DOUBLE",
+    )
     # Append mode only emits windows the watermark has closed; the final
     # (max-ts) window stays open with no later event to push the watermark.
-    # Everything emitted must match batch, and coverage must be total
-    # minus at most the open tail windows.
     assert got <= batch
     open_windows = batch - got
     max_start = max(w for w, *_ in batch)
     assert all(w == max_start for w, *_ in open_windows), open_windows
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_small, tmp_path):
+    batch = {
+        (r["user_id"], r["session_start_ms"], r["n_events"])
+        for r in q_sessionize(spark, sf_small).collect()
+    }
+    got = _run_stream(
+        sw.sessionized(_events_stream(spark, sf_small)),
+        tmp_path,
+        "user_id LONG, session_start_ms LONG, n_events LONG",
+    )
+    assert got <= batch
+    # Every missing session must be its user's LAST (still-open) session.
+    last_start = {}
+    for user, start, _n in batch:
+        last_start[user] = max(last_start.get(user, -1), start)
+    for user, start, _n in batch - got:
+        assert start == last_start[user], (user, start)
+    # and the stream must have emitted the bulk of the sessions
+    assert len(got) >= len(batch) - len(last_start)
+
+
+def test_streaming_dedup_matches_batch(spark, sf_small, tmp_path):
+    batch = {tuple(r) for r in q_dedup_events(spark, sf_small).collect()}
+    got = _run_stream(
+        sw.dedup_stream(_events_stream(spark, sf_small)),
+        tmp_path,
+        "user_id LONG, event_type STRING, window_start_ms LONG",
+    )
+    # dropDuplicates emits first-seen rows immediately — full equality.
+    assert got == batch
