@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal,
         relational,
         relational_ext,
+        relational_ext2,
         similarity,
         temporal,
         text,
@@ -63,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in (
         relational,
         relational_ext,
+        relational_ext2,
         temporal,
         dedup,
         minhash,
@@ -92,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         multimodal,
         relational,
         relational_ext,
+        relational_ext2,
         similarity,
         temporal,
         text,
@@ -101,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
     for mod in (
         relational,
         relational_ext,
+        relational_ext2,
         temporal,
         dedup,
         minhash,
