@@ -231,10 +231,80 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
 
 
+SIMHASH_BAND_BITS = SIMHASH_BITS // 2  # 2 bands × 8 bits
+SIMHASH_HAM_MAX = 3
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame, ham_max: int = SIMHASH_HAM_MAX
+) -> DataFrame:
+    """SimHash near-dup at scale: band the fingerprint (2 × 8-bit here),
+    bucket-join on (band, value), verify Hamming ≤ ham_max via
+    xor+bit_count. By pigeonhole a pair with ≤1 differing bit always
+    shares a band; higher distances may straddle both bands, so the
+    operator's contract IS the banded candidate set (the oracle mirrors
+    the bands exactly — no approximation gap between engines).
+
+    Scale shape: the shuffle moves (doc_id, 16-bit bucket) pairs only;
+    verification is an integer xor per candidate. Production sizing is a
+    64-bit simhash with 4 × 16-bit bands (ham_max 3 fully covered by
+    pigeonhole); the 16-bit fingerprint here keeps the DuckDB oracle SQL
+    tractable (minhash.py simhash docstring)."""
+    from streamy_db_spark.sources.tables import spread
+
+    sh = (
+        spread(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", simhash(F.col("text")).alias("sh"))
+        .cache()
+    )
+    bands = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.shiftright("sh", SIMHASH_BAND_BITS).alias("val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.col("sh").bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1)).alias(
+                        "val"
+                    ),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "sh", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= ham_max)
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs)
+
+
 QUERIES = {
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_simhash": q_simhash,
+    "q_simhash_neardup": q_simhash_neardup,
 }
 
 
@@ -321,3 +391,26 @@ ORACLE = {
         FROM tok
     """,
 }
+
+# The neardup oracle reuses q_simhash's fingerprint CTE verbatim, then
+# mirrors the band construction exactly (same candidate set, no
+# approximation gap between engines).
+ORACLE["q_simhash_neardup"] = f"""
+    WITH fp AS ({ORACLE["q_simhash"]}),
+    bands AS (
+        SELECT doc_id, simhash,
+               unnest([0, 1]) AS band,
+               unnest([simhash >> {SIMHASH_BAND_BITS},
+                       simhash & {(1 << SIMHASH_BAND_BITS) - 1}]) AS val
+        FROM fp
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) AS hamming
+    FROM cand
+    WHERE bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) <= {SIMHASH_HAM_MAX}
+"""

@@ -146,9 +146,135 @@ def q_ann_lsh(spark, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+IVF_CLUSTERS = 16
+IVF_ITERS = 2
+IVF_NPROBE = 4
+
+
+def _nearest_clusters(
+    vecs: DataFrame, centroids: DataFrame, id_cols: list[str], n: int
+) -> DataFrame:
+    """Top-n centroids per vector by cosine — broadcast the (tiny)
+    centroid table against the vector scan; the scan never shuffles."""
+    from pyspark.sql import Window
+
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        *id_cols,
+        "cluster_id",
+        (
+            dot(F.col("vec"), F.col("centroid"))
+            / (norm(F.col("vec")) * norm(F.col("centroid")))
+        ).alias("sim"),
+    )
+    w = Window.partitionBy(*id_cols).orderBy(F.col("sim").desc(), "cluster_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .drop("rn", "sim")
+    )
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_clusters: int = IVF_CLUSTERS,
+    n_iters: int = IVF_ITERS,
+    nprobe: int = IVF_NPROBE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate k-NN via an IVF index: Lloyd-refined centroids
+    partition the corpus into inverted lists; each query probes only its
+    ``nprobe`` nearest lists and scores exactly within them.
+
+    The 100 TB shape: centroids are tiny and broadcast (MLlib KMeans
+    does the same); corpus assignment is one scan + narrow ops per Lloyd
+    iteration; the probe join co-partitions on cluster_id — each query
+    touches ~nprobe/n_clusters of the corpus instead of all of it.
+    Deterministic by construction: seeds are the n_clusters lowest-id
+    vectors (no RNG), so results are stable across runs/partitionings.
+    Complements LSH ANN: IVF adapts to the data distribution where
+    random hyperplanes do not."""
+    from pyspark.sql import Window
+
+    from streamy_db_spark.sources.tables import spread
+
+    c = spread(corpus.select(id_col, vec_col), id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).cache()
+
+    # Seed: lowest-id vectors (deterministic); refine with Lloyd rounds.
+    seed_w = Window.orderBy("neighbor_id")
+    centroids = (
+        c.orderBy("neighbor_id")
+        .limit(n_clusters)
+        .select(
+            (F.row_number().over(seed_w) - 1).alias("cluster_id"),
+            F.col("vec").alias("centroid"),
+        )
+    )
+    for _ in range(n_iters):
+        assigned = _nearest_clusters(c, centroids, ["neighbor_id", "vec"], 1)
+        centroids = (
+            assigned.select("cluster_id", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+        )
+    centroids = centroids.cache()
+
+    inverted = _nearest_clusters(c, centroids, ["neighbor_id", "vec"], 1)
+    q = queries.select(
+        "query_id", F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    probes = _nearest_clusters(q, centroids, ["query_id", "vec"], nprobe).select(
+        "query_id", F.col("vec").alias("qvec"), "cluster_id"
+    )
+    scored = probes.join(inverted, "cluster_id").select(
+        "query_id",
+        "neighbor_id",
+        pair_cosine(F.col("qvec"), F.col("vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def q_ann_ivf(spark, sf_dir: str) -> DataFrame:
+    """IVF approximate k-NN (recall < 1 by design — rows-only check;
+    recall guarded vs q_knn_batch in tests). Same query set as
+    q_knn_batch so the three retrieval paths are directly comparable."""
+    from streamy_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_BATCH_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_ann_topk(queries, emb, k=KNN_BATCH_K)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 QUERIES = {
     "q_knn_batch": q_knn_batch,
     "q_ann_lsh": q_ann_lsh,
+    "q_ann_ivf": q_ann_ivf,
 }
 
 _COS_SQL = (

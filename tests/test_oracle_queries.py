@@ -50,6 +50,23 @@ def test_ann_lsh_recall(spark, sf_oracle):
     assert recall >= 0.5, f"ANN recall collapsed: {recall:.2f}"
 
 
+def test_ann_ivf_recall(spark, sf_oracle):
+    """IVF probes nprobe/n_clusters of the corpus; it must still recover
+    most of the exact top-k for the same query set."""
+    from streamy_db_spark.operators import similarity
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.q_knn_batch(spark, sf_oracle).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.q_ann_ivf(spark, sf_oracle).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
+
+
 def test_dedup_lsh_planted_duplicates(spark):
     """The fused bucket-scoring path must recover planted near-dups (the
     harness embeddings have none above 0.9, so the sf-based recall test
