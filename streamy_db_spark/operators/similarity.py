@@ -153,27 +153,43 @@ IVF_ITERS = 2
 IVF_NPROBE = 4
 
 
-def _nearest_clusters(
-    vecs: DataFrame, centroids: DataFrame, id_cols: list[str], n: int
-) -> DataFrame:
-    """Top-n centroids per vector by cosine — broadcast the (tiny)
-    centroid table against the vector scan; the scan never shuffles."""
-    from pyspark.sql import Window
+def _unit_rows(M: np.ndarray) -> np.ndarray:
+    """Row-normalize (driver-side only — UDF bodies must NOT reference
+    module-level functions: cloudpickle serializes those by reference,
+    which breaks on executors whose Python can't import this package,
+    e.g. a driver running from a different cwd)."""
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return M / n
 
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        *id_cols,
-        "cluster_id",
-        (
-            dot(F.col("vec"), F.col("centroid"))
-            / (norm(F.col("vec")) * norm(F.col("centroid")))
-        ).alias("sim"),
-    )
-    w = Window.partitionBy(*id_cols).orderBy(F.col("sim").desc(), "cluster_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n)
-        .drop("rn", "sim")
-    )
+
+def _cluster_udfs(centroids: np.ndarray, nprobe: int):
+    """(argmax-cluster, top-nprobe-clusters) pandas UDFs against a fixed
+    centroid matrix. One numpy matmul per Arrow batch — the same
+    vectorization trick as pair_cosine; the centroid matrix rides along
+    as a broadcast-sized closure constant (n_clusters × dim floats)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = _unit_rows(centroids).T  # (dim, n_clusters), unit columns
+
+    def _sims(vs: pd.Series) -> np.ndarray:
+        V = np.stack(vs.to_numpy())
+        vn = np.linalg.norm(V, axis=1, keepdims=True)
+        vn[vn == 0.0] = 1.0
+        return (V / vn) @ C  # (n, n_clusters)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        return pd.Series(np.argmax(_sims(vs), axis=1))
+
+    @pandas_udf("array<int>")
+    def probe(vs: pd.Series) -> pd.Series:
+        # argsort is ascending & stable → reversed slice = top-nprobe by
+        # sim with lowest-cluster-id tiebreak, matching argmax above.
+        order = np.argsort(-_sims(vs), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    return assign, probe
 
 
 def ivf_ann_topk(
@@ -190,57 +206,76 @@ def ivf_ann_topk(
     partition the corpus into inverted lists; each query probes only its
     ``nprobe`` nearest lists and scores exactly within them.
 
-    The 100 TB shape: centroids are tiny and broadcast (MLlib KMeans
-    does the same); corpus assignment is one scan + narrow ops per Lloyd
-    iteration; the probe join co-partitions on cluster_id — each query
-    touches ~nprobe/n_clusters of the corpus instead of all of it.
+    The 100 TB shape, mirroring MLlib KMeans: centroids live on the
+    driver (n_clusters × dim floats) and ship to executors inside the
+    assignment UDF; each Lloyd iteration is ONE corpus scan (Arrow-batch
+    matmul argmax — no join, no shuffle of vectors) plus a
+    partial-aggregated per-dimension mean whose shuffle carries only
+    (cluster, dim, partial) triples. The probe join broadcasts the
+    exploded (query, cluster) pairs, so the inverted lists never
+    shuffle; each query scores ~nprobe/n_clusters of the corpus.
     Deterministic by construction: seeds are the n_clusters lowest-id
-    vectors (no RNG), so results are stable across runs/partitionings.
-    Complements LSH ANN: IVF adapts to the data distribution where
-    random hyperplanes do not."""
+    vectors, ties break to the lowest cluster id (no RNG). Complements
+    LSH ANN: IVF adapts to the data distribution where random
+    hyperplanes do not; at 100 TB, train centroids on a sample, then a
+    single assignment pass indexes the full corpus."""
     from pyspark.sql import Window
 
-    from streamy_db_spark.sources.tables import spread
-
-    c = spread(corpus.select(id_col, vec_col), id_col).select(
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).cache()
 
-    # Seed: lowest-id vectors (deterministic); refine with Lloyd rounds.
-    seed_w = Window.orderBy("neighbor_id")
-    centroids = (
-        c.orderBy("neighbor_id")
-        .limit(n_clusters)
-        .select(
-            (F.row_number().over(seed_w) - 1).alias("cluster_id"),
-            F.col("vec").alias("centroid"),
-        )
-    )
-    for _ in range(n_iters):
-        assigned = _nearest_clusters(c, centroids, ["neighbor_id", "vec"], 1)
-        centroids = (
-            assigned.select("cluster_id", F.posexplode("vec").alias("pos", "x"))
-            .groupBy("cluster_id", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("centroid")
-            )
-        )
-    centroids = centroids.cache()
+    seeds = c.orderBy("neighbor_id").limit(n_clusters).collect()
+    C = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in seeds])
+    dim = C.shape[1]
 
-    inverted = _nearest_clusters(c, centroids, ["neighbor_id", "vec"], 1)
-    q = queries.select(
-        "query_id", F.col(vec_col).cast("array<double>").alias("vec")
+    # Lloyd rounds: ONE shuffle-free job each — executors emit per-
+    # partition (cluster, count, sum-vector) partials via mapInPandas,
+    # the driver merges n_partitions × n_clusters rows. No vector ever
+    # shuffles; this is exactly MLlib KMeans' treeAggregate shape.
+    partial_schema = "cluster_id int, cnt long, sums array<double>"
+    for _ in range(n_iters):
+        Cu = _unit_rows(C).T  # plain array closure constant
+
+        def _partials(batches):
+            n_c = Cu.shape[1]
+            tot_cnt = np.zeros(n_c, dtype=np.int64)
+            tot_sum = np.zeros((n_c, dim))
+            for pdf in batches:
+                V = np.stack(pdf["vec"].to_numpy())
+                vn = np.linalg.norm(V, axis=1, keepdims=True)
+                vn[vn == 0.0] = 1.0
+                cid = np.argmax((V / vn) @ Cu, axis=1)
+                np.add.at(tot_cnt, cid, 1)
+                np.add.at(tot_sum, cid, V)
+            nz = np.nonzero(tot_cnt)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster_id": nz.astype("int32"),
+                    "cnt": tot_cnt[nz],
+                    "sums": list(tot_sum[nz]),
+                }
+            )
+
+        rows = c.select("vec").mapInPandas(_partials, partial_schema).collect()
+        cnt = np.zeros(len(C), dtype=np.int64)
+        tot = np.zeros_like(C)
+        for r in rows:
+            cnt[r["cluster_id"]] += r["cnt"]
+            tot[r["cluster_id"]] += np.asarray(r["sums"])
+        nz = cnt > 0
+        C = C.copy()  # empty clusters keep their previous centroid
+        C[nz] = tot[nz] / cnt[nz, None]
+
+    assign, probe = _cluster_udfs(C, nprobe)
+    inverted = c.select(
+        "neighbor_id", "vec", assign("vec").alias("cluster_id")
     )
-    probes = _nearest_clusters(q, centroids, ["query_id", "vec"], nprobe).select(
-        "query_id", F.col("vec").alias("qvec"), "cluster_id"
-    )
-    scored = probes.join(inverted, "cluster_id").select(
+    probes = queries.select(
+        "query_id", F.col(vec_col).cast("array<double>").alias("qvec")
+    ).withColumn("cluster_id", F.explode(probe("qvec")))
+    scored = F.broadcast(probes).join(inverted, "cluster_id").select(
         "query_id",
         "neighbor_id",
         pair_cosine(F.col("qvec"), F.col("vec")).alias("cosine"),
