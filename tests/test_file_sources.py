@@ -1,0 +1,84 @@
+"""CSV / JSON-lines / partitioned-parquet round-trips (sources/files.py).
+
+Parity contract: a table written to a text format and read back with the
+explicit schema must agree with the parquet original on row count and on
+an order-insensitive aggregate fingerprint; a partitioned write must
+prune partitions at plan time."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from streamy_db_spark.plans import inspect
+from streamy_db_spark.sources import files
+from streamy_db_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def _fingerprint(df):
+    return df.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.countDistinct("o_orderkey").alias("keys"),
+        F.max("o_orderdate").alias("max_dt"),
+    ).collect()[0]
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return load_table(spark, SF, "orders")
+
+
+def test_csv_round_trip(spark, orders, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("csv") / "orders")
+    files.write_csv(orders, path)
+    back = files.read_csv(spark, path, ORDERS_SCHEMA)
+    assert _fingerprint(back) == _fingerprint(orders)
+
+
+def test_json_round_trip(spark, orders, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("json") / "orders")
+    files.write_json(orders, path)
+    back = files.read_json(spark, path, ORDERS_SCHEMA)
+    assert _fingerprint(back) == _fingerprint(orders)
+
+
+def test_json_failfast_rejects_malformed(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("bad") / "rows.json"
+    path.write_text('{"a": 1}\n{not json\n')
+    ok = files.read_json(spark, str(path), "a long")
+    assert ok.count() == 2  # PERMISSIVE default: malformed row -> nulls
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        files.read_json(spark, str(path), "a long", mode="FAILFAST").collect()
+
+
+def test_partitioned_write_prunes(spark, orders, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("part") / "orders")
+    files.write_partitioned(orders, path, ["o_orderstatus"])
+    back = spark.read.parquet(path)
+    flt = back.filter(F.col("o_orderstatus") == "F")
+    # row parity against the unpartitioned original
+    assert flt.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+    # plan-time pruning: the partition filter sits in the scan node
+    plan = inspect.formatted_explain(flt)
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_convert_to_parquet_restores_pushdown(spark, orders, tmp_path_factory):
+    csv_path = str(tmp_path_factory.mktemp("conv") / "csv")
+    pq_path = str(tmp_path_factory.mktemp("conv") / "pq")
+    files.write_csv(orders, csv_path)
+    landed = files.read_csv(spark, csv_path, ORDERS_SCHEMA)
+    pq = files.convert_to_parquet(landed, pq_path)
+    plan = inspect.formatted_explain(pq.filter(F.col("o_orderkey") == 7))
+    assert "PushedFilters" in plan
+    assert "o_orderkey" in plan.split("PushedFilters")[1].splitlines()[0]

@@ -108,10 +108,49 @@ def test_new_relational_plans_stay_jvm_side(spark):
         "q_date_agg",
         "q_asof_join",
         "q_range_join",
+        # second extension wave
+        "q_outer_join",
+        "q_distinct_agg",
+        "q_stats_agg",
+        "q_window_frames",
+        "q_pivot",
+        "q_grouping_sets",
+        "q_string_funcs",
+        "q_array_funcs",
+        "q_json_funcs",
+        "q_scalar_subquery",
+        "q_simhash_neardup",
     ):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "PythonUDF" not in plan, name
+
+
+def test_scalar_subquery_broadcasts_aggregate(spark):
+    # The 1-row global aggregate must reach the fact side as a broadcast,
+    # never a shuffle of the fact table against it.
+    plan = plan_of(spark, "q_scalar_subquery")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_window_frames_single_shuffle(spark):
+    # All three window functions share one (partition, order) spec → one
+    # Exchange + one Window node chain, not one shuffle per function.
+    plan = plan_of(spark, "q_window_frames")
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+
+
+def test_pivot_single_aggregate_pass(spark):
+    # Enumerated pivot values plan as ONE aggregate over the scan (no
+    # join-per-value, no repeated scans).
+    plan = plan_of(spark, "q_pivot")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_grouping_sets_single_scan(spark):
+    plan = plan_of(spark, "q_grouping_sets")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
 
 
 def test_no_python_udf_in_relational_plans(spark):
