@@ -189,9 +189,27 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_follow_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level funnel: every same-user purchase within 1 h strictly
+    after a click — the batch anchor for the stream-stream
+    ``follow_join`` (streaming/joins.py); identical code path runs under
+    Structured Streaming with bounded state."""
+    from streamy_db_spark.streaming.joins import follow_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    return follow_join(clicks, purchases, within="1 hour")
+
+
 QUERIES = {
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
+    "q_follow_join": q_follow_join,
 }
 
 ORACLE = {
@@ -225,5 +243,23 @@ ORACLE = {
          AND p.ts_us - c.c_ts >= 0
          AND p.ts_us - c.c_ts < 3600000000
         GROUP BY p.event_id, p.user_id, p.ts_us
+    """,
+    "q_follow_join": """
+        WITH c AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+            WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id,
+               c.event_id AS first_id,
+               p.event_id AS second_id,
+               p.ts_us - c.ts_us AS gap_us
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND p.ts_us > c.ts_us
+         AND p.ts_us <= c.ts_us + 3600000000
     """,
 }
