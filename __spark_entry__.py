@@ -23,44 +23,16 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-_PKG_SHIPPED: set[int] = set()
-
-
-def _ship_package(spark: SparkSession) -> None:
-    """Make ``streamy_db_spark`` importable on executor Python workers.
-
-    cloudpickle serializes module-level functions referenced from UDF
-    closures BY REFERENCE; a worker whose interpreter can't import this
-    package (driver launched from a different cwd, or a real cluster)
-    would fail at unpickle time. Shipping the package zip via
-    ``addPyFile`` is the standard fix and is what a cluster deployment
-    does anyway."""
-    import tempfile
-    import zipfile
-
-    key = id(spark.sparkContext)
-    if key in _PKG_SHIPPED:
-        return
-    pkg = Path(_REPO) / "streamy_db_spark"
-    zpath = Path(tempfile.gettempdir()) / "streamy_db_spark_pkg.zip"
-    with zipfile.ZipFile(zpath, "w") as zf:
-        for py in sorted(pkg.rglob("*.py")):
-            zf.write(py, py.relative_to(pkg.parent))
-    try:
-        spark.sparkContext.addPyFile(str(zpath))
-    except Exception:
-        pass  # e.g. Spark Connect without SC access; cwd import still works
-    _PKG_SHIPPED.add(key)
-
-
 def _configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable session confs (driver owns the session)."""
+    from streamy_db_spark.session import ship_package
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # static conf in some builds; loader copes either way
-    _ship_package(spark)
+    ship_package(spark)
     return spark
 
 

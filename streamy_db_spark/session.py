@@ -12,6 +12,36 @@ import os
 
 from pyspark.sql import SparkSession
 
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    cloudpickle serializes module-level functions referenced from UDF
+    closures (e.g. the applyInPandasWithState processors in
+    streaming/engine_stream.py) BY REFERENCE; a worker whose interpreter
+    can't import the package — driver launched from a different cwd, or
+    any real cluster — fails at unpickle time. ``addPyFile`` with a
+    package zip is the standard deployment fix; idempotent per context."""
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    pkg = Path(__file__).resolve().parent
+    zpath = Path(tempfile.gettempdir()) / "streamy_db_spark_pkg.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for py in sorted(pkg.rglob("*.py")):
+            zf.write(py, py.relative_to(pkg.parent))
+    try:
+        spark.sparkContext.addPyFile(str(zpath))
+    except Exception:
+        pass  # e.g. Spark Connect without SC access; cwd import still works
+    _SHIPPED.add(key)
+
 
 def get_spark(app_name: str = "streamy_db_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
@@ -34,4 +64,5 @@ def get_spark(app_name: str = "streamy_db_spark", cpus: int | None = None) -> Sp
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
