@@ -222,7 +222,25 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_sketch_aggs: approximate aggregates (the 100 TB path) ----------------
+def q_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts and quantile sketches per order
+    priority. These are the scale path for q_distinct_agg/q_percentiles:
+    fixed-size mergeable sketches instead of exact expand/sort state —
+    one narrow partial+final pass regardless of group cardinality.
+    Approximate by design → no exact SQL oracle (driver records the
+    rows-only check); accuracy vs the exact aggregates is guarded by
+    tests/test_oracle_queries.py::test_sketch_aggs_accuracy."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_cust_approx"),
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("median_approx"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 QUERIES = {
+    "q_sketch_aggs": q_sketch_aggs,
     "q_outer_join": q_outer_join,
     "q_distinct_agg": q_distinct_agg,
     "q_stats_agg": q_stats_agg,

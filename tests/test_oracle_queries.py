@@ -50,6 +50,46 @@ def test_ann_lsh_recall(spark, sf_oracle):
     assert recall >= 0.5, f"ANN recall collapsed: {recall:.2f}"
 
 
+def test_sketch_aggs_accuracy(spark, sf_oracle):
+    """Sketch aggregates have no exact oracle; guard their error bounds
+    against the exact aggregates instead (HLL++ rsd=0.02 → allow 6%=3σ;
+    percentile_approx accuracy=10k → near-exact on 60k rows, allow 1%)."""
+    from streamy_db_spark.operators import relational_ext2
+
+    approx = {
+        r["o_orderpriority"]: r
+        for r in relational_ext2.q_sketch_aggs(spark, sf_oracle).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r
+        for r in relational_ext2.q_distinct_agg(spark, sf_oracle).collect()
+    }
+    assert set(approx) == set(exact)
+    for prio, a in approx.items():
+        e = exact[prio]
+        assert a["n_orders"] == e["n_orders"], prio
+        rel = abs(a["n_cust_approx"] - e["n_cust"]) / e["n_cust"]
+        assert rel <= 0.06, (prio, a["n_cust_approx"], e["n_cust"])
+
+
+def test_sketch_median_accuracy(spark, sf_oracle):
+    from pyspark.sql import functions as F
+
+    from streamy_db_spark.operators import relational_ext2
+    from streamy_db_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_oracle, "orders")
+    exact = {
+        r["o_orderpriority"]: r["m"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.expr("percentile(o_totalprice, 0.5)").alias("m"))
+        .collect()
+    }
+    for r in relational_ext2.q_sketch_aggs(spark, sf_oracle).collect():
+        e = exact[r["o_orderpriority"]]
+        assert abs(r["median_approx"] - e) / e <= 0.01, r
+
+
 def test_ann_ivf_recall(spark, sf_oracle):
     """IVF probes nprobe/n_clusters of the corpus; it must still recover
     most of the exact top-k for the same query set."""
