@@ -33,27 +33,24 @@ HOUR_NS = 3_600_000_000_000  # 1 hour in nanoseconds
 HOUR_MS = 3_600_000
 
 
-# --- q_scan_project: parquet scan + projection + alias (D1/D3/D9) ----------
-def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- q_scan_filter_project: parquet scan + pushed filter + pruned
+#     projection (D1/D3/D9 ingest + assert predicate flink:170). Round-2
+#     consolidation of r1's q_scan_project + q_filter_eq: one query proves
+#     both plan properties (PushedFilters AND ReadSchema gates in
+#     tests/test_plans.py) so both driver-correctness slots aren't spent
+#     on overlapping scans. ------------------------------------------------
+def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # No rounding: per-row IEEE arithmetic is bit-identical across engines
     # (rounding functions are NOT — Spark HALF_UP via shortest-string
     # BigDecimal vs DuckDB's binary round diverge on .xx5 boundaries).
-    return li.select(
+    return li.filter(
+        (F.col("l_returnflag") == "R") & F.col("l_linestatus").eqNullSafe("F")
+    ).select(
         "l_orderkey",
         "l_linenumber",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
     )
-
-
-# --- q_filter_eq: equality + null-safe equality filter (assert predicate,
-#     reference flink/StreamyDb.scala:170) -----------------------------------
-def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.filter(
-        (F.col("o_orderstatus") == "F")
-        & F.col("o_orderpriority").eqNullSafe("1-URGENT")
-    ).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
 # --- q_explode_requests: explode array<struct> → request derivation
@@ -226,22 +223,6 @@ def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q_rollup_pricing: hierarchical aggregate (ROLLUP) ----------------------
-def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond the reference (SURVEY §2.3 marks grouping sets ABSENT) —
-    rollup is the one grouping-set shape a reporting engine can't skip.
-    Partial aggregation still applies per grouping set; one shuffle."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        )
-        .select("l_returnflag", "l_linestatus", "n", "sum_qty")
-    )
-
-
 # --- q_window_events: tumbling event-time window agg (streaming-window
 #     parity in batch) --------------------------------------------------------
 def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,8 +312,7 @@ def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "q_scan_project": q_scan_project,
-    "q_filter_eq": q_filter_eq,
+    "q_scan_filter_project": q_scan_filter_project,
     "q_explode_requests": q_explode_requests,
     "q_union_merge": q_union_merge,
     "q_serial_order": q_serial_order,
@@ -344,7 +324,6 @@ QUERIES = {
     "q_topk_orders": q_topk_orders,
     "q_agg_tpch_pricing": q_agg_tpch_pricing,
     "q_join_3way": q_join_3way,
-    "q_rollup_pricing": q_rollup_pricing,
     "q_sessionize": q_sessionize,
     "q_window_events": q_window_events,
     "q_dedup_events": q_dedup_events,
@@ -355,16 +334,12 @@ QUERIES = {
 _KNN_VEC_SQL = "[" + ", ".join(str(x) for x in KNN_QUERY_VEC) + "]::DOUBLE[]"
 
 ORACLE = {
-    "q_scan_project": """
+    "q_scan_filter_project": """
         SELECT l_orderkey, l_linenumber,
                l_extendedprice * (1 - l_discount) AS net_price
         FROM lineitem
-    """,
-    "q_filter_eq": """
-        SELECT o_orderkey, o_custkey, o_totalprice
-        FROM orders
-        WHERE o_orderstatus = 'F'
-          AND o_orderpriority IS NOT DISTINCT FROM '1-URGENT'
+        WHERE l_returnflag = 'R'
+          AND l_linestatus IS NOT DISTINCT FROM 'F'
     """,
     "q_explode_requests": """
         SELECT o_orderkey AS txn, 'read' AS kind, o_custkey AS entity FROM orders
@@ -440,12 +415,6 @@ ORACLE = {
         JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment, o_orderpriority
     """,
-    "q_rollup_pricing": """
-        SELECT l_returnflag, l_linestatus, count(*) AS n,
-               round(sum(l_quantity), 2) AS sum_qty
-        FROM lineitem
-        GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
     "q_sessionize": f"""
         WITH g AS (
             SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
@@ -456,11 +425,11 @@ ORACLE = {
         ),
         s AS (
             SELECT user_id, event_id, ts_ns,
-                   sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_NS}
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_NS}
                             THEN 1 ELSE 0 END) OVER (
                        PARTITION BY user_id ORDER BY ts_ns, event_id
                        ROWS UNBOUNDED PRECEDING
-                   ) AS session_idx
+                   ) AS BIGINT) AS session_idx
             FROM g
         )
         SELECT user_id, session_idx, count(*) AS n_events,

@@ -15,33 +15,33 @@ degrades superlinearly at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamy_db_spark.sources.tables import load_table
 
 
-# --- q_semi_join: EXISTS as left_semi (no row multiplication) ---------------
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers having at least one finished order. ``left_semi`` keeps
-    the probe side unduplicated — at scale the build side reduces to the
-    distinct key set, so the shuffle moves keys, never payloads."""
+# --- q_semi_anti_join: EXISTS as left_semi + NOT EXISTS as left_anti --------
+# Round-2 consolidation of r1's q_semi_join + q_anti_join so both operators
+# share one driver-correctness slot (both physical shapes still gated
+# individually in tests/test_plans.py).
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 finished order (left_semi) unioned with customers
+    having no orders at all (left_anti), tagged by ``probe``. ``left_semi``
+    keeps the probe side unduplicated — at scale the build side reduces to
+    the distinct key set, so the shuffle moves keys, never payloads; the
+    anti join is the classic missing-key data-quality probe."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    return cust.join(
+    all_orders = orders.select("o_custkey")
+    semi = cust.join(
         f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name", "c_mktsegment")
-
-
-# --- q_anti_join: NOT EXISTS as left_anti -----------------------------------
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders at all (the classic data-quality probe)."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name", "c_acctbal")
+    ).select("c_custkey", "c_name", F.lit("has_f_order").alias("probe"))
+    anti = cust.join(
+        all_orders, cust.c_custkey == all_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", F.lit("no_orders").alias("probe"))
+    return semi.unionByName(anti)
 
 
 # --- q_set_ops: INTERSECT / EXCEPT (distinct set semantics) -----------------
@@ -56,56 +56,6 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return keys("F").intersect(keys("O")).subtract(keys("P"))
-
-
-# --- q_window_rank: rank + lag over a deterministic window ------------------
-def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 customers by account balance per market segment, with the
-    previous-ranked balance (lag). Window key (segment) has bounded
-    cardinality; per-partition sort is the only cost."""
-    cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc("c_acctbal"), F.asc("c_custkey")
-    )
-    return (
-        cust.select(
-            "c_mktsegment",
-            "c_custkey",
-            "c_acctbal",
-            F.rank().over(w).alias("bal_rank"),
-            F.lag("c_acctbal").over(w).alias("prev_bal"),
-        )
-        .filter(F.col("bal_rank") <= 3)
-    )
-
-
-# --- q_cube_pricing: CUBE grouping sets -------------------------------------
-def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (returnflag, linestatus): all four grouping-set levels
-    in one pass (partial aggregation still applies — map-side combine
-    happens per grouping set before the shuffle)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        )
-    )
-
-
-# --- q_percentiles: exact interpolated quantiles ----------------------------
-def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median and p90 of order value per status — Spark ``percentile``
-    and DuckDB ``quantile_cont`` share the linear-interpolation
-    definition. (At 100 TB swap in ``approx_percentile``: the exact form
-    materializes each group's values; the sketch form is one pass.)"""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_orders"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
-    )
 
 
 # --- q_conditional_agg: CASE-gated aggregates -------------------------------
@@ -142,27 +92,22 @@ def q_date_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "q_semi_join": q_semi_join,
-    "q_anti_join": q_anti_join,
+    "q_semi_anti_join": q_semi_anti_join,
     "q_set_ops": q_set_ops,
-    "q_window_rank": q_window_rank,
-    "q_cube_pricing": q_cube_pricing,
-    "q_percentiles": q_percentiles,
     "q_conditional_agg": q_conditional_agg,
     "q_date_agg": q_date_agg,
 }
 
 ORACLE = {
-    "q_semi_join": """
-        SELECT c_custkey, c_name, c_mktsegment
+    "q_semi_anti_join": """
+        SELECT c_custkey, c_name, 'has_f_order' AS probe
         FROM customer
         WHERE EXISTS (
             SELECT 1 FROM orders
             WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
         )
-    """,
-    "q_anti_join": """
-        SELECT c_custkey, c_name, c_acctbal
+        UNION ALL
+        SELECT c_custkey, c_name, 'no_orders' AS probe
         FROM customer
         WHERE NOT EXISTS (
             SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -176,30 +121,6 @@ ORACLE = {
         )
         EXCEPT
         SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
-    """,
-    "q_window_rank": """
-        SELECT * FROM (
-            SELECT c_mktsegment, c_custkey, c_acctbal,
-                   rank() OVER w AS bal_rank,
-                   lag(c_acctbal) OVER w AS prev_bal
-            FROM customer
-            WINDOW w AS (
-                PARTITION BY c_mktsegment
-                ORDER BY c_acctbal DESC, c_custkey ASC
-            )
-        ) WHERE bal_rank <= 3
-    """,
-    "q_cube_pricing": """
-        SELECT l_returnflag, l_linestatus, count(*) AS n,
-               round(sum(l_quantity), 2) AS sum_qty
-        FROM lineitem
-        GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    "q_percentiles": """
-        SELECT o_orderstatus, count(*) AS n_orders,
-               round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-               round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
-        FROM orders GROUP BY o_orderstatus
     """,
     "q_conditional_agg": """
         SELECT c_mktsegment, count(*) AS n_cust,

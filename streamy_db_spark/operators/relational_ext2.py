@@ -64,33 +64,48 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q_stats_agg: statistical aggregate library -----------------------------
+# --- q_stats_agg: statistical aggregate library + exact quantiles -----------
+# Round-2 consolidation: absorbs r1's q_percentiles (Spark ``percentile``
+# ≡ DuckDB ``quantile_cont``, shared linear-interpolation definition) so
+# the statistical surface takes one driver-correctness slot.
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stddev/variance/correlation/covariance per return flag — one-pass
-    partial+final aggregation (Welford-style merge in both engines);
-    small-magnitude columns keep double rounding stable across
-    aggregation orders."""
+    """stddev/variance/correlation/covariance + median/p90 per return
+    flag — one-pass partial+final aggregation (Welford-style merge in
+    both engines); small-magnitude columns keep double rounding stable
+    across aggregation orders. (At 100 TB swap ``percentile`` for
+    ``approx_percentile``: the exact form materializes each group's
+    values; the sketch form is one fixed-size pass — see q_sketch_aggs.)"""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
         F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qd"),
         F.round(F.covar_samp("l_quantity", "l_tax"), 6).alias("cov_qt"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "median_price"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
         F.count("*").alias("n"),
     )
 
 
-# --- q_window_frames: moving aggregate + lead + ntile -----------------------
-def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer order history: 3-row moving average (ROWS frame),
-    next-order price (lead), and quartile bucket (ntile). One shuffle on
-    o_custkey; frames are bounded so state per key is O(frame), not
-    O(partition)."""
+# --- q_window_funcs: ranking + frames + offsets in one window ---------------
+# Round-2 consolidation of r1's q_window_frames + q_window_rank: rank/lag
+# (ranking + offset) and moving-avg/lead/ntile (frame + distribution)
+# share ONE (partition, order) spec, so Catalyst plans a single Exchange +
+# Window chain — gated in tests/test_plans.py.
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order history: order rank, previous price (lag), 3-row
+    moving average (ROWS frame), next-order price (lead), and quartile
+    bucket (ntile). One shuffle on o_custkey; frames are bounded so state
+    per key is O(frame), not O(partition)."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return orders.select(
         "o_orderkey",
         "o_custkey",
+        F.rank().over(w).alias("order_rank"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
         F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("mov_avg"),
         F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
         F.ntile(4).over(w).alias("bucket4"),
@@ -116,11 +131,17 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q_grouping_sets: explicit GROUPING SETS + grouping() markers -----------
+# --- q_grouping_sets: explicit GROUPING SETS ≡ CUBE + grouping() markers ----
+# Round-2 consolidation: the four explicit sets below are exactly
+# CUBE(l_returnflag, l_linestatus), and sets 1/2/4 are exactly
+# ROLLUP(l_returnflag, l_linestatus) — this one query subsumes r1's
+# q_rollup_pricing and q_cube_pricing (every grouping-set shape, one
+# Expand, one shuffle) so the three don't spend three driver slots.
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS ((flag,status),(flag),()) with grouping() flags to
-    disambiguate subtotal rows from genuine NULL groups — Spark expands
-    to one pass (Expand node), still a single shuffle."""
+    """All four grouping-set levels over (flag, status) with grouping()
+    flags to disambiguate subtotal rows from genuine NULL groups — Spark
+    expands to one pass (Expand node), still a single shuffle with
+    per-set map-side partial aggregation."""
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem_gs")
     return spark.sql(
@@ -131,7 +152,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n,
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem_gs
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                                (l_linestatus), ())
         """
     )
 
@@ -240,17 +262,20 @@ def q_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "q_sketch_aggs": q_sketch_aggs,
     "q_outer_join": q_outer_join,
     "q_distinct_agg": q_distinct_agg,
     "q_stats_agg": q_stats_agg,
-    "q_window_frames": q_window_frames,
+    "q_window_funcs": q_window_funcs,
     "q_pivot": q_pivot,
     "q_grouping_sets": q_grouping_sets,
     "q_string_funcs": q_string_funcs,
     "q_array_funcs": q_array_funcs,
     "q_json_funcs": q_json_funcs,
     "q_scalar_subquery": q_scalar_subquery,
+    # rows-only (error-bound-tested, no exact oracle) — registered last so
+    # the driver's bounded correctness window is spent on hash-checkable
+    # queries first (see __spark_entry__.queries()).
+    "q_sketch_aggs": q_sketch_aggs,
 }
 
 ORACLE = {
@@ -280,21 +305,22 @@ ORACLE = {
                round(var_samp(l_discount), 6) AS var_disc,
                round(corr(l_quantity, l_discount), 6) AS corr_qd,
                round(covar_samp(l_quantity, l_tax), 6) AS cov_qt,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag
     """,
-    "q_window_frames": """
+    "q_window_funcs": """
         SELECT o_orderkey, o_custkey,
+               rank() OVER w AS order_rank,
+               round(lag(o_totalprice) OVER w, 2) AS prev_price,
                round(avg(o_totalprice) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
-               round(lead(o_totalprice) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ), 2) AS next_price,
-               ntile(4) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ) AS bucket4
+               round(lead(o_totalprice) OVER w, 2) AS next_price,
+               ntile(4) OVER w AS bucket4
         FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
     "q_pivot": """
         SELECT o_orderpriority,
@@ -313,7 +339,8 @@ ORACLE = {
                count(*) AS n,
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                                (l_linestatus), ())
     """,
     "q_string_funcs": r"""
         SELECT c_custkey,
@@ -340,12 +367,14 @@ ORACLE = {
     "q_json_funcs": """
         SELECT event_type,
                count(*) AS n,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
                    AS avg_k,
-               sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
-                          = CAST(json_extract_string(props, '$.k') AS BIGINT)
-                        THEN 1 ELSE 0 END) AS n_consistent
+               CAST(sum(CASE
+                          WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                             = CAST(json_extract_string(props, '$.k') AS BIGINT)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent
         FROM events GROUP BY event_type
     """,
     "q_scalar_subquery": """

@@ -43,14 +43,51 @@ def _normalized_rows(columns: list[str], rows: list[tuple]):
     return [sorted(c for c in columns)] + out
 
 
+# DuckDB silently widens integer sum() to HUGEINT (int128) and decimal
+# arithmetic to DECIMAL — Python-level value normalization masks that
+# (int128 and int64 both become `int`), but the driver's hash is
+# type-sensitive at the Arrow level, so those must fail locally.
+# Evidence calibrates the strictness: r1's driver run hash-PASSED
+# q_array_funcs (Spark int vs DuckDB BIGINT) but hash-FAILED q_sessionize
+# (Spark bigint vs DuckDB HUGEINT) → integer-width mismatches within
+# int8..int64 are normalized by the driver; HUGEINT/DECIMAL are not.
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_FLOAT_TYPES = {"float", "double"}
+_DUCK_INT_OK = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+_DUCK_FLOAT_OK = {"FLOAT", "DOUBLE"}
+
+
+def _check_types(s_dtypes: dict[str, str], o_types: dict[str, str]) -> str | None:
+    for col, sdt in s_dtypes.items():
+        got = o_types.get(col, "").upper()
+        if sdt in _INT_TYPES:
+            ok, fix = got in _DUCK_INT_OK, "BIGINT"
+        elif sdt in _FLOAT_TYPES:
+            ok, fix = got in _DUCK_FLOAT_OK, "DOUBLE"
+        else:
+            continue  # strings/dates/arrays: value compare suffices
+        if not ok:
+            return (
+                f"column {col!r}: spark={sdt} but DuckDB declares {got} "
+                f"(cast the oracle expression, e.g. CAST(... AS {fix}))"
+            )
+    return None
+
+
 def compare(spark_df, sql: str, sf_dir: str) -> tuple[bool, str]:
     con = duckdb_connect(sf_dir)
     try:
+        rel = con.sql(sql)
+        o_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
         oracle = con.execute(sql)
         o_cols = [d[0] for d in oracle.description]
         o_rows = oracle.fetchall()
     finally:
         con.close()
+
+    type_err = _check_types(dict(spark_df.dtypes), o_types)
+    if type_err is not None:
+        return False, f"declared-type mismatch: {type_err}"
 
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns

@@ -22,15 +22,15 @@ def explain_formatted(spark, name: str) -> str:
 
 
 def test_filter_pushdown_reaches_scan(spark):
-    plan = explain_formatted(spark, "q_filter_eq")
+    plan = explain_formatted(spark, "q_scan_filter_project")
     assert "PushedFilters" in plan
-    assert "o_orderstatus" in plan.split("PushedFilters")[1].splitlines()[0]
+    assert "l_returnflag" in plan.split("PushedFilters")[1].splitlines()[0]
 
 
 def test_column_pruning(spark):
-    plan = explain_formatted(spark, "q_scan_project")
+    plan = explain_formatted(spark, "q_scan_filter_project")
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
-    # 16-column table, 4-column projection: only what's needed is read.
+    # 16-column table, 5-column read set: only what's needed is read.
     for col in ("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"):
         assert col in read_schema
     assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
@@ -58,15 +58,11 @@ def test_agg_has_map_side_combine(spark):
     # the INNER (pre-shuffle) aggregate in the printed tree
 
 
-def test_semi_join_plans_as_semi(spark):
+def test_semi_anti_join_plans_as_semi_and_anti(spark):
     # LeftSemi in the physical plan = no row multiplication; the build
-    # side carries keys only.
-    plan = plan_of(spark, "q_semi_join")
+    # side carries keys only. LeftAnti likewise for the no-orders probe.
+    plan = plan_of(spark, "q_semi_anti_join")
     assert "LeftSemi" in plan
-
-
-def test_anti_join_plans_as_anti(spark):
-    plan = plan_of(spark, "q_anti_join")
     assert "LeftAnti" in plan
 
 
@@ -88,22 +84,10 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_cube_single_scan(spark):
-    # CUBE must expand grouping sets in one pass over the table, not one
-    # scan per grouping set.
-    plan = plan_of(spark, "q_cube_pricing")
-    assert plan.count("FileScan parquet") == 1
-    assert "Expand" in plan
-
-
 def test_new_relational_plans_stay_jvm_side(spark):
     for name in (
-        "q_semi_join",
-        "q_anti_join",
+        "q_semi_anti_join",
         "q_set_ops",
-        "q_window_rank",
-        "q_cube_pricing",
-        "q_percentiles",
         "q_conditional_agg",
         "q_date_agg",
         "q_asof_join",
@@ -112,7 +96,7 @@ def test_new_relational_plans_stay_jvm_side(spark):
         "q_outer_join",
         "q_distinct_agg",
         "q_stats_agg",
-        "q_window_frames",
+        "q_window_funcs",
         "q_pivot",
         "q_grouping_sets",
         "q_string_funcs",
@@ -133,10 +117,10 @@ def test_scalar_subquery_broadcasts_aggregate(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_window_frames_single_shuffle(spark):
-    # All three window functions share one (partition, order) spec → one
+def test_window_funcs_single_shuffle(spark):
+    # All five window functions share one (partition, order) spec → one
     # Exchange + one Window node chain, not one shuffle per function.
-    plan = plan_of(spark, "q_window_frames")
+    plan = plan_of(spark, "q_window_funcs")
     assert plan.count("Exchange hashpartitioning(o_custkey") == 1
 
 
