@@ -54,7 +54,15 @@ INIT_TXN_ID = "__initial_state__"
 KIND_READ = 0  # derived from asserts  (ReadRequest,  flink/StreamyDb.scala:205)
 KIND_WRITE = 1  # derived from updates (LockRequest → write, flink:206,111-118)
 
-_ORDER = ["ts", "kafka_partition", "kafka_offset", "kind"]
+# Serial order. (ts, partition, offset) orders Kafka records; the
+# transaction_id tiebreak handles List[Transaction] records that explode
+# into several transactions sharing one record tuple (wire-legal,
+# core/package.scala:22-50) — the reference sorter breaks exactly this
+# tie by transactionId (flink/StreamyDb.scala:44-49), i.e. tied
+# transactions execute as whole units in transaction-id order. ``kind``
+# sorts LAST so each transaction's reads observe the pre-transaction
+# state, never its own (or a tied later txn's) writes.
+_ORDER = ["ts", "kafka_partition", "kafka_offset", "transaction_id", "kind"]
 
 
 def _build_ops(transactions: DataFrame, initial_state: DataFrame | None) -> DataFrame:
@@ -138,8 +146,9 @@ def _serial_tail_fold(
     n_asserts: dict[str, int],
 ) -> dict[str, bool]:
     """Driver-side serial replay of the conflict tail: walk the collected
-    op rows in serial order ((ts, partition, offset, kind, key) — D7's
-    tuple), apply committed writes unconditionally, and decide each
+    op rows in serial order ((ts, partition, offset, transaction_id,
+    kind, key) — D7's tuple with the reference sorter's transactionId
+    tiebreak), apply committed writes unconditionally, and decide each
     undecided transaction at its first write row (all its reads sort
     earlier: a transaction's rows share one position and READ kind <
     WRITE kind). Read-only transactions decide once all rows are walked.
@@ -151,6 +160,7 @@ def _serial_tail_fold(
             r["ts"],
             r["kafka_partition"],
             r["kafka_offset"],
+            r["transaction_id"],
             r["kind"],
             r["key"],
         ),
@@ -412,7 +422,7 @@ def replay(
         .agg(
             F.max_by(
                 F.struct(F.col("wvalue").alias("v")),
-                F.struct("ts", "kafka_partition", "kafka_offset"),
+                F.struct("ts", "kafka_partition", "kafka_offset", "transaction_id"),
             ).alias("last")
         )
         .filter(F.col("last.v").isNotNull())

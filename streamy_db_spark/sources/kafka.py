@@ -102,12 +102,19 @@ def build_streaming_pipeline(
 
     txns = read_transaction_log(spark, brokers)
     requests = es.derive_key_messages(txns)
+    # Feedback stamped from the results topic's LogAppendTime (ts) — one
+    # broker clock, not N executor clocks — and a small watermark delay
+    # absorbs broker/driver skew so feedback can't land below a key's
+    # applied frontier (engine_stream._KeyMachine._admit would raise).
     feedback = es.derive_feedback(
         read_results_feedback(spark, brokers).select(
-            "transaction_id", "succeeded", "updates"
-        )
+            "ts", "transaction_id", "succeeded", "updates"
+        ),
+        ts_col="ts",
     )
-    read_results = es.key_stage(requests.unionByName(feedback))
+    read_results = es.key_stage(
+        requests.unionByName(feedback), watermark="5 seconds"
+    )
     bodies = es.derive_txn_bodies(txns)
     results = es.txn_stage(
         bodies.unionByName(es.read_results_as_txn_msgs(read_results))

@@ -12,9 +12,11 @@ handles packed into one state tuple per key):
   shuffle while preserving semantics exactly;
   flink/StreamyDb.scala:209-225). Read/Lock requests buffer in state
   until the watermark passes their event time (event-time timeout), then
-  replay in the serial order ``(ts, kafka_partition, kafka_offset, kind,
-  transaction_id)`` (D7's tiebreak, flink:211-215) through the
-  lock/waiter state machine (flink:85-127). Commit notifications (kind 2
+  replay in the serial order ``(ts, kafka_partition, kafka_offset,
+  transaction_id, kind)`` (D7's tuple with the reference sorter's
+  transactionId tiebreak flink:44-49 — tied transactions execute as
+  whole units, reads before own writes) through the lock/waiter state
+  machine (flink:85-127). Commit notifications (kind 2
   — the feedback loop D2+D5) apply on arrival, NOT sorted, same as the
   reference's un-sorted union at flink:219: the lock discipline, not
   global order, makes this safe.
@@ -40,6 +42,7 @@ waiter queues drain at commit.
 
 from __future__ import annotations
 
+from bisect import bisect_left, insort
 from collections.abc import Iterator
 
 import pandas as pd
@@ -191,8 +194,33 @@ KEY_STATE = T.StructType(
                 )
             ),
         ),
+        # Highest serial position already APPLIED to the cell or released
+        # to a reader — requests below it can no longer be serialized
+        # (late beyond the watermark): exact redeliveries drop, anything
+        # else raises instead of silently mis-serializing.
+        T.StructField(
+            "applied",
+            T.StructType(
+                _POS
+                + [
+                    T.StructField("txn", T.StringType()),
+                    T.StructField("kind", T.IntegerType()),
+                ]
+            ),
+            True,
+        ),
+        # Ring of recently-decided transaction ids: duplicate
+        # (at-least-once) feedback for an already-applied transaction is
+        # recognized and dropped instead of leaking into ``early``.
+        T.StructField("recent", T.ArrayType(T.StringType()), True),
     ]
 )
+
+# Bounds for the redelivery bookkeeping: ``recent`` remembers the last N
+# decided txns per key (duplicate feedback beyond that horizon would
+# re-enter ``early``, so ``early`` itself is also FIFO-bounded).
+_RECENT_CAP = 128
+_EARLY_CAP = 1024
 
 
 def _norm_str(v):
@@ -218,21 +246,25 @@ class _KeyMachine:
             self.buffer: list = []
             self.cell = None
             self.has_cell = False
-            # entries: [pos3, txn, decided, ok, wvalue] in serial order
+            # entries: [pos5, txn, decided, ok, wvalue] in serial order
             self.entries: list[list] = []
-            self.parked: list[tuple] = []  # (pos3, txn) in serial order
+            self.parked: list[tuple] = []  # (pos5, txn) in serial order
             self.early: dict[str, tuple] = {}  # txn -> (ok, wvalue)
+            self.applied: tuple | None = None  # max pos applied/released
+            self.recent: list[str] = []  # decided-txn ring (FIFO)
         else:
-            buf, cell, has_cell, entries, parked, early = state_tuple
+            buf, cell, has_cell, entries, parked, early, applied, recent = state_tuple
             self.buffer = [tuple(b) for b in (buf or [])]
             self.cell = _norm_str(cell)
             self.has_cell = bool(has_cell)
-            # in-memory pos is a 4-tuple ending in the D7 kind tiebreak
-            # (read=0 < lock=1); the stored schema omits it — implied by
-            # which list the row sits in.
+            # in-memory pos is the 5-tuple serial key (ts_ms, partition,
+            # offset, txn, kind) — D7 with the reference sorter's
+            # transactionId tiebreak, kind last (read=0 < lock=1). The
+            # stored schema carries (pos3, txn); kind is implied by which
+            # list the row sits in.
             self.entries = [
                 [
-                    (e[0], e[1], e[2], 1),
+                    (e[0], e[1], e[2], e[3], 1),
                     e[3],
                     bool(e[4]),
                     bool(e[5]),
@@ -240,8 +272,16 @@ class _KeyMachine:
                 ]
                 for e in (entries or [])
             ]
-            self.parked = [((p[0], p[1], p[2], 0), p[3]) for p in (parked or [])]
+            self.parked = [
+                ((p[0], p[1], p[2], p[3], 0), p[3]) for p in (parked or [])
+            ]
             self.early = {w[0]: (bool(w[1]), _norm_str(w[2])) for w in (early or [])}
+            self.applied = (
+                None
+                if applied is None
+                else (applied[0], applied[1], applied[2], applied[3], applied[4])
+            )
+            self.recent = list(recent or [])
 
     def to_tuple(self):
         return (
@@ -251,24 +291,55 @@ class _KeyMachine:
             [(*e[0][:3], e[1], e[2], e[3], e[4]) for e in self.entries],
             [(*pos[:3], txn) for pos, txn in self.parked],
             [(t, ok, wv) for t, (ok, wv) in self.early.items()],
+            self.applied,
+            self.recent,
         )
 
     def current(self):
         return self.cell if self.has_cell else None
 
+    def _admit(self, pos: tuple) -> bool:
+        """Serializability guard for the applied frontier: a request at a
+        position already applied/released cannot be serialized any more.
+        Exact redeliveries (same 5-tuple — at-least-once source) drop
+        idempotently; anything genuinely below the frontier raises
+        instead of silently producing a non-serial read (use a nonzero
+        watermark delay sized to source skew to avoid this)."""
+        if self.applied is None or pos > self.applied:
+            return True
+        if pos == self.applied:
+            return False  # exact duplicate of the frontier request
+        raise RuntimeError(
+            f"key {self.key!r}: request at serial position {pos} arrived "
+            f"below the applied frontier {self.applied} — late beyond the "
+            "watermark; non-serializable"
+        )
+
     # -- event handlers (call _settle(out) after each) ----------------------
 
     def on_lock(self, txn: str, pos: tuple) -> None:
-        """Append to the lock log at its serial position; consume an
+        """Insert into the lock log at its serial position (the log stays
+        position-sorted — a tied-transaction lock flushed later than a
+        higher-position lock must still decide first); consume an
         early-arrived outcome if the feedback overtook the sorter."""
+        if not self._admit(pos):
+            return
+        i = bisect_left(self.entries, pos, key=lambda e: e[0])
+        if i < len(self.entries) and self.entries[i][0] == pos:
+            return  # redelivered lock already in the log
         outcome = self.early.pop(txn, None)
         if outcome is None:
-            self.entries.append([pos, txn, False, False, None])
+            insort(self.entries, [pos, txn, False, False, None], key=lambda e: e[0])
         else:
-            self.entries.append([pos, txn, True, outcome[0], outcome[1]])
+            insort(
+                self.entries,
+                [pos, txn, True, outcome[0], outcome[1]],
+                key=lambda e: e[0],
+            )
 
     def on_read(self, txn: str, pos: tuple, out: list) -> None:
-        self.parked.append((pos, txn))
+        if self._admit(pos) and pos not in (p for p, _ in self.parked):
+            self.parked.append((pos, txn))
         self._settle(out)
 
     def on_txn_result(self, txn: str, succeeded: bool, value, out: list) -> None:
@@ -277,17 +348,30 @@ class _KeyMachine:
                 e[2], e[3], e[4] = True, succeeded, value
                 break
         else:
+            if txn in self.recent:
+                # Duplicate (at-least-once) feedback for an already-
+                # decided transaction — drop, don't leak into ``early``.
+                return
             # Feedback overtook the lock request (assert-free txn whose
             # verdict looped back before the watermark flushed its lock).
             self.early[txn] = (succeeded, value)
+            while len(self.early) > _EARLY_CAP:  # FIFO bound (redelivery
+                self.early.pop(next(iter(self.early)))  # beyond horizon)
         self._settle(out)
+
+    def _remember(self, txn: str) -> None:
+        self.recent.append(txn)
+        if len(self.recent) > _RECENT_CAP:
+            del self.recent[: len(self.recent) - _RECENT_CAP]
 
     def _settle(self, out: list) -> None:
         """Apply the decided log prefix to the cell in serial order, then
         release every parked read positioned before the undecided
         frontier — it observes exactly the committed writes before it."""
         while self.entries and self.entries[0][2]:
-            _pos, _txn, _dec, ok, wvalue = self.entries.pop(0)
+            pos, txn, _dec, ok, wvalue = self.entries.pop(0)
+            self.applied = pos if self.applied is None else max(self.applied, pos)
+            self._remember(txn)
             if ok:
                 if wvalue is None:
                     self.cell, self.has_cell = None, False  # delete
@@ -296,27 +380,36 @@ class _KeyMachine:
         frontier = self.entries[0][0] if self.entries else None
         still_parked = []
         for pos, txn in sorted(self.parked):
-            # pos tuples end in the D7 kind (read=0 < lock=1), so a read
-            # at the same (ts,part,off) as its own transaction's lock
-            # sorts strictly before it — reads see the pre-txn value.
+            # pos tuples end in the D7 kind (read=0 < lock=1) after the
+            # txn-id tiebreak, so a read at the same (ts,part,off) as its
+            # own transaction's lock sorts strictly before it — reads see
+            # the pre-txn value — while a TIED LATER transaction's read
+            # sorts after this txn's lock and waits for its verdict.
             if frontier is None or pos < frontier:
                 out.append((txn, self.key, self.current()))
+                self.applied = (
+                    pos if self.applied is None else max(self.applied, pos)
+                )
             else:
                 still_parked.append((pos, txn))
         self.parked = still_parked
 
     def flush(self, up_to_ms: int, out: list) -> None:
         """S1 fire: deliver buffered requests with ts ≤ watermark in
-        serial order (ts, partition, offset, kind, txn) — D7's tuple."""
-        due = sorted(b for b in self.buffer if b[0] <= up_to_ms)
+        serial order (ts, partition, offset, txn, kind) — D7's tuple with
+        the reference sorter's transactionId tiebreak (flink:44-49)."""
+        due = sorted(
+            (b for b in self.buffer if b[0] <= up_to_ms),
+            key=lambda b: (b[0], b[1], b[2], b[4], b[3]),
+        )
         if not due:
             return
         self.buffer = [b for b in self.buffer if b[0] > up_to_ms]
         for ts, p, o, kind, txn in due:
             if kind == KIND_READ:
-                self.on_read(txn, (ts, p, o, 0), out)
+                self.on_read(txn, (ts, p, o, txn, 0), out)
             else:
-                self.on_lock(txn, (ts, p, o, 1))
+                self.on_lock(txn, (ts, p, o, txn, 1))
         self._settle(out)
 
 
@@ -393,8 +486,19 @@ TXN_STATE = T.StructType(
 )
 
 
+# S3 state TTL: once the verdict is emitted the state is removed
+# immediately; any straggler fragment (redelivered read-result arriving
+# after removal re-creates a body-less state that can never complete) is
+# swept by a processing-time timeout. Generous on purpose — it only
+# bounds leak lifetime, it must never evict an in-flight transaction.
+TXN_STATE_TTL_MS = 30 * 60 * 1000
+
+
 def transaction_processor(key, pdfs: Iterator[pd.DataFrame], state):
     txn_id = key[0]
+    if state.hasTimedOut:
+        state.remove()
+        return
     if state.exists:
         has_body, asserts, updates, reads, done = state.get
         asserts = [(a[0], _norm_str(a[1])) for a in (asserts or [])]
@@ -424,15 +528,22 @@ def transaction_processor(key, pdfs: Iterator[pd.DataFrame], state):
             out.append((txn_id, ok, updates))
             done = True
 
-    state.update(
-        (
-            has_body,
-            asserts,
-            updates,
-            [(k, v, v is None) for k, v in reads.items()],
-            done,
+    if done:
+        # Verdict emitted — drop the state now (the reference keeps S3
+        # state forever, an unbounded leak under long-running streams).
+        if state.exists:
+            state.remove()
+    else:
+        state.update(
+            (
+                has_body,
+                asserts,
+                updates,
+                [(k, v, v is None) for k, v in reads.items()],
+                done,
+            )
         )
-    )
+        state.setTimeoutDuration(TXN_STATE_TTL_MS)
     if out:
         yield pd.DataFrame(out, columns=["transaction_id", "succeeded", "updates"])
 
@@ -470,10 +581,18 @@ def derive_key_messages(txns: DataFrame) -> DataFrame:
     return fan("asserts", KIND_READ).unionByName(fan("updates", KIND_LOCK))
 
 
-def derive_feedback(results: DataFrame) -> DataFrame:
+def derive_feedback(results: DataFrame, ts_col: str | None = None) -> DataFrame:
     """D5 (flink:192-200): one KeyTransactionResult per updated key
     (last-wins on duplicates — list application order), re-stamped with a
-    fresh event time (LogAppendTime in the reference)."""
+    fresh event time.
+
+    ``ts_col`` names a timestamp column on ``results`` to stamp feedback
+    with — in the Kafka wiring pass the results topic's LogAppendTime
+    (the reference's choice, flink:197) so feedback timestamps come from
+    ONE broker clock rather than many executor clocks; the
+    current_timestamp() default is for broker-less harnesses only and
+    should be paired with a nonzero key-stage watermark delay to absorb
+    executor clock skew."""
     last_per_key = F.transform(
         F.array_distinct(F.transform("updates", lambda u: u["key"])),
         lambda k: F.struct(
@@ -483,10 +602,14 @@ def derive_feedback(results: DataFrame) -> DataFrame:
             )["value"].alias("value"),
         ),
     )
+    stamp = F.col(ts_col) if ts_col is not None else F.current_timestamp()
     upd = results.select(
-        "transaction_id", "succeeded", F.explode(last_per_key).alias("u")
+        stamp.alias("_stamp"),
+        "transaction_id",
+        "succeeded",
+        F.explode(last_per_key).alias("u"),
     )
-    now = F.current_timestamp()
+    now = F.col("_stamp")
     return upd.select(
         now.alias("ts"),
         F.unix_millis(now).alias("ts_ms"),
@@ -546,11 +669,15 @@ def key_stage(messages: DataFrame, watermark: str = "0 seconds") -> DataFrame:
 
 
 def txn_stage(txn_msgs: DataFrame) -> DataFrame:
-    """union'd TXN_MSG stream → S3 per transaction → TransactionResults."""
+    """union'd TXN_MSG stream → S3 per transaction → TransactionResults.
+
+    ProcessingTimeTimeout backs the straggler-state TTL (see
+    TXN_STATE_TTL_MS) — decided transactions drop state immediately; the
+    timeout only sweeps fragments that can never complete."""
     return txn_msgs.groupBy("transaction_id").applyInPandasWithState(
         transaction_processor,
         outputStructType=TXN_RESULT_OUT,
         stateStructType=TXN_STATE,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf="ProcessingTimeTimeout",
     )
