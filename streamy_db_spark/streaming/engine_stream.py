@@ -213,13 +213,32 @@ KEY_STATE = T.StructType(
         # (at-least-once) feedback for an already-applied transaction is
         # recognized and dropped instead of leaking into ``early``.
         T.StructField("recent", T.ArrayType(T.StringType()), True),
+        # Ring of recently APPLIED serial positions: a replayed request
+        # strictly below the frontier (at-least-once source redelivering
+        # more than one already-processed record) matches here and drops
+        # idempotently instead of tripping the non-serializable guard.
+        T.StructField(
+            "applied_ring",
+            T.ArrayType(
+                T.StructType(
+                    _POS
+                    + [
+                        T.StructField("txn", T.StringType()),
+                        T.StructField("kind", T.IntegerType()),
+                    ]
+                )
+            ),
+            True,
+        ),
     ]
 )
 
 # Bounds for the redelivery bookkeeping: ``recent`` remembers the last N
-# decided txns per key (duplicate feedback beyond that horizon would
-# re-enter ``early``, so ``early`` itself is also FIFO-bounded).
+# decided txns per key and ``applied_ring`` the last N applied serial
+# positions (redelivery beyond those horizons is detected and raised on,
+# never silently mis-serialized).
 _RECENT_CAP = 128
+_RING_CAP = 256
 _EARLY_CAP = 1024
 
 
@@ -252,8 +271,19 @@ class _KeyMachine:
             self.early: dict[str, tuple] = {}  # txn -> (ok, wvalue)
             self.applied: tuple | None = None  # max pos applied/released
             self.recent: list[str] = []  # decided-txn ring (FIFO)
+            self.applied_ring: list[tuple] = []  # applied-pos ring (FIFO)
         else:
-            buf, cell, has_cell, entries, parked, early, applied, recent = state_tuple
+            (
+                buf,
+                cell,
+                has_cell,
+                entries,
+                parked,
+                early,
+                applied,
+                recent,
+                applied_ring,
+            ) = state_tuple
             self.buffer = [tuple(b) for b in (buf or [])]
             self.cell = _norm_str(cell)
             self.has_cell = bool(has_cell)
@@ -282,6 +312,9 @@ class _KeyMachine:
                 else (applied[0], applied[1], applied[2], applied[3], applied[4])
             )
             self.recent = list(recent or [])
+            self.applied_ring = [
+                (p[0], p[1], p[2], p[3], p[4]) for p in (applied_ring or [])
+            ]
 
     def to_tuple(self):
         return (
@@ -293,6 +326,7 @@ class _KeyMachine:
             [(t, ok, wv) for t, (ok, wv) in self.early.items()],
             self.applied,
             self.recent,
+            self.applied_ring,
         )
 
     def current(self):
@@ -301,19 +335,28 @@ class _KeyMachine:
     def _admit(self, pos: tuple) -> bool:
         """Serializability guard for the applied frontier: a request at a
         position already applied/released cannot be serialized any more.
-        Exact redeliveries (same 5-tuple — at-least-once source) drop
-        idempotently; anything genuinely below the frontier raises
-        instead of silently producing a non-serial read (use a nonzero
-        watermark delay sized to source skew to avoid this)."""
+        Exact redeliveries (same 5-tuple — at-least-once source, possibly
+        several records deep) match ``applied_ring`` and drop
+        idempotently; a position below the frontier that was NEVER
+        applied raises instead of silently producing a non-serial read
+        (use a nonzero watermark delay sized to source skew to avoid
+        this)."""
         if self.applied is None or pos > self.applied:
             return True
-        if pos == self.applied:
-            return False  # exact duplicate of the frontier request
+        if pos == self.applied or pos in self.applied_ring:
+            return False  # exact duplicate of an already-applied request
         raise RuntimeError(
             f"key {self.key!r}: request at serial position {pos} arrived "
-            f"below the applied frontier {self.applied} — late beyond the "
-            "watermark; non-serializable"
+            f"below the applied frontier {self.applied} and was never "
+            "applied — late beyond the watermark; non-serializable"
         )
+
+    def _advance(self, pos: tuple) -> None:
+        """Record an applied/released serial position: frontier + ring."""
+        self.applied = pos if self.applied is None else max(self.applied, pos)
+        self.applied_ring.append(pos)
+        if len(self.applied_ring) > _RING_CAP:
+            del self.applied_ring[: len(self.applied_ring) - _RING_CAP]
 
     # -- event handlers (call _settle(out) after each) ----------------------
 
@@ -355,8 +398,18 @@ class _KeyMachine:
             # Feedback overtook the lock request (assert-free txn whose
             # verdict looped back before the watermark flushed its lock).
             self.early[txn] = (succeeded, value)
-            while len(self.early) > _EARLY_CAP:  # FIFO bound (redelivery
-                self.early.pop(next(iter(self.early)))  # beyond horizon)
+            if len(self.early) > _EARLY_CAP:
+                # Every entry here is a verdict awaiting its lock — none
+                # is a known duplicate (those were dropped via ``recent``
+                # above), so silent eviction would wedge that lock's key
+                # forever. Fail loudly instead: this means >_EARLY_CAP
+                # feedback messages overtook the sorter on one key, i.e.
+                # the watermark delay is far too small for source skew.
+                raise RuntimeError(
+                    f"key {self.key!r}: {len(self.early)} early verdicts "
+                    "awaiting their locks — watermark delay too small "
+                    "for feedback/source skew (would wedge on eviction)"
+                )
         self._settle(out)
 
     def _remember(self, txn: str) -> None:
@@ -370,7 +423,7 @@ class _KeyMachine:
         frontier — it observes exactly the committed writes before it."""
         while self.entries and self.entries[0][2]:
             pos, txn, _dec, ok, wvalue = self.entries.pop(0)
-            self.applied = pos if self.applied is None else max(self.applied, pos)
+            self._advance(pos)
             self._remember(txn)
             if ok:
                 if wvalue is None:
@@ -387,9 +440,7 @@ class _KeyMachine:
             # sorts after this txn's lock and waits for its verdict.
             if frontier is None or pos < frontier:
                 out.append((txn, self.key, self.current()))
-                self.applied = (
-                    pos if self.applied is None else max(self.applied, pos)
-                )
+                self._advance(pos)
             else:
                 still_parked.append((pos, txn))
         self.parked = still_parked
@@ -448,7 +499,21 @@ def sorter_key_processor(key, pdfs: Iterator[pd.DataFrame], state):
         if wm > 0:
             m.flush(wm, out)
 
-    if m.buffer or m.has_cell or m.entries or m.parked or m.early:
+    # ``applied``/``recent``/``applied_ring`` keep the state alive through
+    # quiescence (e.g. a committed delete emptied everything else): the
+    # redelivery frontier + dedup rings must survive idle periods, or
+    # duplicate at-least-once feedback would silently re-apply (ADVICE r2).
+    # Cost: one small struct per ever-written key — the cell itself IS the
+    # database, so this adds O(ring) per live key, not a new asymptote.
+    if (
+        m.buffer
+        or m.has_cell
+        or m.entries
+        or m.parked
+        or m.early
+        or m.applied
+        or m.recent
+    ):
         state.update(m.to_tuple())
         if m.buffer:
             next_ts = min(b[0] for b in m.buffer)
@@ -486,19 +551,8 @@ TXN_STATE = T.StructType(
 )
 
 
-# S3 state TTL: once the verdict is emitted the state is removed
-# immediately; any straggler fragment (redelivered read-result arriving
-# after removal re-creates a body-less state that can never complete) is
-# swept by a processing-time timeout. Generous on purpose — it only
-# bounds leak lifetime, it must never evict an in-flight transaction.
-TXN_STATE_TTL_MS = 30 * 60 * 1000
-
-
 def transaction_processor(key, pdfs: Iterator[pd.DataFrame], state):
     txn_id = key[0]
-    if state.hasTimedOut:
-        state.remove()
-        return
     if state.exists:
         has_body, asserts, updates, reads, done = state.get
         asserts = [(a[0], _norm_str(a[1])) for a in (asserts or [])]
@@ -531,6 +585,17 @@ def transaction_processor(key, pdfs: Iterator[pd.DataFrame], state):
     if done:
         # Verdict emitted — drop the state now (the reference keeps S3
         # state forever, an unbounded leak under long-running streams).
+        # No straggler-TTL is needed: the key→txn edge lives inside the
+        # micro-batch engine (exactly-once state/offset semantics), so a
+        # read-result can never be redelivered after the verdict removed
+        # the state; at-least-once redelivery exists only on the EXTERNAL
+        # feedback loop (results topic → D2), which feeds the KEY stage,
+        # where ``recent``/``applied_ring`` absorb it. A processing-time
+        # TTL here would be worse than useless: Spark's
+        # FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+        # unconditionally true under ProcessingTimeTimeout, so any
+        # availableNow drain spins no-data micro-batches until the timer
+        # fires (the round-2 regression).
         if state.exists:
             state.remove()
     else:
@@ -543,7 +608,6 @@ def transaction_processor(key, pdfs: Iterator[pd.DataFrame], state):
                 done,
             )
         )
-        state.setTimeoutDuration(TXN_STATE_TTL_MS)
     if out:
         yield pd.DataFrame(out, columns=["transaction_id", "succeeded", "updates"])
 
@@ -671,13 +735,16 @@ def key_stage(messages: DataFrame, watermark: str = "0 seconds") -> DataFrame:
 def txn_stage(txn_msgs: DataFrame) -> DataFrame:
     """union'd TXN_MSG stream → S3 per transaction → TransactionResults.
 
-    ProcessingTimeTimeout backs the straggler-state TTL (see
-    TXN_STATE_TTL_MS) — decided transactions drop state immediately; the
-    timeout only sweeps fragments that can never complete."""
+    NoTimeout deliberately: decided transactions drop state immediately
+    in ``transaction_processor`` (leak-free), and in-flight state must
+    never be evicted (a parked read behind a long-held lock receives no
+    S3 traffic for arbitrarily long — ADVICE r2). See the comment in
+    ``transaction_processor`` for why a ProcessingTimeTimeout TTL both
+    breaks availableNow drains and is unnecessary here."""
     return txn_msgs.groupBy("transaction_id").applyInPandasWithState(
         transaction_processor,
         outputStructType=TXN_RESULT_OUT,
         stateStructType=TXN_STATE,
         outputMode="append",
-        timeoutConf="ProcessingTimeTimeout",
+        timeoutConf="NoTimeout",
     )
