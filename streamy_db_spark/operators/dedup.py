@@ -143,8 +143,84 @@ def q_dedup_near_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_lsh(emb)
 
 
+# --- q_dedup_groups: pair set → dedup clusters (what a pipeline executes) ---
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 15,
+) -> DataFrame:
+    """(node, keeper) connected components of the undirected pair graph
+    via min-label propagation: each round every node takes the min of its
+    own and its neighbors' labels; stop when no label changes.
+
+    Rounds to converge = graph diameter — near-dup graphs are dense small
+    clusters (diameter 2–4), so this terminates in a handful of rounds.
+    Scale shape: labels and edges are hash-partitioned on node/src; each
+    round is one shuffle join + one map-side-combined min-agg; no row
+    data ever reaches the driver (the convergence probe is a limit(1)
+    count). localCheckpoint truncates per-round lineage so the plan stays
+    flat instead of growing per iteration.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new = (
+            prop.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("keeper"))
+
+
+def dedup_groups(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Every doc → its cluster keeper (min doc_id of its component;
+    singletons keep themselves). This is the operator a training-data
+    pipeline actually executes after pair generation: filter keeps
+    ``doc_id == keeper_id`` rows."""
+    comp = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id", F.coalesce("keeper", "doc_id").alias("keeper_id")
+        )
+    )
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamy_db_spark.operators.minhash import minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_groups(docs, minhash_near_dup_pairs(docs))
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_dedup_groups": q_dedup_groups,
     "q_dedup_near_embedding": q_dedup_near_embedding,
     "q_dedup_near_lsh": q_dedup_near_lsh,
 }
@@ -155,6 +231,27 @@ ORACLE = {
                min(doc_id) AS keeper_id,
                count(*) AS n_copies
         FROM documents GROUP BY 1
+    """,
+    # Connected components as a recursive CTE: ``reach`` enumerates every
+    # label reachable from each node over the symmetric edge set (seeded
+    # with ALL docs so singletons keep themselves); min(label) per node is
+    # exactly the component minimum — the same fixpoint label propagation
+    # converges to.
+    "q_dedup_groups": """
+        WITH RECURSIVE pairs AS ({minhash_pairs}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS doc_id, min(label) AS keeper_id
+        FROM reach GROUP BY node
     """,
     "q_dedup_near_embedding": f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
@@ -168,3 +265,11 @@ ORACLE = {
                sqrt(list_dot_product(b.e, b.e))) >= {NEAR_DUP_COS}
     """,
 }
+
+# The groups oracle embeds the minhash pair query verbatim — same pair
+# set on both engines, so the component structure is identical too.
+from streamy_db_spark.operators.minhash import ORACLE as _MINHASH_ORACLE  # noqa: E402
+
+ORACLE["q_dedup_groups"] = ORACLE["q_dedup_groups"].format(
+    minhash_pairs=_MINHASH_ORACLE["q_minhash_lsh_pairs"]
+)

@@ -78,19 +78,19 @@ def q_explode_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reqs.select("r.txn", "r.kind", "r.entity")
 
 
-# --- q_union_merge: unionByName of homogenized streams (D8) -----------------
+# --- q_union_merge: unionByName of homogenized streams (D8) + the D4
+#     request explode, consolidated (r3): one driver slot proves both the
+#     union-of-heterogeneous-sources shape and the explode fan-out
+#     (q_explode_requests stays the public operator + plan gate). ------------
 def q_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    orders = load_table(spark, sf_dir, "orders")
     a = events.select(
         F.col("event_id").alias("id"),
-        F.lit("event").alias("src"),
-        F.col("value").alias("amount"),
+        F.lit("event").alias("kind"),
+        F.col("user_id").alias("entity"),
     )
-    b = orders.select(
-        F.col("o_orderkey").alias("id"),
-        F.lit("order").alias("src"),
-        F.col("o_totalprice").alias("amount"),
+    b = q_explode_requests(spark, sf_dir).select(
+        F.col("txn").alias("id"), "kind", "entity"
     )
     return a.unionByName(b)
 
@@ -313,7 +313,6 @@ def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_scan_filter_project": q_scan_filter_project,
-    "q_explode_requests": q_explode_requests,
     "q_union_merge": q_union_merge,
     "q_serial_order": q_serial_order,
     "q_groupby_count": q_groupby_count,
@@ -341,15 +340,12 @@ ORACLE = {
         WHERE l_returnflag = 'R'
           AND l_linestatus IS NOT DISTINCT FROM 'F'
     """,
-    "q_explode_requests": """
-        SELECT o_orderkey AS txn, 'read' AS kind, o_custkey AS entity FROM orders
-        UNION ALL
-        SELECT o_orderkey AS txn, 'lock' AS kind, o_custkey AS entity FROM orders
-    """,
     "q_union_merge": """
-        SELECT event_id AS id, 'event' AS src, value AS amount FROM events
+        SELECT event_id AS id, 'event' AS kind, user_id AS entity FROM events
         UNION ALL
-        SELECT o_orderkey AS id, 'order' AS src, o_totalprice AS amount FROM orders
+        SELECT o_orderkey AS id, 'read' AS kind, o_custkey AS entity FROM orders
+        UNION ALL
+        SELECT o_orderkey AS id, 'lock' AS kind, o_custkey AS entity FROM orders
     """,
     "q_serial_order": """
         SELECT user_id, event_id,

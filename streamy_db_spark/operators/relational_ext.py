@@ -91,7 +91,58 @@ def q_date_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_tpch_q5: the 6-way broadcast-chain join ------------------------------
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+    region — local-supplier revenue per nation for one region and a date
+    window.
+
+    Scale plan: region (5 rows) and nation (25) pin trivially as
+    broadcasts; supplier and customer are bounded dims (≤1.5M rows /
+    ~100 MB at sf100) — broadcast both so the two FACT tables
+    (lineitem, orders) shuffle only once, on their shared orderkey. The
+    region filter prunes nation before it reaches supplier/customer
+    (broadcast chain), so the fact scan is filtered by suppkey/custkey
+    membership at the join, and the date predicate pushes into the
+    orders parquet scan. tests/test_plans.py gates ≥2 broadcast joins
+    and the pushed date filter.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # dim chain: region → nation → supplier (all broadcast)
+    dims = supp.join(
+        F.broadcast(nation.join(region, nation.n_regionkey == region.r_regionkey)),
+        supp.s_nationkey == nation.n_nationkey,
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == dims.s_nationkey),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
 QUERIES = {
+    "q_tpch_q5": q_tpch_q5,
     "q_semi_anti_join": q_semi_anti_join,
     "q_set_ops": q_set_ops,
     "q_conditional_agg": q_conditional_agg,
@@ -99,6 +150,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_tpch_q5": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
     "q_semi_anti_join": """
         SELECT c_custkey, c_name, 'has_f_order' AS probe
         FROM customer

@@ -98,11 +98,47 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated text-analysis surface (r3): token counting, language
+    ID, quality scoring, and content fingerprinting in ONE scan.
+
+    The individual operators above remain the public API (and are still
+    plan-gated in tests/test_plans.py); this combined query keeps all
+    four driver-checked from a single correctness slot, and is also the
+    realistic pipeline shape — a training-data filter pass computes all
+    of these per document in one pass, not four scans.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens(F.col("text")))
+    hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(EN_STOPWORD_RE), 0))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), 0))
+    len_ok = (F.length("text") >= 100) & (F.length("text") <= 20000)
+    punct_ratio = n_punct / F.greatest(n_tokens, F.lit(1))
+    stop_ratio = hits / F.greatest(n_tokens, F.lit(1))
+    score = (
+        len_ok.cast("double") * 0.4
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.4
+        + F.least(punct_ratio * 10, F.lit(1.0)) * 0.2
+    )
+    normalized = F.lower(F.trim(F.regexp_replace(F.col("text"), WS_RE, " ")))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (F.length("text") - F.length(F.regexp_replace("text", WS_RE, ""))).alias(
+            "n_ws"
+        ),
+        F.ceil(F.length("text") / 4).cast("long").alias("approx_bpe_tokens"),
+        "lang",
+        hits.alias("en_hits"),
+        F.when(hits >= 3, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+        n_punct.alias("n_punct"),
+        F.round(score, 4).alias("quality"),
+        F.md5(F.encode(normalized, "UTF-8")).alias("fingerprint"),
+    )
+
+
 QUERIES = {
-    "q_token_count": q_token_count,
-    "q_lang_id": q_lang_id,
-    "q_quality_score": q_quality_score,
-    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_text_analysis": q_text_analysis,
 }
 
 _SQL_TOKENS = r"len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))"
@@ -112,34 +148,21 @@ _SQL_EN_HITS = (
 _SQL_PUNCT = r"len(regexp_extract_all(text, '[.,!?;:]'))"
 
 ORACLE = {
-    "q_token_count": f"""
+    "q_text_analysis": f"""
         SELECT doc_id,
                {_SQL_TOKENS} AS n_tokens,
                length(text) - length(regexp_replace(text, '\\s+', '', 'g')) AS n_ws,
-               CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
-        FROM documents
-    """,
-    "q_lang_id": f"""
-        SELECT doc_id, lang,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens,
+               lang,
                {_SQL_EN_HITS} AS en_hits,
-               CASE WHEN {_SQL_EN_HITS} >= 3 THEN 'en' ELSE 'other' END AS lang_pred
-        FROM documents
-    """,
-    "q_quality_score": f"""
-        SELECT doc_id,
-               {_SQL_TOKENS} AS n_tokens,
+               CASE WHEN {_SQL_EN_HITS} >= 3 THEN 'en' ELSE 'other' END AS lang_pred,
                {_SQL_PUNCT} AS n_punct,
-               {_SQL_EN_HITS} AS n_stop,
                round(
                  (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4
                  + least({_SQL_EN_HITS} / greatest({_SQL_TOKENS}, 1)::DOUBLE * 4, 1.0) * 0.4
                  + least({_SQL_PUNCT} / greatest({_SQL_TOKENS}, 1)::DOUBLE * 10, 1.0) * 0.2,
-               4) AS quality
-        FROM documents
-    """,
-    "q_doc_fingerprint": r"""
-        SELECT doc_id,
-               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+               4) AS quality,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
         FROM documents
     """,
 }

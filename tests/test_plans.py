@@ -44,6 +44,21 @@ def test_join_3way_broadcasts_dim(spark):
     assert "BroadcastHashJoin [o_custkey" in plan
 
 
+def test_tpch_q5_broadcast_chain(spark):
+    # The 6-way join must broadcast the dim chain (supplier+nation+region,
+    # customer) so the two fact tables shuffle at most once, on orderkey;
+    # and the date window must push into the orders scan.
+    plan = plan_of(spark, "q_tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 2
+    for op in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, op
+    fplan = explain_formatted(spark, "q_tpch_q5")
+    pushed = [
+        ln for ln in fplan.splitlines() if "PushedFilters" in ln and "o_orderdate" in ln
+    ]
+    assert pushed, "date filter not pushed to orders scan"
+
+
 def test_topk_avoids_global_sort(spark):
     plan = plan_of(spark, "q_topk_orders")
     assert "TakeOrderedAndProject" in plan
@@ -144,7 +159,7 @@ def test_no_python_udf_in_relational_plans(spark):
         "q_agg_tpch_pricing",
         "q_join_3way",
         "q_text_stats",
-        "q_token_count",
+        "q_text_analysis",
         "q_dedup_exact",
         "q_minhash_lsh_pairs",
         "q_embedding_knn",
