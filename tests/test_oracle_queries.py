@@ -107,6 +107,43 @@ def test_ann_ivf_recall(spark, sf_oracle):
     assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
 
 
+def test_ivf_persisted_index_probe(spark, sf_oracle, tmp_path):
+    """The split lifecycle (train on sample → persist partitioned index →
+    probe-only) must return the same neighbors as the one-shot path, and
+    the on-disk index must be partitioned by cluster_id so probes prune."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streamy_db_spark.operators import similarity
+    from streamy_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    queries = emb.filter(F.col("vec_id") < similarity.KNN_BATCH_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    C = similarity.ivf_train_centroids(emb)
+    idx_path = str(tmp_path / "ivf_index")
+    inverted = similarity.build_ivf_index(emb, C, idx_path)
+    assert any(
+        d.startswith("cluster_id=") for d in os.listdir(idx_path)
+    ), "index must be hive-partitioned by cluster_id for probe-time pruning"
+
+    persisted = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_probe(
+            queries, inverted, C, k=similarity.KNN_BATCH_K
+        ).collect()
+    }
+    oneshot = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_ann_topk(
+            queries, emb, k=similarity.KNN_BATCH_K, centroids=C
+        ).collect()
+    }
+    assert persisted == oneshot
+
+
 def test_dedup_lsh_planted_duplicates(spark):
     """The fused bucket-scoring path must recover planted near-dups (the
     harness embeddings have none above 0.9, so the sf-based recall test
