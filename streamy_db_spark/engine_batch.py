@@ -222,15 +222,20 @@ def replay(
     - final_state: (key, value) after all committed writes (deleted /
       never-written keys absent).
 
-    Adaptive tail collapse: once ≤ ``tail_collapse_txns`` transactions
-    remain undecided, the conflict tail (their op rows plus the committed
-    writes interleaved on the same keys) is collected — bounded by
-    ``tail_collapse_max_rows`` — and finished with a driver-side serial
-    fold instead of paying a distributed round per dependency-chain link.
-    This is the AQE move (runtime stats pick the physical strategy): the
-    wavefront does the data-scale work; the coordinator absorbs the
-    residual chain latency. If the tail doesn't fit the row bound (hot
-    keys), the wavefront simply continues.
+    Adaptive tail collapse: whenever the undecided transactions' op rows
+    are estimated (from the measured ops/txn ratio) to fit
+    ``tail_collapse_max_rows``, the conflict tail (their op rows plus the
+    committed writes interleaved on the same keys) is collected and
+    finished with a driver-side serial fold instead of paying a
+    distributed round per dependency-chain link. This is the AQE move
+    (runtime stats pick the physical strategy): the wavefront does the
+    data-scale work, and the ROW bound — not a transaction count — is
+    what protects the driver, so the trigger is derived from it;
+    ``tail_collapse_txns`` remains as a floor. If the tail turns out not
+    to fit (estimate off on hot keys), the trigger halves and the
+    wavefront simply continues. At 100 TB the wavefront runs until the
+    undecided residue genuinely fits ~500k rows — the chain tail whose
+    per-link latency would otherwise dominate.
     """
     spark = transactions.sparkSession
 
@@ -277,6 +282,17 @@ def replay(
     n_total = all_txns.count()
     n_decided = decided0.count()
 
+    # Row-budget-driven collapse trigger: the whole point of the fold is
+    # bounded driver rows, so trigger as soon as the undecided set is
+    # estimated to fit (measured ops/txn, ×2 headroom for the committed
+    # writes interleaved on the same keys). tail_collapse_txns=0 disables
+    # the fold entirely (pure-wavefront mode, used by tests).
+    if tail_collapse_txns > 0:
+        avg_ops = max(1.0, ops.count() / max(1, n_total))
+        tail_collapse_txns = max(
+            tail_collapse_txns, int(tail_collapse_max_rows / (2 * avg_ops))
+        )
+
     w_prev = (
         Window.partitionBy("key")
         .orderBy(*_ORDER)
@@ -298,6 +314,49 @@ def replay(
 
     rounds = 0
     while n_decided < n_total:
+        # Attempt the tail collapse BEFORE paying for a distributed round
+        # (round 0 alone often shrinks the set under the row budget).
+        remaining = n_total - n_decided
+        if 0 < remaining <= tail_collapse_txns:
+            undecided = F.col("succeeded").isNull()
+            tail_keys = ops_active.filter(undecided).select("key").distinct()
+            tail_ops = ops_active.join(F.broadcast(tail_keys), "key")
+            rows = tail_ops.limit(tail_collapse_max_rows + 1).collect()
+            if len(rows) > tail_collapse_max_rows:
+                # Hot-key tail too large to collect — halve the trigger so
+                # the next attempt happens once the set genuinely shrank.
+                tail_collapse_txns = remaining // 2
+            else:
+                und_txn_df = (
+                    ops_active.filter(undecided).select("transaction_id").distinct()
+                )
+                na = {
+                    r["transaction_id"]: r["n_asserts"]
+                    for r in n_asserts.join(
+                        F.broadcast(und_txn_df), "transaction_id"
+                    ).collect()
+                }
+                verdicts = _serial_tail_fold(rows, na)
+                if verbose:
+                    print(
+                        f"[replay] tail collapse after round {rounds}: "
+                        f"{len(verdicts)} txns folded driver-side"
+                    )
+                tail_results = spark.createDataFrame(
+                    sorted(verdicts.items()), schemas.TRANSACTION_RESULT
+                )
+                result_parts.append(tail_results)
+                n_decided += len(verdicts)
+                tr = F.broadcast(
+                    tail_results.withColumnRenamed("succeeded", "new_outcome")
+                )
+                ops_active = (
+                    ops_active.join(tr, "transaction_id", "left")
+                    .withColumn("succeeded", F.coalesce("new_outcome", "succeeded"))
+                    .drop("new_outcome")
+                )
+                break
+
         rounds += 1
         if rounds > max_rounds:
             raise RuntimeError(f"replay did not converge in {max_rounds} rounds")
@@ -370,47 +429,6 @@ def replay(
             .drop("new_outcome")
             .localCheckpoint(eager=True)
         )
-
-        remaining = n_total - n_decided
-        if 0 < remaining <= tail_collapse_txns:
-            undecided = F.col("succeeded").isNull()
-            tail_keys = ops_active.filter(undecided).select("key").distinct()
-            tail_ops = ops_active.join(F.broadcast(tail_keys), "key")
-            rows = tail_ops.limit(tail_collapse_max_rows + 1).collect()
-            if len(rows) > tail_collapse_max_rows:
-                # Hot-key tail too large to collect — halve the trigger so
-                # the next attempt happens once the set genuinely shrank.
-                tail_collapse_txns = remaining // 2
-            else:
-                und_txn_df = (
-                    ops_active.filter(undecided).select("transaction_id").distinct()
-                )
-                na = {
-                    r["transaction_id"]: r["n_asserts"]
-                    for r in n_asserts.join(
-                        F.broadcast(und_txn_df), "transaction_id"
-                    ).collect()
-                }
-                verdicts = _serial_tail_fold(rows, na)
-                if verbose:
-                    print(
-                        f"[replay] tail collapse after round {rounds}: "
-                        f"{len(verdicts)} txns folded driver-side"
-                    )
-                tail_results = spark.createDataFrame(
-                    sorted(verdicts.items()), schemas.TRANSACTION_RESULT
-                )
-                result_parts.append(tail_results)
-                n_decided += len(verdicts)
-                tr = F.broadcast(
-                    tail_results.withColumnRenamed("succeeded", "new_outcome")
-                )
-                ops_active = (
-                    ops_active.join(tr, "transaction_id", "left")
-                    .withColumn("succeeded", F.coalesce("new_outcome", "succeeded"))
-                    .drop("new_outcome")
-                )
-                break
 
     results = reduce(DataFrame.unionByName, result_parts)
 
