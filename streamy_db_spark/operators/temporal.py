@@ -121,7 +121,14 @@ def range_join_count(
     # Integer div, not `/`: ns epochs (~1.7e18) exceed double's 2^53
     # exact-integer range, so float division mis-buckets edge rows.
     lbucket = F.expr(f"`{left_ts}` div {band_ns}")
-    lb = left.withColumn("_b", F.explode(F.array(lbucket, lbucket - 1)))
+    # Row identity, not column values: two identical left rows must come
+    # back as two result rows, so the regroup after the bucket explode
+    # keys on a generated per-row id (the id is assigned BEFORE the
+    # explode, so both bucket copies of one row share it and no two
+    # distinct rows collide).
+    lb = left.withColumn("_rid", F.monotonically_increasing_id()).withColumn(
+        "_b", F.explode(F.array(lbucket, lbucket - 1))
+    )
     rb = right.select(
         F.col(key),
         F.col(right_ts).alias("_rt"),
@@ -132,8 +139,9 @@ def range_join_count(
         "_hit", ((dt >= 0) & (dt < band_ns)).cast("int")
     )
     return (
-        joined.groupBy(*left.columns)
+        joined.groupBy("_rid", *left.columns)
         .agg(F.coalesce(F.sum("_hit"), F.lit(0)).alias(count_alias))
+        .drop("_rid")
     )
 
 

@@ -62,6 +62,23 @@ def test_range_join_count_band_edges(spark):
     assert out[0]["n_in_band"] == 2  # rts=1 (dt=999) and rts=1000 (dt=0)
 
 
+def test_range_join_duplicate_left_rows_kept(spark):
+    # Two byte-identical left rows must come back as two result rows
+    # (row identity, not column values, keys the post-explode regroup).
+    left = _df(
+        spark,
+        [(1, "k", 1000), (1, "k", 1000), (2, "k", 5)],
+        "id long, k string, ts long",
+    )
+    right = _df(spark, [("k", 500)], "k string, rts long")
+    rows = range_join_count(
+        left, right, key="k", left_ts="ts", right_ts="rts", band_ns=1000
+    ).collect()
+    assert len(rows) == 3
+    counts = sorted((r["id"], r["n_in_band"]) for r in rows)
+    assert counts == [(1, 1), (1, 1), (2, 0)]
+
+
 def test_range_join_zero_matches_kept(spark):
     left = _df(spark, [(1, "k", 1000), (2, "x", 5)], "id long, k string, ts long")
     right = _df(spark, [("k", 10_000)], "k string, rts long")
