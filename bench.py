@@ -92,19 +92,35 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     skipped = []
     for name, fn in sorted(entry_mod.queries().items()):
         if name in QUADRATIC_BASELINES:
             skipped.append(name)
             continue
+        # Per-query fault isolation: one failing query must not kill the
+        # whole benchmark record (round 3 lost every number to a single
+        # AnalysisException). Failures are reported, never silently eaten.
         t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = fn(spark, SF_DIR)
+            df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
-    replay_s, txn_rate = bench_protocol_replay(spark)
-    timings["protocol_replay_10k"] = round(replay_s, 3)
+    try:
+        replay_s, txn_rate = bench_protocol_replay(spark)
+        timings["protocol_replay_10k"] = round(replay_s, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["protocol_replay_10k"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(
+            f"bench: protocol_replay_10k FAILED: {errors['protocol_replay_10k']}",
+            file=sys.stderr,
+        )
+        txn_rate = 0.0
 
     total = round(sum(timings.values()), 3)
     print(
@@ -117,6 +133,7 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 "protocol_txn_per_sec": round(txn_rate, 1),
                 "skipped_quadratic_baselines": skipped,
+                "errors": errors,
             }
         )
     )

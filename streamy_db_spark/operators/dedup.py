@@ -46,6 +46,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q_dedup_near_embedding: cosine near-dup pairs (brute force) ------------
 NEAR_DUP_COS = 0.90
+# The REGISTERED queries use a lower threshold: the harness embeddings are
+# random gaussians (max pairwise cosine ≈ 0.51 at sf0.01), so a 0.9 cut
+# makes the driver's hash check vacuous (0 = 0 rows proves nothing). 0.4
+# yields a non-trivial pair set (59 pairs at sf0.01) that a regression in
+# the cosine math or the bucket-scoring path would actually perturb.
+# Production pipelines on real near-dup-bearing corpora keep the 0.9
+# default of near_dup_pairs_embedding / near_dup_pairs_lsh.
+ORACLE_NEAR_DUP_COS = 0.40
 
 
 def near_dup_pairs_embedding(
@@ -74,13 +82,14 @@ def near_dup_pairs_embedding(
 
 def q_dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return near_dup_pairs_embedding(emb)
+    return near_dup_pairs_embedding(emb, threshold=ORACLE_NEAR_DUP_COS)
 
 
 def near_dup_pairs_lsh(
     emb: DataFrame, threshold: float = NEAR_DUP_COS,
     n_tables: int = 8, n_planes: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidates = same-bucket pairs
     in ANY of the LSH tables (the O(N²) scoring collapses to per-bucket
@@ -92,7 +101,9 @@ def near_dup_pairs_lsh(
 
     from streamy_db_spark.operators.similarity import lsh_buckets_multi
 
-    b = lsh_buckets_multi(emb.select(id_col, vec_col), n_tables, n_planes, vec_col)
+    b = lsh_buckets_multi(
+        emb.select(id_col, vec_col), n_tables, n_planes, vec_col, dim=dim
+    )
 
     # Fused candidate-generation + verification: one pairwise matmul per
     # (table, bucket) group. Each vector crosses the wire n_tables times
@@ -139,8 +150,12 @@ def near_dup_pairs_lsh(
 def q_dedup_near_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate near-dup pairs (rows-only check — approximate by
     design; recall vs the exact baseline guarded in tests)."""
+    from streamy_db_spark.operators.similarity import embedding_dim
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return near_dup_pairs_lsh(emb)
+    return near_dup_pairs_lsh(
+        emb, threshold=ORACLE_NEAR_DUP_COS, dim=embedding_dim(sf_dir)
+    )
 
 
 # --- q_dedup_groups: pair set → dedup clusters (what a pipeline executes) ---
@@ -269,7 +284,7 @@ ORACLE = {
         FROM v a JOIN v b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.e, b.e) /
               (sqrt(list_dot_product(a.e, a.e)) *
-               sqrt(list_dot_product(b.e, b.e))) >= {NEAR_DUP_COS}
+               sqrt(list_dot_product(b.e, b.e))) >= {ORACLE_NEAR_DUP_COS}
     """,
 }
 

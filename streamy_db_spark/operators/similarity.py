@@ -15,6 +15,7 @@ random-hyperplane bucketing, at recall < 1.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -140,7 +141,10 @@ def q_ann_lsh(spark, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < KNN_BATCH_NQ).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = lsh_ann_topk(queries, emb, k=KNN_BATCH_K, n_tables=8, n_planes=4)
+    out = lsh_ann_topk(
+        queries, emb, k=KNN_BATCH_K, n_tables=8, n_planes=4,
+        dim=embedding_dim(sf_dir),
+    )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine")
     )
@@ -410,6 +414,37 @@ def pair_cosine(col_a: Column, col_b: Column) -> Column:
     return _cos(col_a, col_b)
 
 
+_DIM_CACHE: dict[str, int] = {}
+
+
+def embedding_dim(
+    sf_dir: str, table: str = "embeddings", vec_col: str = "embedding"
+) -> int:
+    """Vector dimensionality as index metadata.
+
+    Probed ONCE per dataset straight from the parquet file (footer + a
+    single-row batch — no Spark job), then cached for the process
+    lifetime. Replaces the per-call ``limit(1).collect()`` driver
+    round-trip that used to sit on the hot retrieval path; on a real
+    deployment this number lives in the index/catalog metadata written at
+    ingest."""
+    import pyarrow.parquet as pq
+
+    key = os.path.join(sf_dir, f"{table}.parquet")
+    if key not in _DIM_CACHE:
+        pf = pq.ParquetFile(key)
+        batch = next(pf.iter_batches(batch_size=1, columns=[vec_col]))
+        _DIM_CACHE[key] = len(batch.column(0)[0])
+    return _DIM_CACHE[key]
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int:
+    """Fallback dim probe for ad-hoc DataFrames with no dataset metadata
+    (one bounded driver round-trip; callers on hot paths pass ``dim``)."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    return first[0]["d"] if first else 0
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (pure Python LCG — no numpy
     dependency at module import, reproducible across runs/partitions)."""
@@ -426,13 +461,13 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 
 def lsh_bucket(df: DataFrame, n_planes: int = 8, vec_col: str = "embedding",
-               seed: int = 42) -> DataFrame:
+               seed: int = 42, dim: int | None = None) -> DataFrame:
     """Random-hyperplane (SimHash-for-cosine) bucketing: sign pattern of
     ``n_planes`` projections → integer bucket. Vectors in the same bucket
     are cosine-similar with high probability. JVM-side only.
     """
-    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    dim = first[0]["d"] if first else 0
+    if dim is None:
+        dim = _probe_dim(df, vec_col)
     planes = random_hyperplanes(dim, n_planes, seed)
     a = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0)
@@ -455,8 +490,7 @@ def lsh_buckets_multi(
     Classic multi-table LSH — candidate recall is an OR over tables:
     P(found) = 1 - (1 - p^n_planes)^n_tables."""
     if dim is None:
-        first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-        dim = first[0]["d"] if first else 0
+        dim = _probe_dim(df, vec_col)
 
     # All n_tables × n_planes projections in one Arrow-batched numpy
     # matmul — interpreted JVM higher-order folds cost ~15× more here
@@ -500,6 +534,7 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN: multi-table random-hyperplane LSH. Both sides
     bucket with the same hyperplanes; candidates = pairs sharing a bucket
@@ -514,8 +549,8 @@ def lsh_ann_topk(
 
     from streamy_db_spark.sources.tables import spread
 
-    first = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    dim = first[0]["d"] if first else 0
+    if dim is None:
+        dim = _probe_dim(corpus, vec_col)
     corpus_spread = spread(corpus.select(id_col, vec_col), id_col)
     qb = lsh_buckets_multi(
         queries.select("query_id", vec_col), n_tables, n_planes, vec_col, seed, dim

@@ -114,34 +114,49 @@ def range_join_count(
     before-or-at the left event. Zero-count left rows are kept.
 
     Bucketing: with bucket = ts div band_ns, every qualifying right row
-    sits in the left row's bucket or the one before it, so the inequality
-    join becomes an equi-join on (key, bucket) over two exploded copies
-    of the left side plus a residual band filter.
+    sits in the left row's bucket or the one before it. Right rows
+    collapse to ONE array row per (key, bucket) first, so each left row
+    equi-joins at most two array rows and the band count evaluates inside
+    a projection (higher-order ``filter``+``size`` — whole-stage codegen,
+    no Python). No explode, no regroup, no generated row id: left row
+    identity is never multiplied, so duplicate left rows come back as
+    duplicate result rows, nothing collides with caller columns, and the
+    plan is deterministic under stage retry (a prior formulation keyed a
+    regroup on monotonically_increasing_id, which can renumber rows when
+    a retry recomputes a partial shuffle fetch). Skew note: a hot
+    (key, bucket) makes one wide array instead of an L×R joined-row
+    blowup — strictly less shuffle than the exploded join at 100 TB.
     """
     # Integer div, not `/`: ns epochs (~1.7e18) exceed double's 2^53
     # exact-integer range, so float division mis-buckets edge rows.
     lbucket = F.expr(f"`{left_ts}` div {band_ns}")
-    # Row identity, not column values: two identical left rows must come
-    # back as two result rows, so the regroup after the bucket explode
-    # keys on a generated per-row id (the id is assigned BEFORE the
-    # explode, so both bucket copies of one row share it and no two
-    # distinct rows collide).
-    lb = left.withColumn("_rid", F.monotonically_increasing_id()).withColumn(
-        "_b", F.explode(F.array(lbucket, lbucket - 1))
+    for c in ("__rjc_b", "__rjc_rts0", "__rjc_rts1"):
+        assert c not in left.columns, f"column {c!r} collides in range join"
+    rb = (
+        right.select(
+            F.col(key),
+            F.expr(f"`{right_ts}` div {band_ns}").alias("__rjc_b"),
+            F.col(right_ts).alias("__rjc_rt"),
+        )
+        .groupBy(key, "__rjc_b")
+        .agg(F.collect_list("__rjc_rt").alias("__rjc_rts"))
     )
-    rb = right.select(
-        F.col(key),
-        F.col(right_ts).alias("_rt"),
-        F.expr(f"`{right_ts}` div {band_ns}").alias("_b"),
+    out = left
+    for i, b in enumerate((lbucket, lbucket - 1)):
+        rbi = rb.select(
+            F.col(key), F.col("__rjc_b"), F.col("__rjc_rts").alias(f"__rjc_rts{i}")
+        )
+        out = out.withColumn("__rjc_b", b).join(
+            rbi, [key, "__rjc_b"], "left"
+        ).drop("__rjc_b")
+    lt = F.col(left_ts)
+    in_band = lambda t: ((lt - t) >= 0) & ((lt - t) < F.lit(band_ns))  # noqa: E731
+    count = sum(
+        F.coalesce(F.size(F.filter(F.col(f"__rjc_rts{i}"), in_band)), F.lit(0))
+        for i in range(2)
     )
-    dt = F.col(left_ts) - F.col("_rt")
-    joined = lb.join(rb, [key, "_b"], "left").withColumn(
-        "_hit", ((dt >= 0) & (dt < band_ns)).cast("int")
-    )
-    return (
-        joined.groupBy("_rid", *left.columns)
-        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).alias(count_alias))
-        .drop("_rid")
+    return out.withColumn(count_alias, count.cast("long")).drop(
+        "__rjc_rts0", "__rjc_rts1"
     )
 
 

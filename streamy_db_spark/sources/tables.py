@@ -34,15 +34,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def _normalize(name: str, df: DataFrame) -> DataFrame:
     """Normalize physical quirks of the harness parquet.
 
-    ``events.ts`` is INT64 TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as an epoch-nanos
-    long. Keep the long as ``ts_ns`` (lossless total-order key) and derive
-    ``ts`` as a microsecond TimestampType for window/date functions.
+    The loader's output contract for ``events`` is fixed regardless of the
+    physical encoding of ``ts``: the frame exposes ``ts_ns: bigint`` (a
+    lossless epoch-nanos total-order key) AND ``ts: timestamp`` (session-tz
+    TimestampType for window/date functions). Physical encodings seen from
+    the harness generator across rounds:
+
+    - INT64 TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong``
+      it arrives as an epoch-nanos long — keep it as ``ts_ns``, derive
+      ``ts`` at microsecond precision.
+    - ``timestamp[us]`` (TIMESTAMP_NTZ in Spark) or TIMESTAMP_LTZ: cast to
+      TimestampType (the session tz is pinned to UTC, so the NTZ→LTZ cast
+      relabels without shifting the instant) and derive
+      ``ts_ns = unix_micros(ts) * 1000``.
     """
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-        )
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+                "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+                "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+            )
     return df
 
 

@@ -417,12 +417,39 @@ class _KeyMachine:
         if len(self.recent) > _RECENT_CAP:
             del self.recent[: len(self.recent) - _RECENT_CAP]
 
+    def _release_before(self, limit: tuple | None, out: list) -> None:
+        """Release every parked read with serial position before ``limit``
+        (all of them when ``limit`` is None) — each observes the cell as
+        of the committed writes strictly before its own position."""
+        still_parked = []
+        for pos, txn in sorted(self.parked):
+            # pos tuples end in the D7 kind (read=0 < lock=1) after the
+            # txn-id tiebreak, so a read at the same (ts,part,off) as its
+            # own transaction's lock sorts strictly before it — reads see
+            # the pre-txn value — while a TIED LATER transaction's read
+            # sorts after this txn's lock and waits for its verdict.
+            if limit is None or pos < limit:
+                out.append((txn, self.key, self.current()))
+                self._advance(pos)
+            else:
+                still_parked.append((pos, txn))
+        self.parked = still_parked
+
     def _settle(self, out: list) -> None:
-        """Apply the decided log prefix to the cell in serial order, then
-        release every parked read positioned before the undecided
-        frontier — it observes exactly the committed writes before it."""
+        """Apply the decided log prefix to the cell in serial order,
+        releasing parked reads BEFORE each later-positioned write lands.
+
+        The release must interleave with application: a read parked
+        between two decided entries (reader at serial position 7, decided
+        writers at 6 and 8 — possible when the writer at 8 was assert-free
+        and its feedback overtook the sorter) has to observe the cell
+        after position 6's write but before position 8's. Applying the
+        whole decided prefix first and releasing afterwards leaks the
+        later write into the earlier read — a serializability violation
+        (found by tests/test_protocol_properties.py, 11-txn repro)."""
         while self.entries and self.entries[0][2]:
             pos, txn, _dec, ok, wvalue = self.entries.pop(0)
+            self._release_before(pos, out)
             self._advance(pos)
             self._remember(txn)
             if ok:
@@ -431,19 +458,7 @@ class _KeyMachine:
                 else:
                     self.cell, self.has_cell = wvalue, True
         frontier = self.entries[0][0] if self.entries else None
-        still_parked = []
-        for pos, txn in sorted(self.parked):
-            # pos tuples end in the D7 kind (read=0 < lock=1) after the
-            # txn-id tiebreak, so a read at the same (ts,part,off) as its
-            # own transaction's lock sorts strictly before it — reads see
-            # the pre-txn value — while a TIED LATER transaction's read
-            # sorts after this txn's lock and waits for its verdict.
-            if frontier is None or pos < frontier:
-                out.append((txn, self.key, self.current()))
-                self._advance(pos)
-            else:
-                still_parked.append((pos, txn))
-        self.parked = still_parked
+        self._release_before(frontier, out)
 
     def flush(self, up_to_ms: int, out: list) -> None:
         """S1 fire: deliver buffered requests with ts ≤ watermark in

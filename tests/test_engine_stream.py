@@ -185,6 +185,43 @@ def test_streaming_duplicate_feedback_is_idempotent(spark, tmp_path):
     assert got == expected == {"t1": True, "t2": True, "t3": True}
 
 
+def test_streaming_rocksdb_state_store(spark, tmp_path):
+    """Parity under RocksDBStateStoreProvider — the deployment state store.
+
+    HDFSBackedStateStore keeps every key's state in executor-heap maps;
+    100 TB-scale keyed state (billions of cells) needs the RocksDB
+    provider's off-heap, incrementally-checkpointed store. The provider is
+    picked up per-query from the session conf at stream start, so the
+    same file-coupled loop exercises the full applyInPandasWithState
+    path (serde, timers, watermark flushes) against RocksDB."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        txns = [
+            fixtures_txn(0, 0, 0, "t1", [("a", None)], [("a", "1")]),
+            fixtures_txn(1, 0, 1, "t2", [("a", None)], [("a", "2"), ("b", "2")]),
+            fixtures_txn(2, 0, 2, "t3", [("a", "1"), ("b", None)], []),
+            fixtures_txn(3, 0, 3, "t4", [("a", "1")], [("a", None)]),
+            fixtures_txn(4, 0, 4, "t5", [("a", None)], [("a", "5")]),
+        ]
+        expected, _ = oracle.serial_replay(txns)
+        got = run_streaming_replay(spark, txns, str(tmp_path))
+        assert got == expected
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def fixtures_txn(ts_s, part, off, tid, asserts, updates):
     from datetime import timedelta
 
