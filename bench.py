@@ -51,6 +51,16 @@ def bench_protocol_replay(spark) -> tuple[float, float]:
     from streamy_db_spark import fixtures
     from streamy_db_spark.engine_batch import replay
 
+    # Warm the replay's plan shapes on a tiny mix first: a cold run pays
+    # ~3.5 s of one-time Catalyst/codegen compile across the fixpoint's
+    # many small jobs (measured 8.4 s cold vs 4.8 s warm for the SAME
+    # work). On a resident engine those plans are compiled once per
+    # process, so timing them against a 10k-txn batch would misattribute
+    # — same rationale as the scan/Arrow warmups in main().
+    warm = fixtures.generate_df(spark, "ref_smoke").localCheckpoint(eager=True)
+    r, s = replay(warm)
+    r.count(), s.count()
+
     txns = fixtures.generate_df(spark, "scale_bench")
     txns = txns.localCheckpoint(eager=True)  # exclude generation from timing
     n = txns.count()

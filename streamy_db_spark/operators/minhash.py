@@ -65,18 +65,40 @@ def shingles(text: Column, w: int = SHINGLE_W) -> Column:
     )
 
 
-def _seeded_hash(i: int):
-    # NB: must return a ONE-arg lambda — PySpark interprets a second
-    # parameter (even defaulted) as the array-index argument of transform.
-    prefix = f"{i}|"
-    return lambda s: _md5(F.concat(F.lit(prefix), s))
+# Sentinel "infinity" for the signature fold (any real hash value is
+# < 2^52, see overflow note in minhash_signature).
+_SIG_INF = 1 << 62
 
 
 def minhash_signature(sh: Column, k: int = MINHASH_K) -> Column:
-    """k-element signature: per hash function i, the lexicographic-min
-    md5('<i>|'||shingle). Empty shingle set → nulls (dropped upstream)."""
-    return F.array(
-        *[F.array_min(F.transform(sh, _seeded_hash(i))) for i in range(k)]
+    """k-element signature via double hashing (Kirsch–Mitzenmacher):
+    hash_i(s) = h1(s) + i*h2(s), where h1/h2 are the two 48-bit halves of
+    ONE md5 per shingle. sig[i] = min over shingles of hash_i.
+
+    One md5 per shingle instead of k — the earlier per-seed scheme
+    (md5('<i>|'||s) × 16) made hashing 16× the work and dominated the
+    sketch stage (measured ~7 s of q_dedup_groups' 8.6 s at sf0.1).
+    The whole signature is ONE aggregate fold: the per-shingle (h1, h2)
+    array is the fold input, so it evaluates once — Catalyst does no CSE
+    across k separate array_min aggregate expressions (same pitfall as
+    the r3 simhash fix). Overflow-safe: h1,h2 < 2^48, i < k=16 →
+    hash_i < 2^52, well inside int64.
+
+    Empty shingle set → all-sentinel signature (callers filter
+    size(shingles) > 0 upstream)."""
+    hs = F.transform(
+        sh,
+        lambda s: F.struct(
+            F.conv(F.substring(_md5(s), 1, 12), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(_md5(s), 13, 12), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    return F.aggregate(
+        hs,
+        F.array_repeat(F.lit(_SIG_INF), k),
+        lambda acc, h: F.transform(
+            acc, lambda m, j: F.least(m, h["h1"] + j.cast("long") * h["h2"])
+        ),
     )
 
 
@@ -106,7 +128,11 @@ def minhash_bands_from_shingles(sh: DataFrame) -> DataFrame:
             F.lit(b).alias("band"),
             _md5(
                 F.concat_ws(
-                    "|", *[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]
+                    "|",
+                    *[
+                        F.col("sig")[b * LSH_ROWS + r].cast("string")
+                        for r in range(LSH_ROWS)
+                    ],
                 )
             ).alias("band_hash"),
         )
@@ -373,13 +399,21 @@ _SQL_SHINGLES = f"""
          ELSE []::VARCHAR[] END
 """
 
+# Double-hashing signature (must mirror minhash_signature exactly):
+# h1/h2 = the two 48-bit halves of one md5 per shingle, hash_i = h1 + i*h2.
 _SQL_SIG_ELEMS = ", ".join(
-    f"list_min(list_transform(shingles, s -> md5('{i}|' || s)))"
+    "list_min(list_transform(shingles, s ->"
+    " ('0x' || substring(md5(s), 1, 12))::BIGINT"
+    f" + {i} * ('0x' || substring(md5(s), 13, 12))::BIGINT))"
     for i in range(MINHASH_K)
 )
 
 _SQL_BANDS = ", ".join(
-    "md5(" + " || '|' || ".join(f"sig[{b * LSH_ROWS + r + 1}]" for r in range(LSH_ROWS)) + ")"
+    "md5("
+    + " || '|' || ".join(
+        f"sig[{b * LSH_ROWS + r + 1}]::VARCHAR" for r in range(LSH_ROWS)
+    )
+    + ")"
     for b in range(LSH_BANDS)
 )
 
