@@ -11,10 +11,11 @@ shingle/tokenize step uses constructs DuckDB evaluates bit-identically
 (regexp_split, list_transform, list_min), so all queries sit under the
 driver's strong value-hash gate — no rows-only escapes.
 
-MinHash family trick: hash_i(s) = md5('<i>|' || s); the signature value
-is the lexicographic min hex digest — an order-preserving proxy for a
-uniform hash family, identical in both engines (no integer-conversion
-portability traps).
+MinHash family trick: double hashing (Kirsch–Mitzenmacher) — ONE md5
+per shingle, split into two 48-bit integer halves (h1, h2);
+hash_i = h1 + i*h2. The hex→int conversion is portable (Spark
+``conv(x,16,10)`` ≡ DuckDB ``('0x'||x)::BIGINT`` — verified equal), and
+one md5 replaces the k per-seed digests of the naive scheme.
 """
 
 from __future__ import annotations

@@ -112,6 +112,25 @@ def test_same_ts_tiebreak_partition_offset(spark):
     assert state == {"k": "second"}
 
 
+def test_duplicate_keys_within_one_txn(spark):
+    """Duplicate keys inside one assert/update list (wire-legal,
+    SURVEY.md §2.5): asserts dedup to the distinct set, updates apply in
+    list order so the LAST value per key wins — the in-array dedup in
+    _build_ops must reproduce exactly what serial list application does."""
+    txns = [
+        # duplicate updates on one key: last ("2") must win
+        _txn(0, 0, 0, "t1", [], [("k", "1"), ("j", "x"), ("k", "2")]),
+        # duplicate identical asserts: one logical read, still commits
+        _txn(1, 0, 1, "t2", [("k", "2"), ("k", "2")], [("k", "3")]),
+        # dup update ending in delete: k absent afterwards
+        _txn(2, 0, 2, "t3", [("k", "3")], [("k", "9"), ("k", None)]),
+        _txn(3, 0, 3, "t4", [("k", None), ("j", "x")], []),
+    ]
+    results, state = run_and_compare(spark, txns)
+    assert results == {"t1": True, "t2": True, "t3": True, "t4": True}
+    assert state == {"j": "x"}
+
+
 def test_same_key_assert_and_update(spark):
     # read-before-own-write: assert sees the PRE-transaction value
     txns = [

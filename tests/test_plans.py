@@ -97,6 +97,10 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     plan = plan_of(spark, "q_range_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # Regroup-free formulation: no generated row id (was nondeterministic
+    # under stage retry) — band counting happens in a projection over the
+    # per-bucket arrays, not a post-join re-aggregation.
+    assert "monotonically" not in plan
 
 
 def test_new_relational_plans_stay_jvm_side(spark):
