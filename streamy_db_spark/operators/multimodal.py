@@ -149,6 +149,38 @@ def sample_frames(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, FRAMES_SCHEMA)
 
 
+RESIZE_FACTOR = 4  # keep every 4th byte in the fake kernel
+
+
+def resize_media(media: DataFrame, factor: int = RESIZE_FACTOR) -> DataFrame:
+    """Media resize/downsample via Arrow-batched mapInPandas.
+
+    Real path: decode → resample → re-encode (PIL for images, a resampler
+    for audio) — import-gated like decode_image since neither codec lives
+    in this container. Fake kernel: keep every ``factor``-th byte — the
+    deterministic stand-in that preserves the operator's contract (binary
+    in → smaller binary out, same row count, schema carries the new
+    size). Scan-side per-partition compute, no shuffle; at 100 TB this is
+    the same embarrassingly-parallel shape as extract_features."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["content"].map(lambda b: bytes(b)[::factor])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content": resized,
+                    "n_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        kernel,
+        "media_id long, media_type string, content binary, n_bytes long",
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamy_db_spark.sources.tables import spread
 

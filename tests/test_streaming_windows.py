@@ -50,7 +50,7 @@ def _run_stream(df, tmp_path, out_schema: str):
     }
 
 
-def test_streaming_window_agg_matches_batch(spark, sf_small, tmp_path):
+def _check_window_agg_parity(spark, sf_small, tmp_path):
     batch = {tuple(r) for r in q_window_events(spark, sf_small).collect()}
     got = _run_stream(
         sw.windowed_counts(_events_stream(spark, sf_small)),
@@ -63,6 +63,32 @@ def test_streaming_window_agg_matches_batch(spark, sf_small, tmp_path):
     open_windows = batch - got
     max_start = max(w for w, *_ in batch)
     assert all(w == max_start for w, *_ in open_windows), open_windows
+
+
+def test_streaming_window_agg_matches_batch(spark, sf_small, tmp_path):
+    _check_window_agg_parity(spark, sf_small, tmp_path)
+
+
+def test_streaming_window_agg_rocksdb(spark, sf_small, tmp_path):
+    """Same parity under RocksDBStateStoreProvider — the store that holds
+    windowed-agg state at 100 TB (HDFS-backed maps are executor-heap)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        _check_window_agg_parity(spark, sf_small, tmp_path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def test_streaming_sessionize_matches_batch(spark, sf_small, tmp_path):
