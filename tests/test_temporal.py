@@ -79,6 +79,40 @@ def test_range_join_duplicate_left_rows_kept(spark):
     assert counts == [(1, 1), (1, 1), (2, 0)]
 
 
+def test_range_join_matches_bruteforce_random(spark):
+    """Randomized cross-check of the bucketed formulation against a pure
+    Python O(L×R) count — seeds span bucket boundaries, duplicate keys,
+    and negative timestamps (div semantics)."""
+    import random
+
+    rng = random.Random(20260813)
+    band = 100
+    keys = ["a", "b", "c"]
+    left = [
+        (i, rng.choice(keys), rng.randint(-250, 250)) for i in range(120)
+    ]
+    right = [(rng.choice(keys), rng.randint(-250, 250)) for _ in range(300)]
+    expect = {
+        i: sum(
+            1 for rk, rt in right if rk == k and 0 <= t - rt < band
+        )
+        for i, k, t in left
+    }
+    out = {
+        r["id"]: r["n"]
+        for r in range_join_count(
+            _df(spark, left, "id long, k string, ts long"),
+            _df(spark, right, "k string, rts long"),
+            "k",
+            "ts",
+            "rts",
+            band,
+            count_alias="n",
+        ).collect()
+    }
+    assert out == expect
+
+
 def test_range_join_zero_matches_kept(spark):
     left = _df(spark, [(1, "k", 1000), (2, "x", 5)], "id long, k string, ts long")
     right = _df(spark, [("k", 10_000)], "k string, rts long")
