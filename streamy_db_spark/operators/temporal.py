@@ -49,6 +49,11 @@ def asof_join(
     (pre-aggregate otherwise) — the match is then deterministic.
     """
     lcols = left.columns
+    reserved = {"_side", "_rts", "_m_ts"} | {
+        f"_{p}_{c}" for c in right_cols for p in ("r", "m")
+    }
+    clash = reserved & set(lcols)
+    assert not clash, f"asof_join internal columns collide with left: {clash}"
     l = left.withColumn("_side", F.lit(1)).withColumn("_rts", F.lit(None).cast("long"))
     r = right.select(
         F.col(key),

@@ -79,6 +79,39 @@ def test_range_join_duplicate_left_rows_kept(spark):
     assert counts == [(1, 1), (1, 1), (2, 0)]
 
 
+def test_asof_join_matches_bruteforce_random(spark):
+    """Randomized cross-check of the window-carry formulation against a
+    pure-Python argmax over right_ts <= left_ts (unique (key, rts) per
+    the operator contract)."""
+    import random
+
+    rng = random.Random(424242)
+    keys = ["a", "b", "c", "d"]
+    left = [(i, rng.choice(keys), rng.randint(-200, 200)) for i in range(150)]
+    right_map = {}
+    for _ in range(200):
+        right_map[(rng.choice(keys), rng.randint(-200, 200))] = None
+    right = [(k, t, f"v{k}{t}") for (k, t) in sorted(right_map)]
+
+    def brute(k, t):
+        cand = [(rt, v) for rk, rt, v in right if rk == k and rt <= t]
+        return max(cand) if cand else (None, None)
+
+    expect = {i: brute(k, t) for i, k, t in left}
+    out = {
+        r["id"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            _df(spark, left, "id long, k string, ts long"),
+            _df(spark, right, "k string, rts long, v string"),
+            key="k",
+            left_ts="ts",
+            right_ts="rts",
+            right_cols=["v"],
+        ).collect()
+    }
+    assert out == expect
+
+
 def test_range_join_matches_bruteforce_random(spark):
     """Randomized cross-check of the bucketed formulation against a pure
     Python O(L×R) count — seeds span bucket boundaries, duplicate keys,
