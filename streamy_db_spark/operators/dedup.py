@@ -163,7 +163,7 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iters: int = 15,
+    max_iters: int = 50,
 ) -> DataFrame:
     """(node, keeper) connected components of the undirected pair graph
     via min-label propagation: each round every node takes the min of its
@@ -171,6 +171,11 @@ def connected_components(
 
     Rounds to converge = graph diameter — near-dup graphs are dense small
     clusters (diameter 2–4), so this terminates in a handful of rounds.
+    A diameter beyond ``max_iters`` RAISES rather than returning silently
+    wrong labels (an unconverged round still has nodes taking smaller
+    labels); graphs that deep want the pointer-doubling/large-star
+    variant (label-of-label shortcut join per round, O(log d) rounds) —
+    not worth the extra per-round join for the dedup-cluster shape.
     Scale shape: labels and edges are hash-partitioned on node/src; each
     round is one shuffle join + one map-side-combined min-agg; no row
     data ever reaches the driver (the convergence probe is a limit(1)
@@ -192,6 +197,7 @@ def connected_components(
         .select(F.col("src").alias("node"), "label")
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         # One shuffle per round: neighbor labels and own label union into
         # a single min-agg that carries the old label along (``own``
@@ -214,7 +220,14 @@ def connected_components(
         )
         labels = new.select("node", F.col("new_label").alias("label"))
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds the iteration cap; raise max_iters or "
+            "use a pointer-doubling formulation for deep chains)"
+        )
     return labels.select("node", F.col("label").alias("keeper"))
 
 

@@ -1,0 +1,34 @@
+"""Direct tests for the min-label connected-components operator (the
+oracle test covers it only on the shallow near-dup graph at sf0.01;
+these pin deep-chain convergence and the non-convergence guard)."""
+
+from __future__ import annotations
+
+import pytest
+
+from streamy_db_spark.operators.dedup import connected_components
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def test_path_graph_converges_to_min(spark):
+    # 0-1-2-...-9 : worst diameter for its size; every node → keeper 0
+    pairs = _pairs(spark, [(i, i + 1) for i in range(9)])
+    out = {r["node"]: r["keeper"] for r in connected_components(pairs).collect()}
+    assert out == {i: 0 for i in range(10)}
+
+
+def test_multiple_components(spark):
+    pairs = _pairs(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)])
+    out = {r["node"]: r["keeper"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_nonconvergence_raises_not_silently_wrong(spark):
+    # Diameter 9 cannot converge in 2 rounds (init counts as one hop);
+    # the operator must refuse rather than return partial labels.
+    pairs = _pairs(spark, [(i, i + 1) for i in range(9)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=2)
