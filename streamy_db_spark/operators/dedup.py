@@ -164,6 +164,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
+    shortcut: bool = False,
 ) -> DataFrame:
     """(node, keeper) connected components of the undirected pair graph
     via min-label propagation: each round every node takes the min of its
@@ -173,9 +174,14 @@ def connected_components(
     clusters (diameter 2–4), so this terminates in a handful of rounds.
     A diameter beyond ``max_iters`` RAISES rather than returning silently
     wrong labels (an unconverged round still has nodes taking smaller
-    labels); graphs that deep want the pointer-doubling/large-star
-    variant (label-of-label shortcut join per round, O(log d) rounds) —
-    not worth the extra per-round join for the dedup-cluster shape.
+    labels). ``shortcut=True`` adds pointer doubling — each round also
+    takes label(label(n)) via a labels⋈labels self-join, collapsing
+    convergence to O(log d) rounds at the price of one extra shuffle per
+    round. Sound because every label IS a node id present in the labels
+    table (labels start as edge endpoints and only ever take mins of
+    existing labels). Default off: dedup-cluster graphs are shallow, and
+    one shuffle/round beats two; turn it on for deep-chain graphs
+    (boilerplate pages chained by pairwise similarity).
     Scale shape: labels and edges are hash-partitioned on node/src; each
     round is one shuffle join + one map-side-combined min-agg; no row
     data ever reaches the driver (the convergence probe is a limit(1)
@@ -206,6 +212,14 @@ def connected_components(
         prop = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label", F.lit(False).alias("own")
         )
+        if shortcut:
+            l2 = labels.select(
+                F.col("node").alias("_ln"), F.col("label").alias("_ll")
+            )
+            hop = labels.join(l2, labels.label == F.col("_ln")).select(
+                "node", F.col("_ll").alias("label"), F.lit(False).alias("own")
+            )
+            prop = prop.unionByName(hop)
         new = (
             prop.unionByName(labels.select("node", "label", F.lit(True).alias("own")))
             .groupBy("node")
@@ -226,7 +240,7 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
             "(graph diameter exceeds the iteration cap; raise max_iters or "
-            "use a pointer-doubling formulation for deep chains)"
+            "pass shortcut=True for O(log d) pointer-doubling rounds)"
         )
     return labels.select("node", F.col("label").alias("keeper"))
 

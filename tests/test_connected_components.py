@@ -26,6 +26,19 @@ def test_multiple_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_pointer_doubling_collapses_deep_chain(spark):
+    """A 24-node path (diameter 23) converges within ~log2(d)+2 rounds
+    under shortcut=True — and the SAME cap raises without it."""
+    pairs = _pairs(spark, [(i, i + 1) for i in range(23)])
+    out = {
+        r["node"]: r["keeper"]
+        for r in connected_components(pairs, max_iters=8, shortcut=True).collect()
+    }
+    assert out == {i: 0 for i in range(24)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=8)
+
+
 def test_nonconvergence_raises_not_silently_wrong(spark):
     # Diameter 9 cannot converge in 2 rounds (init counts as one hop);
     # the operator must refuse rather than return partial labels.
