@@ -13,7 +13,7 @@ from streamy_db_spark.streaming.joins import follow_join
 from tests.test_streaming_windows import _events_stream, _run_stream
 
 
-def test_streaming_follow_join_matches_batch(spark, sf_small, tmp_path):
+def _check_follow_join_parity(spark, sf_small, tmp_path):
     batch = {tuple(r) for r in q_follow_join(spark, sf_small).collect()}
     stream = _events_stream(spark, sf_small)
     clicks = stream.filter(F.col("event_type") == "click").select(
@@ -29,3 +29,30 @@ def test_streaming_follow_join_matches_batch(spark, sf_small, tmp_path):
     )
     assert got == batch
     assert batch  # non-vacuous: the harness data must actually produce pairs
+
+
+def test_streaming_follow_join_matches_batch(spark, sf_small, tmp_path):
+    _check_follow_join_parity(spark, sf_small, tmp_path)
+
+
+def test_streaming_follow_join_rocksdb(spark, sf_small, tmp_path):
+    """Stream-stream join state (the symmetric-hash buffers) under
+    RocksDBStateStoreProvider — a third state layout beyond the keyed
+    aggregation and applyInPandasWithState stores."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        _check_follow_join_parity(spark, sf_small, tmp_path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
