@@ -60,15 +60,27 @@ def workloads(draw):
     return txns
 
 
-def protocol_simulate(txns, feedback_rng: random.Random):
+def protocol_simulate(txns, feedback_rng: random.Random, roundtrip: bool = False):
     """Drive _KeyMachine instances through the reference message flow.
     Requests arrive in serial order (the sorter guarantees that); commit
     feedback is delivered in RANDOM order (Kafka guarantees nothing),
-    including overtaking still-buffered later requests."""
+    including overtaking still-buffered later requests.
+
+    ``roundtrip=True`` serializes every machine through
+    ``to_tuple()`` → ``_KeyMachine(state_tuple)`` on EVERY access — the
+    real engine reconstructs from the state store at each micro-batch, so
+    any field the tuple round-trip loses or reorders must flip a verdict
+    here before it can flip one in production."""
     machines: dict[str, _KeyMachine] = {}
 
     def machine(k):
-        return machines.setdefault(k, _KeyMachine(k, None))
+        m = machines.get(k)
+        if m is None:
+            m = _KeyMachine(k, None)
+        elif roundtrip:
+            m = _KeyMachine(k, m.to_tuple())
+        machines[k] = m
+        return m
 
     bodies = {t["transaction_id"]: t for t in txns}
     reads: dict[str, dict[str, str | None]] = {t["transaction_id"]: {} for t in txns}
@@ -120,7 +132,10 @@ def protocol_simulate(txns, feedback_rng: random.Random):
     )
     for t in ordered:
         drain_some()  # feedback may arrive BEFORE this txn's requests
-        pos = (t["ts"], t["kafka_partition"], t["kafka_offset"])
+        # D7's full 5-tuple serial key (ts, partition, offset, txn, kind)
+        # — what flush() hands the machine; the state tuple round-trip
+        # relies on exactly this shape.
+        pos = (t["ts"], t["kafka_partition"], t["kafka_offset"], t["transaction_id"])
         out: list = []
         for k, _ in t["asserts"]:
             machine(k).on_read(t["transaction_id"], (*pos, 0), out)
@@ -142,4 +157,14 @@ def protocol_simulate(txns, feedback_rng: random.Random):
 def test_protocol_matches_serial_oracle(txns, seed):
     expected, _state = serial_replay(txns)
     got = protocol_simulate(txns, random.Random(seed))
+    assert got == expected
+
+
+@settings(max_examples=150, deadline=None)
+@given(workloads(), st.integers(0, 2**32 - 1))
+def test_protocol_survives_state_roundtrip(txns, seed):
+    """Micro-batch boundary simulation: machines rebuilt from their
+    serialized state tuple before every event."""
+    expected, _state = serial_replay(txns)
+    got = protocol_simulate(txns, random.Random(seed), roundtrip=True)
     assert got == expected
