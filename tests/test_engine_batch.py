@@ -44,6 +44,50 @@ def test_pure_wavefront_matches_oracle(spark, mix):
     run_and_compare(spark, fixtures.generate(mix), tail_collapse_txns=0)
 
 
+def test_random_workloads_pure_wavefront(spark):
+    """Randomized adversarial sweep of the distributed wavefront (tail
+    collapse disabled): dense conflicts on a tiny keyspace, timestamp
+    ties, read-only and assert-free txns, deletes — the shapes that
+    stress the shadowed-undecided-write accounting (u_cum/eff) and
+    incremental abort. Fixture mixes cover 3 fixed shapes; this covers
+    12 random ones per run (seeded — deterministic)."""
+    import random
+    from datetime import datetime, timedelta, timezone
+
+    base_ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rng = random.Random(0xC0FFEE)
+    keys = ["a", "b", "c", "d"]
+    values = ["1", "2", "3", None]
+    for case in range(12):
+        n = rng.randint(5, 28)
+        txns = []
+        for i in range(n):
+            asserts = list(
+                {
+                    rng.choice(keys): rng.choice(values)
+                    for _ in range(rng.randint(0, 3))
+                }.items()
+            )
+            updates = [
+                (rng.choice(keys), rng.choice(values))
+                for _ in range(rng.randint(0, 3))
+            ]
+            txns.append(
+                {
+                    "ts": base_ts + timedelta(seconds=rng.randint(0, n // 3)),
+                    "kafka_partition": rng.randint(0, 1),
+                    "kafka_offset": i,
+                    "transaction_id": f"t{i}",
+                    "asserts": asserts,
+                    "updates": updates,
+                }
+            )
+        try:
+            run_and_compare(spark, txns, tail_collapse_txns=0)
+        except AssertionError as e:
+            raise AssertionError(f"case {case} (seeded) diverged: {e}") from e
+
+
 def test_determinism_across_partitionings(spark):
     txns = fixtures.generate("conflict_heavy")
     df = fixtures.to_dataframe(spark, txns)
