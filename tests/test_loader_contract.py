@@ -72,6 +72,20 @@ def test_events_loader_contract(spark, tmp_path, encoding):
     assert rows[1]["ts"].replace(tzinfo=None) == expect
 
 
+def test_sql_view_exposes_ts_ns(spark, sf_oracle):
+    """The SQL entry point's registered views carry the loader contract
+    too — a SQL user gets ts_ns regardless of the physical encoding."""
+    from streamy_db_spark.sql import run_sql
+
+    row = run_sql(
+        spark,
+        "SELECT count(*) AS n, min(ts_ns) AS mn, "
+        "max(cast(ts AS date)) AS d FROM events",
+        sf_oracle,
+    ).collect()[0]
+    assert row["n"] > 0 and row["mn"] is not None and row["d"] is not None
+
+
 def test_real_testdata_contract(spark, sf_oracle):
     """Whatever encoding the CURRENT harness data uses, the contract holds."""
     df = load_table(spark, sf_oracle, "events")
