@@ -432,9 +432,23 @@ def embedding_dim(
 
     key = os.path.join(sf_dir, f"{table}.parquet")
     if key not in _DIM_CACHE:
-        pf = pq.ParquetFile(key)
-        batch = next(pf.iter_batches(batch_size=1, columns=[vec_col]))
-        _DIM_CACHE[key] = len(batch.column(0)[0])
+        if os.path.isdir(key):  # Spark-written table = directory of parts
+            paths = [
+                os.path.join(key, f)
+                for f in sorted(os.listdir(key))
+                if f.endswith(".parquet")
+            ]
+        else:
+            paths = [key]
+        for path in paths:
+            pf = pq.ParquetFile(path)
+            if pf.metadata.num_rows == 0:
+                continue  # Spark writes empty part files
+            batch = next(pf.iter_batches(batch_size=1, columns=[vec_col]))
+            _DIM_CACHE[key] = len(batch.column(0)[0])
+            break
+        else:
+            raise FileNotFoundError(f"no non-empty parquet parts under {key}")
     return _DIM_CACHE[key]
 
 
