@@ -70,7 +70,13 @@ class StreamyDB:
     def execute(self, txns: list[dict[str, Any]] | DataFrame) -> dict[str, bool]:
         """Atomically apply a batch of transactions against current state;
         returns {transaction_id: committed}. State advances to the
-        post-batch snapshot (deterministic: same log ⇒ same outcome)."""
+        post-batch snapshot (deterministic: same log ⇒ same outcome).
+
+        DRIVER-SIZED: the returned dict collects one row per transaction
+        in the batch onto the driver — it is a user-facade convenience
+        for interactively-sized batches. For a 100 TB log, call
+        ``replay`` directly and keep the results as a DataFrame
+        (``results_df()`` here stays distributed)."""
         log = txns if isinstance(txns, DataFrame) else self._to_log(txns)
         results, state = replay(log, self._state)
         self._results = results.localCheckpoint(eager=True)

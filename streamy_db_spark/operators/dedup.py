@@ -150,11 +150,11 @@ def near_dup_pairs_lsh(
 def q_dedup_near_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate near-dup pairs (rows-only check — approximate by
     design; recall vs the exact baseline guarded in tests)."""
-    from streamy_db_spark.operators.similarity import embedding_dim
+    from streamy_db_spark.operators.similarity import dim_for
 
     emb = load_table(spark, sf_dir, "embeddings")
     return near_dup_pairs_lsh(
-        emb, threshold=ORACLE_NEAR_DUP_COS, dim=embedding_dim(sf_dir)
+        emb, threshold=ORACLE_NEAR_DUP_COS, dim=dim_for(emb, sf_dir)
     )
 
 

@@ -260,6 +260,7 @@ def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
 # snapshot (which is how a 100 TB dedup pipeline runs: sketch → pairs →
 # clusters as successive materialized stages, never recomputed).
 _PAIRS_CACHE: dict[tuple, DataFrame] = {}
+_PAIRS_CACHE_CAP = 8  # bounded: dict insertion order = FIFO eviction
 
 
 def minhash_near_dup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,6 +273,8 @@ def minhash_near_dup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
         df = minhash_near_dup_pairs(docs).localCheckpoint(eager=True)
+        while len(_PAIRS_CACHE) >= _PAIRS_CACHE_CAP:
+            _PAIRS_CACHE.pop(next(iter(_PAIRS_CACHE)))
         _PAIRS_CACHE[key] = df
     return df
 

@@ -143,7 +143,7 @@ def q_ann_lsh(spark, sf_dir: str) -> DataFrame:
     )
     out = lsh_ann_topk(
         queries, emb, k=KNN_BATCH_K, n_tables=8, n_planes=4,
-        dim=embedding_dim(sf_dir),
+        dim=dim_for(emb, sf_dir),
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine")
@@ -340,6 +340,7 @@ def ivf_ann_topk(
 # Queries against the same table probe a once-trained index instead of
 # re-running Lloyd per invocation (the deployed lifecycle; r2 verdict).
 _IVF_CENTROID_CACHE: dict[tuple, np.ndarray] = {}
+_IVF_CENTROID_CACHE_CAP = 8  # bounded: dict insertion order = FIFO eviction
 
 
 def q_ann_ivf(spark, sf_dir: str) -> DataFrame:
@@ -355,6 +356,8 @@ def q_ann_ivf(spark, sf_dir: str) -> DataFrame:
     key = (sf_dir, IVF_CLUSTERS, IVF_ITERS, IVF_TRAIN_FRACTION)
     C = _IVF_CENTROID_CACHE.get(key)
     if C is None:
+        while len(_IVF_CENTROID_CACHE) >= _IVF_CENTROID_CACHE_CAP:
+            _IVF_CENTROID_CACHE.pop(next(iter(_IVF_CENTROID_CACHE)))
         C = _IVF_CENTROID_CACHE.setdefault(key, ivf_train_centroids(emb))
     out = ivf_ann_topk(queries, emb, k=KNN_BATCH_K, centroids=C)
     return out.select(
@@ -423,23 +426,31 @@ def embedding_dim(
     """Vector dimensionality as index metadata.
 
     Probed ONCE per dataset straight from the parquet file (footer + a
-    single-row batch — no Spark job), then cached for the process
-    lifetime. Replaces the per-call ``limit(1).collect()`` driver
-    round-trip that used to sit on the hot retrieval path; on a real
-    deployment this number lives in the index/catalog metadata written at
-    ingest."""
+    single-row batch — no Spark job), then cached keyed on
+    (path, file mtime) so an in-process dataset regeneration with a new
+    dimensionality can't serve a stale dim. Replaces the per-call
+    ``limit(1).collect()`` driver round-trip that used to sit on the hot
+    retrieval path; on a real deployment this number lives in the
+    index/catalog metadata written at ingest. Non-local ``sf_dir``
+    (s3://, hdfs://, ...) can't be footer-probed with local pyarrow —
+    callers fall back to ``_probe_dim`` (see ``_dim_for``)."""
     import pyarrow.parquet as pq
 
-    key = os.path.join(sf_dir, f"{table}.parquet")
+    path_key = os.path.join(sf_dir, f"{table}.parquet")
+    if not os.path.exists(path_key):
+        raise FileNotFoundError(
+            f"{path_key} is not a local parquet path — use _probe_dim"
+        )
+    key = f"{path_key}@{os.path.getmtime(path_key):.6f}"
     if key not in _DIM_CACHE:
-        if os.path.isdir(key):  # Spark-written table = directory of parts
+        if os.path.isdir(path_key):  # Spark-written table = directory of parts
             paths = [
-                os.path.join(key, f)
-                for f in sorted(os.listdir(key))
+                os.path.join(path_key, f)
+                for f in sorted(os.listdir(path_key))
                 if f.endswith(".parquet")
             ]
         else:
-            paths = [key]
+            paths = [path_key]
         for path in paths:
             pf = pq.ParquetFile(path)
             if pf.metadata.num_rows == 0:
@@ -448,7 +459,7 @@ def embedding_dim(
             _DIM_CACHE[key] = len(batch.column(0)[0])
             break
         else:
-            raise FileNotFoundError(f"no non-empty parquet parts under {key}")
+            raise FileNotFoundError(f"no non-empty parquet parts under {path_key}")
     return _DIM_CACHE[key]
 
 
@@ -457,6 +468,16 @@ def _probe_dim(df: DataFrame, vec_col: str) -> int:
     (one bounded driver round-trip; callers on hot paths pass ``dim``)."""
     first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     return first[0]["d"] if first else 0
+
+
+def dim_for(df: DataFrame, sf_dir: str, vec_col: str = "embedding") -> int:
+    """Dim via local parquet-footer metadata when ``sf_dir`` is a local
+    path, else one bounded Spark probe (s3://, hdfs://, ... are readable
+    by spark.read.parquet but not by local pyarrow footer inspection)."""
+    try:
+        return embedding_dim(sf_dir, vec_col=vec_col)
+    except (FileNotFoundError, OSError):
+        return _probe_dim(df, vec_col)
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

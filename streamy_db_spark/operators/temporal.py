@@ -49,11 +49,20 @@ def asof_join(
     (pre-aggregate otherwise) — the match is then deterministic.
     """
     lcols = left.columns
-    reserved = {"_side", "_rts", "_m_ts"} | {
-        f"_{p}_{c}" for c in right_cols for p in ("r", "m")
-    }
+    # ValueError, not assert: these are runtime input-contract checks and
+    # must survive `python -O` (asserts are stripped there). The reserved
+    # set also covers the *output* names (asof_ts / asof_{c}) — a left
+    # column named asof_ts would be silently shadowed by the result.
+    reserved = (
+        {"_side", "_rts", "_m_ts", "asof_ts"}
+        | {f"_{p}_{c}" for c in right_cols for p in ("r", "m")}
+        | {f"asof_{c}" for c in right_cols}
+    )
     clash = reserved & set(lcols)
-    assert not clash, f"asof_join internal columns collide with left: {clash}"
+    if clash:
+        raise ValueError(
+            f"asof_join internal/output columns collide with left: {sorted(clash)}"
+        )
     l = left.withColumn("_side", F.lit(1)).withColumn("_rts", F.lit(None).cast("long"))
     r = right.select(
         F.col(key),
@@ -135,8 +144,9 @@ def range_join_count(
     # Integer div, not `/`: ns epochs (~1.7e18) exceed double's 2^53
     # exact-integer range, so float division mis-buckets edge rows.
     lbucket = F.expr(f"`{left_ts}` div {band_ns}")
-    for c in ("__rjc_b", "__rjc_rts0", "__rjc_rts1"):
-        assert c not in left.columns, f"column {c!r} collides in range join"
+    for c in ("__rjc_b", "__rjc_rts0", "__rjc_rts1", count_alias):
+        if c in left.columns:
+            raise ValueError(f"column {c!r} collides in range join")
     rb = (
         right.select(
             F.col(key),
@@ -156,8 +166,14 @@ def range_join_count(
         ).drop("__rjc_b")
     lt = F.col(left_ts)
     in_band = lambda t: ((lt - t) >= 0) & ((lt - t) < F.lit(band_ns))  # noqa: E731
+    # NULL-array guard BEFORE size(): under spark.sql.ansi.enabled=false
+    # (Spark 3 default, common migration setting) size(NULL) is -1, not
+    # NULL, so a trailing coalesce would pass -1 through and zero-count
+    # left rows would report -1/-2. when/isNull is ANSI-mode-independent.
     count = sum(
-        F.coalesce(F.size(F.filter(F.col(f"__rjc_rts{i}"), in_band)), F.lit(0))
+        F.when(F.col(f"__rjc_rts{i}").isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(F.col(f"__rjc_rts{i}"), in_band))
+        )
         for i in range(2)
     )
     return out.withColumn(count_alias, count.cast("long")).drop(

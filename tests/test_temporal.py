@@ -156,3 +156,50 @@ def test_range_join_zero_matches_kept(spark):
         ).collect()
     }
     assert rows == {1: 0, 2: 0}
+
+
+def test_range_join_zero_matches_ansi_off(spark):
+    """Regression (r4 ADVICE): under spark.sql.ansi.enabled=false
+    size(NULL) is -1, not NULL — zero-count rows must still report 0."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        left = _df(
+            spark, [(1, "k", 1000), (2, "x", 5)], "id long, k string, ts long"
+        )
+        right = _df(spark, [("k", 10_000)], "k string, rts long")
+        rows = {
+            r["id"]: r["n"]
+            for r in range_join_count(
+                left, right, "k", "ts", "rts", 100, count_alias="n"
+            ).collect()
+        }
+        assert rows == {1: 0, 2: 0}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_asof_join_rejects_colliding_columns(spark):
+    """Input-contract violations raise ValueError (survives python -O),
+    including collisions with the asof_* OUTPUT names."""
+    import pytest
+
+    right = _df(spark, [("k", 1, "a")], "k string, rts long, v string")
+    for bad_col in ("asof_ts", "asof_v", "_side"):
+        left = _df(
+            spark, [(1, "k", 10, "x")], f"id long, k string, ts long, `{bad_col}` string"
+        )
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(
+                left, right, key="k", left_ts="ts", right_ts="rts",
+                right_cols=["v"],
+            )
+
+
+def test_range_join_rejects_colliding_count_alias(spark):
+    import pytest
+
+    left = _df(spark, [(1, "k", 10)], "n long, k string, ts long")
+    right = _df(spark, [("k", 1)], "k string, rts long")
+    with pytest.raises(ValueError, match="collides"):
+        range_join_count(left, right, "k", "ts", "rts", 100, count_alias="n")
