@@ -150,25 +150,74 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+# Production hot-bucket cap: a bucket of b docs emits b(b-1)/2 pairs,
+# so ONE 1M-copy boilerplate cluster (cookie banners, license headers)
+# would emit 5e11 pairs from a single bucket — the classic LSH scale
+# killer. Above the cap a bucket degrades to a star (every member →
+# min doc_id): O(b) edges, connectivity — and therefore dedup-group
+# recall after connected_components — is preserved, only the redundant
+# intra-cluster pair enumeration is dropped.
+HOT_BUCKET_CAP = 64
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing ≥1 LSH band bucket.
 
     Scale shape: self-join co-partitioned on (band, band_hash) — the
-    shuffle key is a 32-hex digest, uniformly distributed; pair blowup is
-    bounded per bucket (skewed buckets = boilerplate text; salt or cap
-    bucket size in production)."""
-    b1 = bands.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
-    b2 = bands.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
-    return (
-        b1.join(b2, ["band", "band_hash"])
+    shuffle key is a 32-hex digest, uniformly distributed.
+
+    ``max_bucket_size``: buckets with at most this many docs do the
+    exact all-pairs join; hotter buckets (boilerplate text) emit a
+    deterministic star instead — each member paired with the bucket's
+    min doc_id — bounding a b-doc bucket at b-1 edges instead of
+    b(b-1)/2. Downstream Jaccard verification still filters every
+    edge, and connected_components recovers the full cluster from the
+    star, so group-level recall is unchanged; only direct enumeration
+    of every intra-cluster pair is sacrificed. ``None`` (the default,
+    used by the oracle-matched registered queries) keeps exact
+    semantics; pass ``HOT_BUCKET_CAP`` for production corpora. The
+    size/rep aggregation shuffles on the same (band, band_hash) key as
+    the join — co-partitioned, no extra exchange pattern."""
+    if max_bucket_size is None:
+        b1 = bands.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+        b2 = bands.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
+        return (
+            b1.join(b2, ["band", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    sizes = bands.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("_bsz"), F.min("doc_id").alias("_brep")
+    )
+    tagged = bands.join(sizes, ["band", "band_hash"])
+    small = tagged.filter(F.col("_bsz") <= max_bucket_size)
+    s1 = small.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+    s2 = small.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
+    pairs_small = (
+        s1.join(s2, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    # Star edges: rep = min doc_id, so id_a < id_b holds by construction.
+    pairs_hot = (
+        tagged.filter(
+            (F.col("_bsz") > max_bucket_size) & (F.col("doc_id") != F.col("_brep"))
+        )
+        .select(F.col("_brep").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    return pairs_small.unionByName(pairs_hot).distinct()
 
 
-def minhash_near_dup_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard ≥ threshold.
+    ``max_bucket_size`` caps hot LSH buckets (see lsh_candidate_pairs).
 
     The shingle set is materialized ONCE (cache) and feeds both the
     sketch/band side and the two verify joins — the bench-scale analogue
@@ -187,7 +236,7 @@ def minhash_near_dup_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD
         .cache()
     )
     bands = minhash_bands_from_shingles(sh).cache()
-    cand = lsh_candidate_pairs(bands)
+    cand = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (

@@ -202,3 +202,42 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["c_mktsegment", "o_orderpriority", "revenue", "n_rows"]
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A planted boilerplate cluster (many copies of one text) must not
+    blow up the candidate set when the hot-bucket cap is on, and
+    group-level recall must survive the star degradation (r4 verdict
+    item 2 — the one remaining 100×-scale killer in the dedup path)."""
+    from streamy_db_spark.operators import minhash
+    from streamy_db_spark.operators.dedup import connected_components
+
+    n_copies = 300
+    boiler = "this content is provided as is without warranty of any kind either express or implied"
+    # Token-disjoint across docs so the only band collisions are the
+    # planted ones (shared tokens ⇒ shared shingles ⇒ chance collisions).
+    distinct = [
+        " ".join(f"w{i}x{j}" for j in range(12)) for i in range(20)
+    ]
+    rows = [(i, boiler) for i in range(n_copies)]
+    rows += [(1000 + i, t) for i, t in enumerate(distinct)]
+    # One genuine near-dup pair among the distinct docs (small-bucket path).
+    rows.append((2000, distinct[0] + " with a tiny suffix"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bands = minhash.minhash_bands(docs)
+    capped = minhash.lsh_candidate_pairs(bands, max_bucket_size=16).collect()
+    # Star topology: the 300-copy cluster contributes exactly n-1 edges
+    # (identical text ⇒ identical bands ⇒ same star in every band);
+    # without the cap it would contribute n(n-1)/2 = 44,850.
+    assert len(capped) < n_copies + 50, f"candidate set not bounded: {len(capped)}"
+    for r in capped:
+        assert r["id_a"] < r["id_b"]
+
+    verified = minhash.minhash_near_dup_pairs(docs, max_bucket_size=16)
+    groups = connected_components(verified).collect()
+    keeper_of = {r["node"]: r["keeper"] for r in groups}
+    # Every boilerplate copy resolves to the one keeper (full recall at
+    # the group level), and the planted small-bucket pair still links.
+    assert {keeper_of[i] for i in range(n_copies)} == {0}
+    assert keeper_of.get(2000) == keeper_of.get(1000) == 1000
