@@ -3,16 +3,22 @@
 
 Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, plus the batch
-transaction-protocol replay (the engine's headline capability), and prints
-ONE JSON line:
+transaction-protocol replay at 10k and 100k transactions (the engine's
+headline capability), and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` is the total wall-clock over all queries (the driver compares it
 against BASELINE.md round over round). Per-query seconds let us see which
 plan regressed. Each query is forced with a count()-style materialization
-(collect for top-k queries) so the measured time is the full job, not plan
-construction.
+so the measured time is the full job, not plan construction.
+
+Regression gates (exit 1, so a bad round fails loudly instead of needing
+judge archaeology):
+- any per-query error ⇒ headline ``value`` is null (a partial total would
+  otherwise read as a speedup) and rc != 0;
+- any query breaching its pinned budget (~2× its r4/r5 measurement,
+  BUDGETS below) ⇒ rc != 0 with the breaches listed.
 """
 
 from __future__ import annotations
@@ -29,12 +35,65 @@ if _REPO not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Deliberately-O(N²) exact baselines: they exist to verify the scalable
-# variants' recall at oracle scale (sf0.01) and are not meaningful to time
-# at bench scale (5000 docs → 12.5M list-intersect pairs). Their scalable
-# counterparts (q_minhash_lsh_pairs, q_ann_lsh) ARE timed. Skips are
-# recorded explicitly in the output — no silent caps.
-QUADRATIC_BASELINES = {"q_jaccard_pairs", "q_dedup_near_embedding"}
+# Per-query wall-clock budgets in seconds at sf0.1 on local[32]: pinned
+# at ~2× the r4 bench (BENCH_r04.json) so a >2× regression exits nonzero.
+# New queries get budgets from their first measured round. Only applied
+# when benching the standard sf0.1 dir on >=16 cpus — other SFs/machines
+# have different baselines.
+BUDGETS = {
+    "q_agg_tpch_pricing": 2.7,
+    "q_ann_ivf": 10.0,
+    "q_ann_lsh": 6.3,
+    "q_array_funcs": 0.7,
+    "q_asof_join": 1.3,
+    "q_bool_and": 0.9,
+    "q_collect_list": 1.2,
+    "q_conditional_agg": 0.9,
+    "q_date_agg": 1.1,
+    "q_dedup_events": 1.8,
+    "q_dedup_exact": 4.1,
+    "q_dedup_groups": 9.8,
+    "q_dedup_near_lsh": 2.3,
+    "q_distinct_agg": 0.6,
+    "q_embedding_knn": 1.0,
+    "q_follow_join": 1.1,
+    "q_groupby_count": 1.2,
+    "q_grouping_sets": 1.7,
+    "q_join_3way": 2.9,
+    "q_join_txn_reads": 1.9,
+    "q_json_funcs": 0.6,
+    "q_knn_batch": 1.9,
+    "q_last_write_wins": 1.1,
+    "q_media_features": 2.0,
+    "q_media_frames": 1.4,
+    "q_minhash_lsh_pairs": 10.0,  # pays the shared shingle/signature pipeline
+    "q_outer_join": 1.2,
+    "q_pivot": 0.5,
+    "q_range_join": 0.8,
+    "q_resize_media": 3.0,
+    "q_scalar_funcs": 0.5,
+    "q_scalar_subquery": 1.0,
+    "q_scan_filter_project": 0.6,
+    "q_semi_anti_join": 1.2,
+    "q_serial_order": 0.4,
+    "q_sessionize": 1.4,
+    "q_set_ops": 1.5,
+    "q_simhash": 0.7,
+    "q_simhash64": 3.0,
+    "q_simhash_neardup": 4.4,
+    "q_sketch_aggs": 0.6,
+    "q_stats_agg": 0.6,
+    "q_string_funcs": 0.4,
+    "q_text_analysis": 0.5,
+    "q_text_stats": 0.6,
+    "q_topk_orders": 0.6,
+    "q_tpch_q5": 2.4,
+    "q_union_merge": 0.9,
+    "q_window_events": 1.0,
+    "q_window_funcs": 0.5,
+    "protocol_replay_10k": 14.0,
+    "protocol_replay_100k": 60.0,
+}
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -45,32 +104,33 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
-def bench_protocol_replay(spark) -> tuple[float, float]:
-    """Deterministic transaction replay throughput on the scale_bench mix
-    (10k txns × 4 keys). Returns (seconds, txns_per_sec)."""
+def bench_protocol_replay(spark, mix: str, warm: bool) -> tuple[float, float, dict]:
+    """Deterministic transaction replay throughput on a sparse-conflict
+    mix. Returns (seconds, txns_per_sec, replay stats)."""
     from streamy_db_spark import fixtures
     from streamy_db_spark.engine_batch import replay
 
-    # Warm the replay's plan shapes on a tiny mix first: a cold run pays
-    # ~3.5 s of one-time Catalyst/codegen compile across the fixpoint's
-    # many small jobs (measured 8.4 s cold vs 4.8 s warm for the SAME
-    # work). On a resident engine those plans are compiled once per
-    # process, so timing them against a 10k-txn batch would misattribute
-    # — same rationale as the scan/Arrow warmups in main().
-    warm = fixtures.generate_df(spark, "ref_smoke").localCheckpoint(eager=True)
-    r, s = replay(warm)
-    r.count(), s.count()
+    if warm:
+        # Warm the replay's plan shapes on a tiny mix first: a cold run
+        # pays ~3.5 s of one-time Catalyst/codegen compile across the
+        # fixpoint's many small jobs (measured 8.4 s cold vs 4.8 s warm
+        # for the SAME work). On a resident engine those plans compile
+        # once per process — same rationale as the scan/Arrow warmups.
+        w = fixtures.generate_df(spark, "ref_smoke").localCheckpoint(eager=True)
+        r, s = replay(w)
+        r.count(), s.count()
 
-    txns = fixtures.generate_df(spark, "scale_bench")
+    txns = fixtures.generate_df(spark, mix)
     txns = txns.localCheckpoint(eager=True)  # exclude generation from timing
     n = txns.count()
+    stats: dict = {}
     t0 = time.perf_counter()
-    results, state = replay(txns)
+    results, state = replay(txns, stats=stats)
     n_res = results.count()
     state.count()
     dt = time.perf_counter() - t0
     assert n_res == n, f"replay dropped transactions: {n_res}/{n}"
-    return dt, n / dt
+    return dt, n / dt, stats
 
 
 def main() -> None:
@@ -104,11 +164,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
 
-    skipped = []
     for name, fn in sorted(entry_mod.queries().items()):
-        if name in QUADRATIC_BASELINES:
-            skipped.append(name)
-            continue
         # Per-query fault isolation: one failing query must not kill the
         # whole benchmark record (round 3 lost every number to a single
         # AnalysisException). Failures are reported, never silently eaten.
@@ -121,18 +177,41 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
-    try:
-        replay_s, txn_rate = bench_protocol_replay(spark)
-        timings["protocol_replay_10k"] = round(replay_s, 3)
-    except Exception as exc:  # noqa: BLE001
-        errors["protocol_replay_10k"] = f"{type(exc).__name__}: {exc}"[:500]
-        print(
-            f"bench: protocol_replay_10k FAILED: {errors['protocol_replay_10k']}",
-            file=sys.stderr,
-        )
-        txn_rate = 0.0
+    replay_extra: dict[str, object] = {}
+    txn_rate = 0.0
+    for label, mix, warm in (
+        ("protocol_replay_10k", "scale_bench", True),
+        ("protocol_replay_100k", "scale_bench_100k", False),
+    ):
+        try:
+            replay_s, rate, stats = bench_protocol_replay(spark, mix, warm)
+            timings[label] = round(replay_s, 3)
+            replay_extra[f"{label.split('_')[-1]}_txn_per_sec"] = round(rate, 1)
+            replay_extra[f"{label.split('_')[-1]}_waves"] = stats.get("rounds")
+            if label.endswith("10k"):
+                txn_rate = rate
+        except Exception as exc:  # noqa: BLE001
+            errors[label] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {label} FAILED: {errors[label]}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    # Budgets only bind on the standard bench configuration.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    breaches = {}
+    if abs(_sf_from_dir(SF_DIR) - 0.1) < 1e-9 and cpus >= 16:
+        breaches = {
+            name: {"sec": sec, "budget": BUDGETS[name]}
+            for name, sec in timings.items()
+            if name in BUDGETS and sec > BUDGETS[name]
+        }
+        for name, b in breaches.items():
+            print(
+                f"bench: {name} BUDGET BREACH: {b['sec']}s > {b['budget']}s",
+                file=sys.stderr,
+            )
+
+    # A partial total reads as a speedup — invalidate the headline when
+    # any query failed so round-over-round comparison can't use it.
+    total = round(sum(timings.values()), 3) if not errors else None
     print(
         json.dumps(
             {
@@ -142,12 +221,15 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
                 "protocol_txn_per_sec": round(txn_rate, 1),
-                "skipped_quadratic_baselines": skipped,
+                **replay_extra,
+                "budget_breaches": breaches,
                 "errors": errors,
             }
         )
     )
     spark.stop()
+    if errors or breaches:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

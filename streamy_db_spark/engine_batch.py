@@ -213,8 +213,14 @@ def replay(
     verbose: bool = False,
     tail_collapse_txns: int = 5_000,
     tail_collapse_max_rows: int = 500_000,
+    stats: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministically replay a transaction log.
+
+    ``stats``: pass a dict to receive {"rounds": wavefront rounds run,
+    "tail_collapsed": whether the driver-side tail fold fired} — bench
+    telemetry (wave count is the scale-relevant figure: it tracks the
+    longest dependency chain, not the row count).
 
     transactions: TRANSACTION_LOG-shaped (ts, kafka_partition,
     kafka_offset, transaction_id, asserts, updates). (ts, partition,
@@ -317,6 +323,7 @@ def replay(
     )
 
     rounds = 0
+    tail_fired = False
     while n_decided < n_total:
         # Attempt the tail collapse BEFORE paying for a distributed round
         # (round 0 alone often shrinks the set under the row budget).
@@ -341,6 +348,7 @@ def replay(
                     ).collect()
                 }
                 verdicts = _serial_tail_fold(rows, na)
+                tail_fired = True
                 if verbose:
                     print(
                         f"[replay] tail collapse after round {rounds}: "
@@ -434,6 +442,9 @@ def replay(
             .localCheckpoint(eager=True)
         )
 
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["tail_collapsed"] = tail_fired
     results = reduce(DataFrame.unionByName, result_parts)
 
     # Final KV state: last committed write per key in serial order

@@ -37,6 +37,10 @@ MIXES = {
     "deletes":      (150,   3, 150),
     "read_only":    (200,   4, 100),
     "scale_bench":  (10_000, 4, 10_000),
+    # Same sparse-conflict density (txns × keys/txn ÷ keyspace = 4) at
+    # 10× rows — proves replay throughput grows with batch size
+    # (BASELINE.md's claim; bench.py protocol_replay_100k).
+    "scale_bench_100k": (100_000, 4, 100_000),
 }
 
 
@@ -119,3 +123,27 @@ def to_dataframe(spark: SparkSession, txns: list[dict[str, Any]]) -> DataFrame:
 
 def generate_df(spark: SparkSession, mix: str, seed: int = 42) -> DataFrame:
     return to_dataframe(spark, generate(mix, seed))
+
+
+def planted_embeddings(
+    n_base: int = 60, n_dups: int = 15, dim: int = 32, seed: int = 20260813
+) -> list[tuple[int, list[float]]]:
+    """Deterministic embedding table that actually CONTAINS near-dups:
+    ``n_base`` unit-scale gaussians (mutual cosine ≈ 0 at this dim) plus
+    ``n_dups`` small perturbations of the first ``n_dups`` bases (cosine
+    ≥ ~0.99). The harness embeddings are pure gaussians whose max
+    pairwise cosine ≈ 0.5, so the production 0.9 near-dup cut is only
+    testable on planted data like this (r4 verdict item 6). Dup of base
+    j gets vec_id 10_000 + j."""
+    rng = random.Random(seed)
+    rows: list[tuple[int, list[float]]] = []
+    base: list[list[float]] = []
+    for i in range(n_base):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        base.append(v)
+        rows.append((i, [float(x) for x in v]))
+    for j in range(n_dups):
+        rows.append(
+            (10_000 + j, [float(x + rng.gauss(0, 0.03)) for x in base[j]])
+        )
+    return rows

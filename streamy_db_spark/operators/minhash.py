@@ -429,12 +429,155 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(docs)
 
 
+# --- 64-bit SimHash, 4 × 16-bit bands (production sizing) --------------------
+#
+# The 16-bit fingerprint above keeps its oracle SQL small; this is the
+# documented production variant (simhash docstring): 64 bits, 4 bands of
+# 16 — by pigeonhole a pair with Hamming distance ≤ 3 always shares at
+# least one full band, so the banded candidate set is COMPLETE for
+# ham_max ≤ 3 and the near-dup query is exact, not approximate.
+
+SIMHASH64_BITS = 64
+SIMHASH64_BANDS = 4
+SIMHASH64_BAND_BITS = 16
+SIMHASH64_HAM_MAX = 3
+
+
+def simhash64_band_values(text: Column) -> Column:
+    """Array of 4 ints: the 16-bit bands of the 64-bit simhash, band k
+    read from hex digits [4k, 4k+4) of each token md5 (MSB-first within
+    each digit — same bit order as the 16-bit ``simhash``).
+
+    One md5 per token: the digest feeds a transform over a singleton
+    array so all four band windows read ONE evaluation (Catalyst does no
+    CSE inside higher-order lambdas — the r1/r2 simhash lesson); the 64
+    bit-counters accumulate in a single fold."""
+    tokens = F.filter(F.split(F.lower(text), WS_RE), lambda x: x != "")
+    n = F.size(tokens)
+
+    def _band_ints(t: Column) -> Column:
+        # element_at(transform(array(md5(t)), ...), 1): evaluate the
+        # digest once, slice four 4-hex windows from it.
+        return F.element_at(
+            F.transform(
+                F.array(_md5(t)),
+                lambda m: F.array(
+                    *[
+                        F.conv(F.substring(m, 4 * k + 1, 4), 16, 10).cast("long")
+                        for k in range(SIMHASH64_BANDS)
+                    ]
+                ),
+            ),
+            1,
+        )
+
+    vals = F.transform(tokens, _band_ints)
+
+    def _bit(v: Column, j: Column) -> Column:
+        # global bit j: band k = j div 16; within the band's 4-hex value,
+        # digit = (j%16) div 4 (MSB side), bit-in-digit = 3 - j%4.
+        band_val = F.element_at(v, (F.floor(j / 16) + 1).cast("int"))
+        j_in = j % 16
+        shift = (F.lit(3) - F.floor(j_in / 4)) * 4 + (F.lit(3) - j % 4)
+        return (
+            F.floor(band_val / F.pow(F.lit(2.0), shift.cast("double"))).cast("long")
+            % 2
+        )
+
+    ones = F.aggregate(
+        vals,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH64_BITS),
+        lambda acc, v: F.transform(acc, lambda c, j: c + _bit(v, j)),
+    )
+    # Reassemble band k: bit j_in (0 = MSB) contributes 2^(15 - j_in).
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH64_BANDS - 1)),
+        lambda k: F.aggregate(
+            F.sequence(F.lit(0), F.lit(SIMHASH64_BAND_BITS - 1)),
+            F.lit(0).cast("long"),
+            lambda a, j: a
+            + F.when(
+                F.element_at(ones, (k * 16 + j + 1).cast("int")) * 2 > n,
+                F.pow(
+                    F.lit(2.0), (F.lit(SIMHASH64_BAND_BITS - 1) - j).cast("double")
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ).cast("int"),
+    )
+
+
+def simhash64_hex(text: Column) -> Column:
+    """64-bit simhash as a 16-hex-char lowercase string (bands
+    concatenated MSB-first) — string form keeps the full fingerprint
+    under the driver's value-hash gate without int64-sign pitfalls."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            simhash64_band_values(text),
+            lambda b: F.lpad(F.lower(F.hex(b)), 4, "0"),
+        ),
+    )
+
+
+def simhash64_neardup_pairs(
+    docs: DataFrame, ham_max: int = SIMHASH64_HAM_MAX
+) -> DataFrame:
+    """EXACT Hamming-≤ham_max pairs over the 64-bit simhash: bucket-join
+    on any of the 4 bands (complete for ham_max ≤ 3 by pigeonhole),
+    verify with per-band xor+bit_count. Shuffle moves (doc_id, band,
+    16-bit value) only — the production near-dup shape."""
+    if ham_max >= SIMHASH64_BANDS:
+        raise ValueError(
+            f"4-band candidates are only complete for ham_max < "
+            f"{SIMHASH64_BANDS}; got {ham_max}"
+        )
+    from streamy_db_spark.sources.tables import spread
+
+    fp = (
+        spread(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", simhash64_band_values(F.col("text")).alias("bands"))
+        .cache()
+    )
+    exploded = fp.select("doc_id", "bands", F.posexplode("bands").alias("band", "val"))
+    a = exploded.select(
+        F.col("doc_id").alias("id_a"), F.col("bands").alias("bands_a"), "band", "val"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("id_b"), F.col("bands").alias("bands_b"), "band", "val"
+    )
+    ham = sum(
+        F.bit_count(
+            F.element_at("bands_a", k + 1).bitwiseXOR(F.element_at("bands_b", k + 1))
+        )
+        for k in range(SIMHASH64_BANDS)
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "bands_a", "bands_b")
+        .distinct()
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= ham_max)
+    )
+
+
+def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64_hex(F.col("text")).alias("simhash64"))
+
+
+# q_jaccard_pairs is the deliberately-quadratic recall baseline: it
+# stays oracle-checked via TEST_* (tests/test_oracle_queries.py) but no
+# longer occupies a driver registry slot a scale-real operator can use
+# (r4 verdict item 3).
 QUERIES = {
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "q_jaccard_pairs": q_jaccard_pairs,
     "q_simhash": q_simhash,
     "q_simhash_neardup": q_simhash_neardup,
+    "q_simhash64": q_simhash64,
 }
+
+TEST_QUERIES = {"q_jaccard_pairs": q_jaccard_pairs}
 
 
 # --- DuckDB oracle SQL (identical hashing/shingling, 1-indexed lists) -------
@@ -501,15 +644,6 @@ ORACLE = {
         JOIN sh b ON b.doc_id = c.id_b
         WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
     """,
-    "q_jaccard_pairs": f"""
-        WITH sh AS (
-            SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
-        ), nz AS (SELECT * FROM sh WHERE len(shingles) > 0)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round({_SQL_JACCARD}, 4) AS jaccard
-        FROM nz a JOIN nz b ON a.doc_id < b.doc_id
-        WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
-    """,
     "q_simhash": f"""
         WITH tok AS (
             SELECT doc_id,
@@ -528,6 +662,46 @@ ORACLE = {
         FROM tok
     """,
 }
+
+TEST_ORACLE = {
+    "q_jaccard_pairs": f"""
+        WITH sh AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+        ), nz AS (SELECT * FROM sh WHERE len(shingles) > 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round({_SQL_JACCARD}, 4) AS jaccard
+        FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+    """,
+}
+
+
+# 64-bit oracle: same strpos-hex-digit bit extraction as q_simhash, one
+# 16-term sum per band, bands hex-formatted and concatenated (printf
+# '%04x' == Spark lpad(lower(hex(band)), 4, '0') for 16-bit values).
+def _sql_simhash64_band(k: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hexes, "
+        f"h -> (strpos('0123456789abcdef', h[{J // 4 + 1}]) - 1) "
+        f"// {1 << (3 - J % 4)} % 2)) > n THEN {1 << (15 - J % 16)} ELSE 0 END)"
+        for J in range(16 * k, 16 * k + 16)
+    )
+    return f"printf('%04x', {terms})"
+
+
+ORACLE["q_simhash64"] = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_transform({_SQL_TOKENS_LIST},
+                              t -> substr(md5(t), 1, 16)) AS hexes,
+               len({_SQL_TOKENS_LIST}) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           {" || ".join(_sql_simhash64_band(k) for k in range(SIMHASH64_BANDS))}
+               AS simhash64
+    FROM tok
+"""
 
 # The neardup oracle reuses q_simhash's fingerprint CTE verbatim, then
 # mirrors the band construction exactly (same candidate set, no

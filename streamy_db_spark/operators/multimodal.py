@@ -195,9 +195,25 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(documents_as_media(spread(docs, "doc_id")))
 
 
+def q_resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered resize query: resized content surfaced as (n_bytes,
+    md5 digest) — byte-exact evidence of the full resized payload while
+    keeping the compared columns in driver-hash-safe types (raw binary
+    cells normalize differently between a collected Spark bytearray and
+    a DuckDB bytes object; the digest covers every byte anyway)."""
+    from streamy_db_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_media(documents_as_media(spread(docs, "doc_id")))
+    return resized.select(
+        "media_id", "n_bytes", F.md5("content").alias("digest")
+    )
+
+
 QUERIES = {
     "q_media_features": q_media_features,
     "q_media_frames": q_media_frames,
+    "q_resize_media": q_resize_media,
 }
 
 # DuckDB oracle: md5/substring only exist for VARCHAR, so frame slicing
@@ -231,5 +247,21 @@ ORACLE = {
                md5(substring(text, frame_idx * {FRAME_BYTES} + 1,
                              {FRAME_BYTES})) AS frame_digest
         FROM fr
+    """,
+    # Every factor-th char == every factor-th byte (ASCII corpus, see
+    # note above); md5(varchar) hashes the UTF-8 bytes, matching Spark's
+    # md5 over the resized binary content.
+    "q_resize_media": f"""
+        WITH r AS (
+            SELECT doc_id AS media_id,
+                   array_to_string(list_transform(
+                       range(1, length(text) + 1, {RESIZE_FACTOR}),
+                       i -> substring(text, CAST(i AS INTEGER), 1)), '') AS rs
+            FROM documents
+        )
+        SELECT media_id,
+               octet_length(encode(rs)) AS n_bytes,
+               md5(rs) AS digest
+        FROM r
     """,
 }

@@ -75,7 +75,14 @@ def _check_types(s_dtypes: dict[str, str], o_types: dict[str, str]) -> str | Non
 
 
 def compare(spark_df, sql: str, sf_dir: str) -> tuple[bool, str]:
-    con = duckdb_connect(sf_dir)
+    return compare_with_connection(spark_df, sql, duckdb_connect(sf_dir))
+
+
+def compare_with_connection(
+    spark_df, sql: str, con: duckdb.DuckDBPyConnection
+) -> tuple[bool, str]:
+    """Same gate, caller-supplied connection — for tests that compare
+    against planted side tables rather than the standard sf views."""
     try:
         rel = con.sql(sql)
         o_types = dict(zip(rel.columns, (str(t) for t in rel.types)))

@@ -33,7 +33,20 @@ def _write_heartbeat(spark, requests_dir: str, n: int) -> None:
     )
 
 
-def run_streaming_replay(spark, txns, tmp, max_rounds=30, duplicate_feedback=False):
+def run_streaming_replay(
+    spark,
+    txns,
+    tmp,
+    max_rounds=30,
+    duplicate_feedback=False,
+    interrupt_rounds=frozenset(),
+    return_dirs=False,
+):
+    """``interrupt_rounds``: in those loop rounds the key stage is KILLED
+    mid-run — the source is throttled to one file per micro-batch so the
+    sink has committed a partial round's output when stop() lands, and
+    the next round restarts from the same checkpoint (the crash-recovery
+    scenario; reference flink/StreamyDb.scala:180-181 checkpointing)."""
     d = {n: os.path.join(tmp, n) for n in
          ("input", "feedback", "read_results", "results", "ckpt")}
     os.makedirs(d["feedback"], exist_ok=True)
@@ -65,14 +78,42 @@ def run_streaming_replay(spark, txns, tmp, max_rounds=30, duplicate_feedback=Fal
         exc = q.exception()
         assert exc is None, f"query failed: {exc}"
 
+    def run_and_kill(df_stream, out_dir, ckpt_name):
+        """Start, wait for ≥1 committed micro-batch, then stop() mid-run:
+        the checkpoint ends up between batches of one logical round —
+        committed sink output for a prefix, pending source files for the
+        rest."""
+        import time as _t
+
+        q = (
+            df_stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(d["ckpt"], ckpt_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = _t.time() + 60
+        while _t.time() < deadline and q.isActive and q.lastProgress is None:
+            _t.sleep(0.2)
+        q.stop()
+        q.awaitTermination(60)
+
     for rnd in range(max_rounds):
         _write_heartbeat(spark, requests_dir, rnd)
 
         # Q1 — key stage: requests+heartbeats ∪ feedback → S1+S2.
+        throttle = {"maxFilesPerTrigger": "1"} if rnd in interrupt_rounds else {}
         reqs = spark.readStream.schema(es.KEY_MSG).option(
             "recursiveFileLookup", "true"
-        ).parquet(requests_dir)
+        ).options(**throttle).parquet(requests_dir)
         fb = spark.readStream.schema(es.KEY_MSG).parquet(d["feedback"])
+        if rnd in interrupt_rounds:
+            run_and_kill(
+                es.key_stage(reqs.unionByName(fb)), d["read_results"], "key_stage"
+            )
+            # Crash landed mid-round; the NEXT round restarts the query
+            # from the same checkpoint and finishes the remaining files.
+            continue
         run_once(
             es.key_stage(reqs.unionByName(fb)), d["read_results"], "key_stage"
         )
@@ -141,7 +182,10 @@ def run_streaming_replay(spark, txns, tmp, max_rounds=30, duplicate_feedback=Fal
     results = results_df.collect()
     # one verdict per transaction, ever — even under redelivery
     assert len(results) == results_df.select("transaction_id").distinct().count()
-    return {r["transaction_id"]: r["succeeded"] for r in results}
+    verdicts = {r["transaction_id"]: r["succeeded"] for r in results}
+    if return_dirs:
+        return verdicts, d, requests_dir
+    return verdicts
 
 
 @pytest.mark.parametrize("mix", ["ref_smoke", "cas_chain"])
@@ -233,3 +277,112 @@ def fixtures_txn(ts_s, part, off, tid, asserts, updates):
         "asserts": asserts,
         "updates": updates,
     }
+
+
+def _with_rocksdb(spark):
+    """Context manager: RocksDB state store provider for queries started
+    inside (picked up per-query from the session conf at stream start)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        key = "spark.sql.streaming.stateStore.providerClass"
+        try:
+            prev = spark.conf.get(key)
+        except Exception:
+            prev = None
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        )
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return cm()
+
+
+def test_streaming_kill_and_restart_exactly_once(spark, tmp_path):
+    """The reference's central exactly-once claim under failure
+    (flink/StreamyDb.scala:180-181: 5 s checkpointing): kill the key
+    stage mid-round — after the sink committed a PARTIAL round's output
+    (source throttled to 1 file/micro-batch, stop() after the first
+    commit) — restart from the same checkpoint with the RocksDB provider
+    on, and the final verdicts must still match the serial oracle with
+    exactly one verdict per transaction."""
+    txns = fixtures.generate("cas_chain")[:60]
+    expected, _ = oracle.serial_replay(txns)
+    with _with_rocksdb(spark):
+        got = run_streaming_replay(
+            spark, txns, str(tmp_path), interrupt_rounds={0, 2}
+        )
+    assert got == expected
+
+
+def test_streaming_state_drains_after_quiescence(spark, tmp_path):
+    """The reference's Flink sorter leaks MapState (SURVEY §2.5); ours
+    must not: after every verdict is out and the final feedback has been
+    consumed, the key-stage state store holds no sorter buffers, no
+    undecided lock-log entries, no parked reads, no early verdicts —
+    only the cells (the database itself) plus the bounded redelivery
+    rings — and the txn-stage store is completely empty."""
+    txns = [
+        fixtures_txn(0, 0, 0, "t1", [("a", None)], [("a", "1")]),
+        fixtures_txn(1, 0, 1, "t2", [("a", None)], [("a", "2"), ("b", "2")]),
+        fixtures_txn(2, 0, 2, "t3", [("a", "1"), ("b", None)], []),
+        fixtures_txn(3, 0, 3, "t4", [("a", "1")], [("a", None)]),
+        fixtures_txn(4, 0, 4, "t5", [("a", None)], [("a", "5")]),
+    ]
+    expected, _ = oracle.serial_replay(txns)
+    got, d, requests_dir = run_streaming_replay(
+        spark, txns, str(tmp_path), return_dirs=True
+    )
+    assert got == expected
+
+    # One more key-stage run: consume the LAST round's feedback (the loop
+    # breaks as soon as verdicts are complete, before feeding it back).
+    _write_heartbeat(spark, requests_dir, 20_000)
+    reqs = spark.readStream.schema(es.KEY_MSG).option(
+        "recursiveFileLookup", "true"
+    ).parquet(requests_dir)
+    fb = spark.readStream.schema(es.KEY_MSG).parquet(d["feedback"])
+    q = (
+        es.key_stage(reqs.unionByName(fb))
+        .writeStream.format("parquet")
+        .option("path", d["read_results"])
+        .option("checkpointLocation", os.path.join(d["ckpt"], "key_stage"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    key_state = (
+        spark.read.format("statestore")
+        .option("path", os.path.join(d["ckpt"], "key_stage"))
+        .load()
+        .collect()
+    )
+    assert key_state, "cells must survive quiescence (they ARE the database)"
+    for r in key_state:
+        v = r["value"]["groupState"]
+        k = r["key"]["key"]
+        assert not v["buffer"], f"sorter buffer leaked for {k}: {v['buffer']}"
+        assert not v["entries"], f"undecided lock log for {k}: {v['entries']}"
+        assert not v["parked"], f"parked reads leaked for {k}: {v['parked']}"
+        assert not v["early"], f"early verdicts leaked for {k}: {v['early']}"
+        assert len(v["recent"] or []) <= 128
+        assert len(v["applied_ring"] or []) <= 256
+
+    txn_state = (
+        spark.read.format("statestore")
+        .option("path", os.path.join(d["ckpt"], "txn_stage"))
+        .load()
+        .collect()
+    )
+    assert txn_state == [], f"txn-stage state leaked: {txn_state}"

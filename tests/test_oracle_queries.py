@@ -12,9 +12,34 @@ QUERIES = entrymod.queries()
 ORACLE = entrymod.oracle_sql()
 
 
+def _test_only_registry():
+    """Quadratic recall baselines rotated out of the driver registry
+    (r4 verdict item 3) — still oracle-checked here, just not holding a
+    driver slot."""
+    from streamy_db_spark.operators import dedup, minhash
+
+    qs, osql = {}, {}
+    for mod in (dedup, minhash):
+        qs.update(mod.TEST_QUERIES)
+        osql.update(mod.TEST_ORACLE)
+    return qs, osql
+
+
+TEST_ONLY_QUERIES, TEST_ONLY_ORACLE = _test_only_registry()
+
+
 def test_every_query_has_oracle_or_is_declared():
     missing = set(ORACLE) - set(QUERIES)
     assert not missing, f"oracle entries without queries: {missing}"
+    assert set(TEST_ONLY_QUERIES) == set(TEST_ONLY_ORACLE)
+    assert not set(TEST_ONLY_QUERIES) & set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(TEST_ONLY_ORACLE))
+def test_unregistered_baseline_matches_oracle(spark, sf_oracle, name):
+    df = TEST_ONLY_QUERIES[name](spark, sf_oracle)
+    ok, msg = compare(df, TEST_ONLY_ORACLE[name], sf_oracle)
+    assert ok, f"{name}: {msg}"
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
@@ -241,3 +266,88 @@ def test_lsh_hot_bucket_cap(spark):
     # the group level), and the planted small-bucket pair still links.
     assert {keeper_of[i] for i in range(n_copies)} == {0}
     assert keeper_of.get(2000) == keeper_of.get(1000) == 1000
+
+
+def test_simhash64_neardup_exact(spark):
+    """4×16-band candidates are COMPLETE for hamming ≤ 3 (pigeonhole), so
+    the banded query must equal brute-force over the fingerprints —
+    planted near-identical docs guarantee non-vacuous pairs."""
+    from streamy_db_spark.operators import minhash
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(0, base)]
+    # Near-identical variants (1-word edits) → tiny hamming distances.
+    rows.append((1, base.replace("quick", "swift")))
+    rows.append((2, base.replace("today", "tonight")))
+    rows.append((3, base))  # exact copy → hamming 0
+    rows += [
+        (10 + i, " ".join(f"z{i}q{j}" for j in range(14))) for i in range(15)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from pyspark.sql import functions as F
+
+    fps = {
+        r["doc_id"]: tuple(r["bands"])
+        for r in docs.select(
+            "doc_id",
+            minhash.simhash64_band_values(F.col("text")).alias("bands"),
+        ).collect()
+    }
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    expected = {
+        (i, j, ham(fps[i], fps[j]))
+        for i in fps
+        for j in fps
+        if i < j and ham(fps[i], fps[j]) <= minhash.SIMHASH64_HAM_MAX
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in minhash.simhash64_neardup_pairs(docs).collect()
+    }
+    assert (0, 3, 0) in got, "exact copy must appear at hamming 0"
+    assert got == expected
+
+
+def test_near_dup_production_cut_on_planted_table(spark, tmp_path):
+    """The production 0.9 near-dup cut, hash-verified against DuckDB on a
+    planted side table that actually contains near-dups (the harness
+    gaussians max out at cosine ~0.5, so the registered 0.4-cut query
+    can't exercise this threshold non-vacuously — r4 verdict item 6)."""
+    import duckdb
+
+    from streamy_db_spark import fixtures
+    from streamy_db_spark.operators import dedup
+    from tests.oracle_harness import compare_with_connection
+
+    rows = fixtures.planted_embeddings()
+    n_dups = sum(1 for vid, _ in rows if vid >= 10_000)
+    path = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.parquet(path)
+
+    emb = spark.read.parquet(path)
+    got = dedup.near_dup_pairs_embedding(emb, threshold=dedup.NEAR_DUP_COS)
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    # Non-vacuous: every planted (base, dup) pair clears the 0.9 cut.
+    assert {(j, 10_000 + j) for j in range(n_dups)} <= pairs
+    assert len(pairs) >= n_dups
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}/*.parquet'")
+    ok, msg = compare_with_connection(
+        got, dedup.near_dup_embedding_oracle_sql(dedup.NEAR_DUP_COS), con
+    )
+    assert ok, msg
+
+    # The scale path finds most planted pairs at the same 0.9 cut.
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.near_dup_pairs_lsh(emb).collect()
+    }
+    recall = len(pairs & approx) / len(pairs)
+    assert recall >= 0.8, f"planted 0.9-cut recall collapsed: {recall:.2f}"
