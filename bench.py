@@ -39,7 +39,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # at ~2× the r4 bench (BENCH_r04.json) so a >2× regression exits nonzero.
 # New queries get budgets from their first measured round. Only applied
 # when benching the standard sf0.1 dir on >=16 cpus — other SFs/machines
-# have different baselines.
+# have different baselines. A 1.0 s floor (applied below) keeps
+# sub-second queries' scheduler noise (~±0.3 s) from tripping the gate;
+# the budgets guard order-of-magnitude plan regressions, not jitter.
 BUDGETS = {
     "q_agg_tpch_pricing": 2.7,
     "q_ann_ivf": 10.0,
@@ -94,6 +96,7 @@ BUDGETS = {
     "protocol_replay_10k": 14.0,
     "protocol_replay_100k": 60.0,
 }
+BUDGETS = {k: max(v, 1.0) for k, v in BUDGETS.items()}
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -177,19 +180,27 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
+    # The 100k replay is NOT added to ``timings``/``value``: the headline
+    # total must stay on the same basis as earlier rounds (registered
+    # queries + the 10k replay) or round-over-round comparison against
+    # BASELINE.md silently absorbs ~13 s of brand-new work as a
+    # "regression". It is still recorded (and budget-checked) via the
+    # dedicated top-level fields.
     replay_extra: dict[str, object] = {}
     txn_rate = 0.0
-    for label, mix, warm in (
-        ("protocol_replay_10k", "scale_bench", True),
-        ("protocol_replay_100k", "scale_bench_100k", False),
+    for label, mix, warm, in_total in (
+        ("protocol_replay_10k", "scale_bench", True, True),
+        ("protocol_replay_100k", "scale_bench_100k", False, False),
     ):
         try:
             replay_s, rate, stats = bench_protocol_replay(spark, mix, warm)
-            timings[label] = round(replay_s, 3)
+            if in_total:
+                timings[label] = round(replay_s, 3)
+                txn_rate = rate
+            else:
+                replay_extra[f"{label}_seconds"] = round(replay_s, 3)
             replay_extra[f"{label.split('_')[-1]}_txn_per_sec"] = round(rate, 1)
             replay_extra[f"{label.split('_')[-1]}_waves"] = stats.get("rounds")
-            if label.endswith("10k"):
-                txn_rate = rate
         except Exception as exc:  # noqa: BLE001
             errors[label] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {label} FAILED: {errors[label]}", file=sys.stderr)
@@ -198,9 +209,14 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     breaches = {}
     if abs(_sf_from_dir(SF_DIR) - 0.1) < 1e-9 and cpus >= 16:
+        checked = dict(timings)
+        if "protocol_replay_100k_seconds" in replay_extra:
+            checked["protocol_replay_100k"] = replay_extra[
+                "protocol_replay_100k_seconds"
+            ]
         breaches = {
             name: {"sec": sec, "budget": BUDGETS[name]}
-            for name, sec in timings.items()
+            for name, sec in checked.items()
             if name in BUDGETS and sec > BUDGETS[name]
         }
         for name, b in breaches.items():

@@ -123,10 +123,20 @@ def test_new_relational_plans_stay_jvm_side(spark):
         "q_json_funcs",
         "q_scalar_subquery",
         "q_simhash_neardup",
+        "q_simhash64",
     ):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "PythonUDF" not in plan, name
+
+
+def test_simhash64_single_scan_no_shuffle(spark):
+    """The 64-bit fingerprint is a pure per-row projection: one parquet
+    scan, zero exchanges — the shape that lets it run scan-side over
+    100 TB with no data movement at all."""
+    plan = plan_of(spark, "q_simhash64")
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
 
 
 def test_scalar_subquery_broadcasts_aggregate(spark):
