@@ -13,13 +13,13 @@ ORACLE = entrymod.oracle_sql()
 
 
 def _test_only_registry():
-    """Quadratic recall baselines rotated out of the driver registry
-    (r4 verdict item 3) — still oracle-checked here, just not holding a
-    driver slot."""
-    from streamy_db_spark.operators import dedup, minhash
+    """Oracle-checked queries that do not hold driver slots: the
+    quadratic recall baselines rotated out in r5, plus operators added
+    after the ~50-slot driver window filled (sampling)."""
+    from streamy_db_spark.operators import dedup, minhash, sampling
 
     qs, osql = {}, {}
-    for mod in (dedup, minhash):
+    for mod in (dedup, minhash, sampling):
         qs.update(mod.TEST_QUERIES)
         osql.update(mod.TEST_ORACLE)
     return qs, osql
