@@ -165,6 +165,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iters: int = 50,
     shortcut: bool = False,
+    driver_fold_max_rows: int = 100_000,
 ) -> DataFrame:
     """(node, keeper) connected components of the undirected pair graph
     via min-label propagation: each round every node takes the min of its
@@ -187,7 +188,19 @@ def connected_components(
     data ever reaches the driver (the convergence probe is a limit(1)
     count). localCheckpoint truncates per-round lineage so the plan stays
     flat instead of growing per iteration.
+
+    Adaptive driver fold (same move as engine_batch.replay's tail
+    collapse): a pair set at or under ``driver_fold_max_rows`` is
+    collected and resolved with union-find on the driver — one job
+    instead of one Spark round per diameter step. The ROW bound is what
+    protects the driver (100k pairs ≈ a few MB); a 100 TB corpus's pair
+    set exceeds it and takes the distributed path automatically. Pass 0
+    to force the distributed path (tests do, to exercise it).
     """
+    if driver_fold_max_rows:
+        probe = pairs.select(id_a, id_b).limit(driver_fold_max_rows + 1).collect()
+        if len(probe) <= driver_fold_max_rows:
+            return _driver_fold_components(pairs.sparkSession, pairs, probe, id_a)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -243,6 +256,37 @@ def connected_components(
             "pass shortcut=True for O(log d) pointer-doubling rounds)"
         )
     return labels.select("node", F.col("label").alias("keeper"))
+
+
+def _driver_fold_components(spark, pairs: DataFrame, rows, id_a: str) -> DataFrame:
+    """Union-find over a driver-collected pair list; output is identical
+    to the distributed propagation (per-component min label), returned
+    with the id column's own type."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = find(r[0]), find(r[1])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    members: dict = {}
+    for n in {v for r in rows for v in (r[0], r[1])}:
+        members.setdefault(find(n), []).append(n)
+    out = []
+    for root, nodes in members.items():
+        keeper = min(nodes)  # == root by min-union, but don't rely on it
+        out.extend((n, keeper) for n in nodes)
+    id_type = dict(pairs.dtypes)[id_a]
+    return spark.createDataFrame(
+        sorted(out), f"node {id_type}, keeper {id_type}"
+    )
 
 
 def dedup_groups(docs: DataFrame, pairs: DataFrame) -> DataFrame:
