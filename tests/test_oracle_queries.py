@@ -351,3 +351,26 @@ def test_near_dup_production_cut_on_planted_table(spark, tmp_path):
     }
     recall = len(pairs & approx) / len(pairs)
     assert recall >= 0.8, f"planted 0.9-cut recall collapsed: {recall:.2f}"
+
+
+def test_simhash64_band0_is_bitreversed_simhash16(spark, sf_oracle):
+    """Cross-implementation invariant: the 16-bit simhash and band 0 of
+    the 64-bit simhash read the SAME md5 hex window (digits 1-4) with
+    mirrored bit weights (2^j vs 2^(15-j)), so band0 must equal the
+    16-bit fingerprint bit-reversed — for every document. Ties the two
+    independent implementations (and transitively their two DuckDB
+    oracles) to each other."""
+    from pyspark.sql import functions as F
+
+    from streamy_db_spark.operators import minhash
+    from streamy_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    rows = docs.select(
+        minhash.simhash(F.col("text")).alias("h16"),
+        minhash.simhash64_band_values(F.col("text"))[0].alias("band0"),
+    ).collect()
+    assert rows
+    for r in rows:
+        rev = int(f"{r['h16']:016b}"[::-1], 2)
+        assert rev == r["band0"], (r["h16"], r["band0"])

@@ -121,3 +121,88 @@ def test_streaming_dedup_matches_batch(spark, sf_small, tmp_path):
     )
     # dropDuplicates emits first-seen rows immediately — full equality.
     assert got == batch
+
+
+def test_streaming_window_agg_kill_and_restart(spark, sf_small, tmp_path):
+    """Exactly-once AGGREGATION under failure: ingest the events over
+    many micro-batches (1 file/batch), kill the query mid-run after at
+    least one batch committed, restart from the same checkpoint, then
+    push the watermark past every window with a flush event. Every
+    window must match the batch aggregate exactly — re-executed batches
+    must not double-count into the aggregation state (the partial-sum
+    analogue of the protocol loop's kill-restart test).
+
+    Watermark delay must cover the dataset's event-time span because
+    ingestion is multi-batch (see run_streaming_replay in
+    test_engine_stream.py for the late-row-drop mechanics)."""
+    import time
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from streamy_db_spark.sources.tables import load_table
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_small, "events").select(
+        "ts", "event_type", "value"
+    )
+    events.repartition(8).write.parquet(src)
+    bounds = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    span_days = (bounds["hi"] - bounds["lo"]).days + 2
+    delay = f"{span_days} days"
+
+    def start(throttle):
+        opts = {"maxFilesPerTrigger": "1"} if throttle else {}
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).options(**opts).parquet(src)
+        return (
+            sw.windowed_counts(stream, watermark=delay)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # Kill mid-run after ≥1 committed batch.
+    q = start(throttle=True)
+    t0 = time.time()
+    while time.time() - t0 < 60 and q.isActive and q.lastProgress is None:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    # Restart: finish ingestion from the same checkpoint.
+    q = start(throttle=False)
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    # Flush: one event far enough ahead that watermark = flush_ts - delay
+    # closes every real window; its own window stays open (excluded).
+    flush_ts = bounds["hi"] + timedelta(days=span_days, hours=2)
+    spark.createDataFrame(
+        [(flush_ts, "__flush__", 0.0)], "ts timestamp, event_type string, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start(throttle=False)
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    from streamy_db_spark.operators.relational import q_window_events
+
+    batch = {tuple(r) for r in q_window_events(spark, sf_small).collect()}
+    got = {
+        tuple(r)
+        for r in spark.read.schema(
+            "window_start_ms LONG, event_type STRING, n LONG, sum_value DOUBLE"
+        )
+        .parquet(out)
+        .collect()
+        if r["event_type"] != "__flush__"
+    }
+    assert got == batch
