@@ -191,3 +191,25 @@ def test_heartbeat_empty_transaction(spark):
     results, state = run_and_compare(spark, txns)
     assert results == {"hb": True}
     assert state == {}
+
+
+def test_replay_stats_out_param(spark):
+    """bench telemetry contract: stats receives wavefront round count and
+    whether the driver-side tail fold fired."""
+    from streamy_db_spark import fixtures
+    from streamy_db_spark.engine_batch import replay
+
+    txns = fixtures.generate_df(spark, "ref_smoke")
+    stats = {}
+    results, _state = replay(txns, stats=stats)
+    assert results.count() == 10
+    assert set(stats) == {"rounds", "tail_collapsed"}
+    assert stats["rounds"] >= 0
+    # ref_smoke (10 txns) is far below the tail trigger: folds immediately.
+    assert stats["tail_collapsed"] is True
+
+    stats2 = {}
+    results2, _ = replay(txns, tail_collapse_txns=0, stats=stats2)
+    assert results2.count() == 10
+    assert stats2["tail_collapsed"] is False
+    assert stats2["rounds"] >= 1

@@ -56,3 +56,72 @@ def test_streaming_follow_join_rocksdb(spark, sf_small, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_streaming_follow_join_kill_and_restart(spark, sf_small, tmp_path):
+    """Exactly-once JOIN state under failure: both join branches ingest
+    one file per micro-batch, the query is killed mid-run after a
+    committed batch, and the restart must complete the pair set with no
+    pair lost (state buffers recovered) and no pair duplicated
+    (re-executed batches superseded by the sink's metadata log) — the
+    row count is checked, not just the set. Watermark must cover the
+    event-time span because ingestion is multi-batch (late-row drop:
+    see run_streaming_replay in test_engine_stream.py)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from streamy_db_spark.sources.tables import load_table
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_small, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    events.repartition(8).write.parquet(src)
+    bounds = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    wm = f"{(bounds['hi'] - bounds['lo']).days + 2} days"
+
+    def start(throttle):
+        opts = {"maxFilesPerTrigger": "1"} if throttle else {}
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, event_type string, ts timestamp"
+        ).options(**opts).parquet(src)
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts"
+        )
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts"
+        )
+        return (
+            follow_join(clicks, purchases, within="1 hour", watermark=wm)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start(throttle=True)
+    t0 = time.time()
+    while time.time() - t0 < 60 and q.isActive and q.lastProgress is None:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    q = start(throttle=False)
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    rows = (
+        spark.read.schema("user_id LONG, first_id LONG, second_id LONG, gap_us LONG")
+        .parquet(out)
+        .collect()
+    )
+    got = {tuple(r) for r in rows}
+    batch = {tuple(r) for r in q_follow_join(spark, sf_small).collect()}
+    assert got == batch
+    assert len(rows) == len(batch), "duplicated pairs after restart"
+    assert batch
