@@ -206,3 +206,13 @@ def test_streaming_window_agg_kill_and_restart(spark, sf_small, tmp_path):
         if r["event_type"] != "__flush__"
     }
     assert got == batch
+
+    # State hygiene after the flush: the watermark passed every real
+    # window's close, so the aggregation store must hold ONLY the still-
+    # open flush window — emitted windows' state is evicted, not leaked.
+    remaining = (
+        spark.read.format("statestore").option("path", ckpt).load().collect()
+    )
+    assert remaining, "flush window itself should still be buffered"
+    for r in remaining:
+        assert r["key"]["event_type"] == "__flush__", r
