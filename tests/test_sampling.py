@@ -55,3 +55,35 @@ def test_stratified_sample_monotone_and_stable(spark, sf_small):
         r["doc_id"] for r in sampling.stratified_sample(en, "doc_id", 0.3).collect()
     }
     assert sampled_en == {x for x in big if x in {r["doc_id"] for r in en.collect()}}
+
+
+def test_hash_bucket_matches_python_model(spark):
+    """Property: the JVM-side bucket expression equals the independent
+    pure-Python md5 model for arbitrary ids and salts (the same
+    double-implementation discipline as the serial protocol oracle)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    def model(doc_id: int, salt: str) -> int:
+        digest = hashlib.md5(f"{doc_id}|{salt}".encode()).hexdigest()
+        return int(digest[:8], 16) % 10_000
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        ids=st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=20, unique=True),
+        salt=st.text(alphabet="abcdefghij-0123456789", min_size=1, max_size=12),
+    )
+    def check(ids, salt):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        got = {
+            r["doc_id"]: r["b"]
+            for r in df.select(
+                "doc_id", sampling.hash_bucket(F.col("doc_id"), salt).alias("b")
+            ).collect()
+        }
+        assert got == {i: model(i, salt) for i in ids}
+
+    check()
