@@ -1,0 +1,204 @@
+"""Repetition-based quality signals and PII redaction for text corpora.
+
+Two more passes every training-data pipeline runs over raw text:
+
+- **repetition scores** (Gopher-style quality signals): type-token
+  ratio and the frequency share of the most-repeated bigram. Documents
+  dominated by one repeated phrase (boilerplate, scraped nav bars, SEO
+  spam) score high and get filtered before training.
+- **PII redaction**: email/phone patterns replaced with typed markers —
+  the standard scrub before text leaves the ingest zone.
+
+Scale shape: BOTH are single-scan projections with ZERO shuffles. The
+natural formulation of "most frequent bigram per doc" is
+explode → groupBy(doc_id, gram) → max(count), which shuffles one row
+per distinct gram — corpus-sized traffic for a per-document statistic.
+Instead the bigram array is `array_sort`-ed and the longest run of
+equal adjacent elements is folded with a higher-order `aggregate`, all
+inside whole-stage codegen: per-row work is O(g log g) in the doc's own
+gram count, nothing leaves the scan stage, and the plan has no
+Exchange at any SF. Redaction is two `regexp_replace`s (Java regex and
+DuckDB RE2 agree on the constructs used — same discipline as
+operators/text.py).
+
+No reference counterpart (SURVEY.md §2.3 — the reference has no text
+surface); part of the training-data extension alongside decontam.py
+and text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamy_db_spark.operators.decontam import tokens
+from streamy_db_spark.sources.tables import load_table
+
+# Redaction patterns — restricted to constructs where Java regex (Spark)
+# and RE2 (DuckDB) provably agree: no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{2,4}\b"
+
+# Longest run of equal adjacent elements in a SORTED array == the count
+# of the most frequent element — folded entirely JVM-side. `<=>` is the
+# null-safe compare (first element sees prev = NULL).
+_TOP_RUN_EXPR = """
+aggregate(
+  array_sort({arr}),
+  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+  (acc, x) -> named_struct(
+    'prev', x,
+    'run',  CASE WHEN x <=> acc.prev THEN acc.run + 1L ELSE 1L END,
+    'best', greatest(acc.best,
+                     CASE WHEN x <=> acc.prev THEN acc.run + 1L ELSE 1L END)),
+  acc -> acc.best)
+"""
+
+
+def bigrams(tokens_col: Column) -> Column:
+    """Adjacent token pairs as space-joined strings (empty under 2
+    tokens)."""
+    return F.when(
+        F.size(tokens_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - 1),
+            lambda i: F.concat_ws(" ", F.slice(tokens_col, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition/diversity signals, shuffle-free."""
+    for c in ("__ts", "__bg"):
+        if c in df.columns:
+            raise ValueError(f"column {c!r} collides in repetition_scores")
+    out = df.withColumn("__ts", tokens(F.col(text_col))).withColumn(
+        "__bg", bigrams(F.col("__ts"))
+    )
+    n_tokens = F.size("__ts").cast("long")
+    n_distinct = F.size(F.array_distinct("__ts")).cast("long")
+    top_n = F.expr(_TOP_RUN_EXPR.format(arr="__bg"))
+    n_bigrams = F.size("__bg").cast("long")
+    return out.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (n_distinct.cast("double") / F.greatest(n_tokens, F.lit(1))).alias("ttr"),
+        top_n.alias("top_bigram_n"),
+        (top_n.cast("double") / F.greatest(n_bigrams, F.lit(1))).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Replace email/phone matches with <EMAIL>/<PHONE> markers
+    (in place unless ``out_col`` names a new column)."""
+    red = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.withColumn(out_col or text_col, red)
+
+
+# --- test-registry queries (oracle-checked; no driver slot used) -------------
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_scores(docs)
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII is planted in-query (every 7th doc gets a synthetic email +
+    phone appended) so the redaction verdict is non-vacuous on the
+    word-salad harness text; the md5 digest of the redacted text makes
+    the whole content hash-checkable, and ``delta`` pins that clean
+    docs are byte-identical after the pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" now"),
+        ),
+    ).otherwise(F.col("text"))
+    out = redact_pii(
+        docs.select("doc_id", aug.alias("text")), "text", out_col="rtext"
+    )
+    return out.select(
+        "doc_id",
+        (F.length("text") - F.length("rtext")).cast("long").alias("delta"),
+        F.md5(F.encode(F.col("rtext"), "UTF-8")).alias("digest"),
+    )
+
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+TEST_QUERIES = {
+    "q_repetition_scores": q_repetition_scores,
+    "q_pii_redaction": q_pii_redaction,
+}
+
+TEST_ORACLE = {
+    "q_repetition_scores": """
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+            FROM tok, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+            WHERE len(ts) >= 2
+        ),
+        bgc AS (
+            SELECT doc_id, max(n) AS top_bigram_n, sum(n) AS n_bigrams
+            FROM (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY doc_id, g)
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               len(ts) AS n_tokens,
+               len(list_distinct(ts)) AS n_distinct_tokens,
+               CAST(len(list_distinct(ts)) AS DOUBLE)
+                   / greatest(len(ts), 1) AS ttr,
+               coalesce(b.top_bigram_n, 0) AS top_bigram_n,
+               CAST(coalesce(b.top_bigram_n, 0) AS DOUBLE)
+                   / greatest(coalesce(b.n_bigrams, 0), 1) AS top_bigram_frac
+        FROM tok t LEFT JOIN bgc b USING (doc_id)
+    """,
+    "q_pii_redaction": """
+        WITH aug AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' contact user' || doc_id
+                             || '@example.com or 555-01'
+                             || lpad((doc_id % 100)::VARCHAR, 2, '0') || ' now'
+                        ELSE text END AS text
+            FROM documents
+        ),
+        red AS (
+            SELECT doc_id, text,
+                   regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b\\d{3}-\\d{2,4}\\b', '<PHONE>', 'g') AS rtext
+            FROM aug
+        )
+        SELECT doc_id,
+               length(text) - length(rtext) AS delta,
+               md5(rtext) AS digest
+        FROM red
+    """,
+}

@@ -16,10 +16,16 @@ def _test_only_registry():
     """Oracle-checked queries that do not hold driver slots: the
     quadratic recall baselines rotated out in r5, plus operators added
     after the ~50-slot driver window filled (sampling)."""
-    from streamy_db_spark.operators import decontam, dedup, minhash, sampling
+    from streamy_db_spark.operators import (
+        decontam,
+        dedup,
+        minhash,
+        sampling,
+        text_quality,
+    )
 
     qs, osql = {}, {}
-    for mod in (decontam, dedup, minhash, sampling):
+    for mod in (decontam, dedup, minhash, sampling, text_quality):
         qs.update(mod.TEST_QUERIES)
         osql.update(mod.TEST_ORACLE)
     return qs, osql

@@ -1,0 +1,50 @@
+"""Repetition-score and PII-redaction operators: planted-value checks
+and the zero-shuffle plan gate (the sf0.01 DuckDB hash-match runs via
+test_oracle_queries' test-only registry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamy_db_spark.operators.text_quality import redact_pii, repetition_scores
+
+
+def test_repetition_scores_planted_values(spark):
+    rows = [
+        # "a b" ×3 runs; 6 tokens, 2 distinct; bigrams: ab ba ab ba ab
+        (1, "a b a b a b"),
+        (2, "all words here are fully distinct"),
+        (3, "one"),  # no bigrams
+        (4, ""),  # no tokens at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_scores(df).collect()}
+    assert got[1].n_tokens == 6 and got[1].n_distinct_tokens == 2
+    assert got[1].top_bigram_n == 3  # "a b" occurs 3 times out of 5
+    assert abs(got[1].top_bigram_frac - 3 / 5) < 1e-12
+    assert got[2].ttr == 1.0 and got[2].top_bigram_n == 1
+    assert got[3].n_tokens == 1 and got[3].top_bigram_n == 0
+    assert got[4].n_tokens == 0 and got[4].top_bigram_frac == 0.0
+
+
+def test_repetition_scores_zero_shuffle(spark, sf_oracle):
+    """Per-document statistics must not shuffle: the sorted-array run
+    fold keeps the whole computation inside the scan stage."""
+    from streamy_db_spark.operators.text_quality import q_repetition_scores
+
+    plan = q_repetition_scores(spark, sf_oracle)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_redact_pii_planted(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.org thanks"),
+        (2, "call 555-0100 or 555-12 today"),
+        (3, "no pii here, just 12345 and name@ invalid"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in redact_pii(df).collect()}
+    assert got[1] == "mail me at <EMAIL> thanks"
+    assert got[2] == "call <PHONE> or <PHONE> today"
+    assert got[3] == "no pii here, just 12345 and name@ invalid"
