@@ -106,7 +106,37 @@ def redact_pii(
     return df.withColumn(out_col or text_col, red)
 
 
+def source_mix(
+    df: DataFrame,
+    by: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus composition per source/lang stratum — document count,
+    token volume, and mean type-token ratio — the inputs to sampling
+    mixture weights. One scan + one partial-aggregated shuffle of a few
+    numeric columns keyed by the (low-cardinality) strata: the shape
+    where AQE coalesces the tiny post-shuffle partitions for free."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks).cast("long")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    return (
+        df.select(*by, n_tokens.alias("__nt"), ttr.alias("__ttr"))
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+            F.round(F.avg("__ttr"), 9).alias("avg_ttr"),
+        )
+    )
+
+
 # --- test-registry queries (oracle-checked; no driver slot used) -------------
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_mix(load_table(spark, sf_dir, "documents"))
 
 
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,9 +178,27 @@ ORACLE: dict = {}
 TEST_QUERIES = {
     "q_repetition_scores": q_repetition_scores,
     "q_pii_redaction": q_pii_redaction,
+    "q_source_mix": q_source_mix,
 }
 
 TEST_ORACLE = {
+    # avg over doubles is order-sensitive in the last bits → rounded on
+    # BOTH sides (aggregate-rounding rule, .claude/skills/verify gotchas)
+    "q_source_mix": """
+        WITH tok AS (
+            SELECT source, lang,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        )
+        SELECT source, lang,
+               count(*) AS n_docs,
+               CAST(sum(len(ts)) AS BIGINT) AS n_tokens,
+               round(avg(CAST(len(list_distinct(ts)) AS DOUBLE)
+                         / greatest(len(ts), 1)), 9) AS avg_ttr
+        FROM tok
+        GROUP BY source, lang
+    """,
     "q_repetition_scores": """
         WITH tok AS (
             SELECT doc_id,

@@ -62,6 +62,22 @@ def test_short_docs_produce_no_grams(spark):
     assert df.collect()[0].g == []
 
 
+def test_contamination_join_broadcasts_bench_side(spark, sf_oracle):
+    """The benchmark gram set must broadcast (corpus text never
+    shuffles) and the whole pass must stay JVM-side."""
+    from streamy_db_spark.operators.decontam import q_decontaminate
+
+    plan = (
+        q_decontaminate(spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_sf_verdict_is_nonvacuous(spark, sf_oracle):
     from streamy_db_spark.operators.decontam import q_decontaminate
 
