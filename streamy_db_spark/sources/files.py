@@ -70,6 +70,53 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Range-partition on ``cluster_cols`` and sort within partitions
+    before writing parquet: every output file then covers a DISJOINT
+    range of the cluster key, so its footer min/max statistics (zone
+    maps) let later scans with a key predicate skip whole files and row
+    groups. This is the cheap half of the Z-order/liquid-clustering
+    story and the right layout for any column that dominates the filter
+    workload (user_id, date, tenant). Range partitioning samples the key
+    distribution, so skewed keys still yield balanced files. Returns the
+    re-scanned DataFrame."""
+    part = (
+        df.repartitionByRange(n_files, *cluster_cols)
+        if n_files
+        else df.repartitionByRange(*cluster_cols)
+    )
+    part.sortWithinPartitions(*cluster_cols).write.mode(mode).parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persist as a hash-bucketed (optionally sorted) catalog table.
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle on either side — the bucket layout IS the shuffle,
+    paid once at write time and amortized over every later join/agg on
+    that key. The pattern for fact-fact joins too big to broadcast at
+    100 TB. (Bucketing requires the catalog — ``saveAsTable``, not
+    ``save``: the bucket spec lives in table metadata.)"""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+    return df.sparkSession.table(table)
+
+
 def convert_to_parquet(
     df: DataFrame, path: str, partition_cols: list[str] | None = None
 ) -> DataFrame:
