@@ -1,0 +1,76 @@
+"""Incremental (batch-over-batch) exact deduplication.
+
+Real corpora arrive in waves — daily crawls, ingest partitions — and a
+pipeline must answer "is this document new?" against everything already
+accepted WITHOUT re-reading the accepted corpus text. The state that
+makes that possible is the fingerprint set: 16 bytes per accepted
+document, stored as parquet, appended once per batch.
+
+Scale shape: the seen-set is corpus-sized (NOT broadcastable — a
+billion docs is ~16 GB of digests), so the membership check is a
+shuffle anti-join keyed on the digest. Digest keys are uniform by
+construction (md5), so the join never skews; the traffic is
+16 bytes + id per NEW row, independent of document length, and the
+accepted corpus' text is never touched again. Within-batch duplicates
+collapse first (min-id per fingerprint) so a batch containing its own
+copies admits exactly one.
+
+The same pattern runs under Structured Streaming as
+``dropDuplicates`` on the fingerprint column with the state store
+holding the seen-set; the batch form here is the replayable/backfill
+anchor (same fingerprints, same verdicts).
+
+No reference counterpart (SURVEY.md §2.3 — no text surface); extends
+the training-data dedup family (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamy_db_spark.operators.dedup import dedupe_exact, fingerprint_documents
+
+
+class IncrementalDeduper:
+    """Exact-dedup gate with a parquet-backed seen-fingerprint set.
+
+    ``process_batch(docs)`` returns the accepted (novel) rows and
+    appends their fingerprints to the state path. Crash safety: the
+    state append is atomic per batch directory write; re-running a
+    batch after a crash re-admits the same rows (fingerprint appends
+    are idempotent for verdict purposes — duplicates in the seen-set
+    cost space, never correctness, since membership is an EXISTS).
+    """
+
+    def __init__(self, spark: SparkSession, state_path: str, id_col: str = "doc_id"):
+        self.spark = spark
+        self.state_path = state_path
+        self.id_col = id_col
+
+    def _seen(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.state_path)
+        except Exception:
+            return None  # first batch: no state yet
+
+    def process_batch(self, docs: DataFrame) -> DataFrame:
+        """Accept the novel documents of this batch (within-batch dups
+        collapse to the min-id row first), persist their fingerprints,
+        and return the accepted rows (without the fingerprint column)."""
+        batch = fingerprint_documents(dedupe_exact(docs, self.id_col))
+        seen = self._seen()
+        if seen is not None:
+            batch = batch.join(
+                seen.select("fingerprint").distinct(), "fingerprint", "left_anti"
+            )
+        # Materialize the verdict BEFORE appending state: the append
+        # must not re-trigger a scan that would now see its own output.
+        batch = batch.localCheckpoint(eager=True)
+        batch.select("fingerprint").write.mode("append").parquet(self.state_path)
+        return batch.drop("fingerprint")
+
+    def seen_count(self) -> int:
+        """Distinct accepted fingerprints (driver-sized scalar)."""
+        seen = self._seen()
+        return 0 if seen is None else seen.select("fingerprint").distinct().count()

@@ -132,11 +132,77 @@ def source_mix(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 2048,
+    overlap: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with overlap — the
+    pre-tokenization step that turns variable-length docs into
+    training-sequence-sized pieces. One row per chunk:
+    (id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Stride = chunk_tokens - overlap; the final chunk may be short; a
+    doc with <= chunk_tokens tokens yields exactly one chunk; an empty
+    doc yields none. Scale shape: pure scan-side explode — tokens,
+    chunk starts, and slices are all higher-order JVM expressions, so
+    the fan-out happens inside whole-stage codegen with no shuffle and
+    no Python. Output partitioning inherits the scan's (chunks of one
+    doc stay in one partition)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    sz = F.size(toks)
+    # 1 + ceil(max(sz - chunk, 0) / step), integer arithmetic (matches
+    # the DuckDB oracle exactly); 0 chunks for empty docs.
+    n_chunks = F.when(sz == 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.expr(
+            f"(greatest(size(filter(split(lower({text_col}), '\\\\s+'),"
+            f" x -> x != '')) - {chunk_tokens}, 0) + {step - 1}) div {step}"
+        )
+    )
+    idx = F.explode(
+        F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+    )
+    out = df.select(id_col, F.col(text_col), idx.alias("chunk_idx"))
+    ctoks = F.slice(
+        tokens(F.col(text_col)), F.col("chunk_idx") * step + 1, chunk_tokens
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.size(ctoks).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", ctoks).alias("chunk_text"),
+    )
+
+
 # --- test-registry queries (oracle-checked; no driver slot used) -------------
 
 
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix(load_table(spark, sf_dir, "documents"))
+
+
+_CHUNK, _OVERLAP = 20, 5  # small enough that sf docs split into several chunks
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk rows with the chunk content digested so the full text of
+    every chunk is hash-checked without shipping it to the compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "n_chunk_tokens",
+        F.md5(F.encode(F.col("chunk_text"), "UTF-8")).alias("digest"),
+    )
 
 
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,9 +245,36 @@ TEST_QUERIES = {
     "q_repetition_scores": q_repetition_scores,
     "q_pii_redaction": q_pii_redaction,
     "q_source_mix": q_source_mix,
+    "q_chunk_documents": q_chunk_documents,
 }
 
+_CHUNK_STEP = _CHUNK - _OVERLAP
+
 TEST_ORACLE = {
+    "q_chunk_documents": f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        n AS (
+            SELECT doc_id, ts,
+                   CASE WHEN len(ts) = 0 THEN 0
+                        ELSE 1 + (greatest(len(ts) - {_CHUNK}, 0)
+                                  + {_CHUNK_STEP} - 1) // {_CHUNK_STEP}
+                   END AS n_chunks
+            FROM tok
+        ),
+        chunks AS (
+            SELECT doc_id, i AS chunk_idx,
+                   ts[1 + i*{_CHUNK_STEP} : i*{_CHUNK_STEP} + {_CHUNK}] AS ctoks
+            FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+        )
+        SELECT doc_id, chunk_idx, len(ctoks) AS n_chunk_tokens,
+               md5(array_to_string(ctoks, ' ')) AS digest
+        FROM chunks
+    """,
     # avg over doubles is order-sensitive in the last bits → rounded on
     # BOTH sides (aggregate-rounding rule, .claude/skills/verify gotchas)
     "q_source_mix": """

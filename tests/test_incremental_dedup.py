@@ -1,0 +1,66 @@
+"""Incremental dedup: batch-over-batch membership must equal one-shot
+exact dedup over the concatenated corpus, and crash-replayed batches
+must not change verdicts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamy_db_spark.operators.dedup import dedupe_exact
+from streamy_db_spark.operators.incremental import IncrementalDeduper
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+B1 = [
+    (1, "alpha beta gamma"),
+    (2, "delta epsilon zeta"),
+    (3, "alpha  beta\tgamma "),  # whitespace-variant dup of 1 (in-batch)
+]
+B2 = [
+    (10, "delta epsilon zeta"),  # cross-batch dup of 2
+    (11, "eta theta iota"),
+    (12, "eta theta iota"),  # in-batch dup of 11
+]
+
+
+def test_incremental_equals_one_shot(spark, tmp_path):
+    d = IncrementalDeduper(spark, str(tmp_path / "state"))
+    kept1 = {r.doc_id for r in d.process_batch(_docs(spark, B1)).collect()}
+    kept2 = {r.doc_id for r in d.process_batch(_docs(spark, B2)).collect()}
+    assert kept1 == {1, 2}
+    assert kept2 == {11}
+
+    one_shot = {
+        r.doc_id for r in dedupe_exact(_docs(spark, B1 + B2)).collect()
+    }
+    assert kept1 | kept2 == one_shot
+    assert d.seen_count() == 3
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    d = IncrementalDeduper(spark, str(tmp_path / "state"))
+    d.process_batch(_docs(spark, B1))
+    # crash-replay: the same batch runs again — its rows are now all
+    # seen, nothing is re-admitted, and later batches are unaffected
+    again = d.process_batch(_docs(spark, B1)).collect()
+    assert again == []
+    kept2 = {r.doc_id for r in d.process_batch(_docs(spark, B2)).collect()}
+    assert kept2 == {11}
+
+
+def test_accepted_rows_keep_schema(spark, tmp_path):
+    d = IncrementalDeduper(spark, str(tmp_path / "state"))
+    out = d.process_batch(_docs(spark, B1))
+    assert out.columns == ["doc_id", "text"]
+
+
+def test_first_batch_with_empty_state_dir(spark, tmp_path):
+    # an existing-but-empty dir (e.g. mkdir'd by an orchestrator) must
+    # behave like no state
+    p = tmp_path / "state"
+    p.mkdir()
+    d = IncrementalDeduper(spark, str(p))
+    assert {r.doc_id for r in d.process_batch(_docs(spark, B1)).collect()} == {1, 2}

@@ -48,3 +48,44 @@ def test_redact_pii_planted(spark):
     assert got[1] == "mail me at <EMAIL> thanks"
     assert got[2] == "call <PHONE> or <PHONE> today"
     assert got[3] == "no pii here, just 12345 and name@ invalid"
+
+
+def test_chunk_documents_planted(spark):
+    from streamy_db_spark.operators.text_quality import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(12))),  # 12 toks → 2 chunks @10/2
+        (2, "a b c"),  # fits in one chunk
+        (3, ""),  # no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=10, overlap=2)
+    got = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    assert set(got) == {(1, 0), (1, 1), (2, 0)}
+    assert got[(1, 0)].chunk_text == " ".join(f"t{i}" for i in range(10))
+    # second chunk starts at token 8 (stride 8), overlap of 2 tokens
+    assert got[(1, 1)].chunk_text == " ".join(f"t{i}" for i in range(8, 12))
+    assert got[(1, 1)].n_chunk_tokens == 4
+    assert got[(2, 0)].chunk_text == "a b c"
+
+
+def test_chunk_documents_zero_shuffle(spark, sf_oracle):
+    from streamy_db_spark.operators.text_quality import q_chunk_documents
+
+    plan = (
+        q_chunk_documents(spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+    from streamy_db_spark.operators.text_quality import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
