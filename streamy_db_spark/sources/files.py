@@ -70,6 +70,17 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — columnar like parquet (schema in the file footer, so
+    no explicit schema needed; predicate pushdown and column pruning
+    work the same way). For interop with Hive-era warehouses."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

@@ -150,3 +150,13 @@ def test_bucketed_tables_join_without_shuffle(spark, orders, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_orders")
         spark.sql("DROP TABLE IF EXISTS bt_orders2")
+
+
+def test_orc_round_trip_with_pushdown(spark, orders, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("orc") / "orders")
+    files.write_orc(orders, path)
+    back = files.read_orc(spark, path)
+    assert _fingerprint(back) == _fingerprint(orders)
+    plan = inspect.formatted_explain(back.filter(F.col("o_orderkey") == 7))
+    assert "PushedFilters" in plan
+    assert "o_orderkey" in plan.split("PushedFilters")[1].splitlines()[0]

@@ -19,13 +19,14 @@ def _test_only_registry():
     from streamy_db_spark.operators import (
         decontam,
         dedup,
+        merge,
         minhash,
         sampling,
         text_quality,
     )
 
     qs, osql = {}, {}
-    for mod in (decontam, dedup, minhash, sampling, text_quality):
+    for mod in (decontam, dedup, merge, minhash, sampling, text_quality):
         qs.update(mod.TEST_QUERIES)
         osql.update(mod.TEST_ORACLE)
     return qs, osql
