@@ -176,10 +176,14 @@ def _serial_tail_fold(
     def _decide(txn: str) -> bool:
         if txn not in verdicts:
             obs = observed.get(txn, [])
-            assert len(obs) == n_asserts.get(txn, 0), (
-                f"tail fold: {txn} decided with {len(obs)} of "
-                f"{n_asserts.get(txn, 0)} reads observed"
-            )
+            # raise, not assert: this invariant guards verdict
+            # correctness and must survive `python -O` (same rule as the
+            # temporal.py collision guards, r4 ADVICE)
+            if len(obs) != n_asserts.get(txn, 0):
+                raise RuntimeError(
+                    f"tail fold: {txn} decided with {len(obs)} of "
+                    f"{n_asserts.get(txn, 0)} reads observed"
+                )
             verdicts[txn] = all(exp == got for exp, got in obs)
         return verdicts[txn]
 
