@@ -52,7 +52,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from streamy_db_spark.functions import scalar
     from streamy_db_spark.operators import (
+        decontam,
         dedup,
+        merge,
         minhash,
         multimodal,
         relational,
@@ -69,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relational_ext2,
         temporal,
         dedup,
+        decontam,
+        merge,
         minhash,
         similarity,
         multimodal,
@@ -100,7 +104,9 @@ def oracle_sql() -> dict[str, str]:
     gate). Keys absent here get the weaker rows-only check."""
     from streamy_db_spark.functions import scalar
     from streamy_db_spark.operators import (
+        decontam,
         dedup,
+        merge,
         minhash,
         multimodal,
         relational,
@@ -118,6 +124,8 @@ def oracle_sql() -> dict[str, str]:
         relational_ext2,
         temporal,
         dedup,
+        decontam,
+        merge,
         minhash,
         similarity,
         multimodal,

@@ -39,9 +39,16 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_scalar_funcs": q_scalar_funcs}
+QUERIES: dict = {}
+ORACLE: dict = {}
 
-ORACLE = {
+# Rotated to the test-only registry in r5 (still DuckDB hash-checked in
+# tests): the scalar library is also exercised by q_string_funcs /
+# q_array_funcs / q_json_funcs, and the freed driver slot surfaces the
+# batch MERGE/upsert operator.
+TEST_QUERIES = {"q_scalar_funcs": q_scalar_funcs}
+
+TEST_ORACLE = {
     "q_scalar_funcs": """
         SELECT o_orderkey,
                printf('key_%010d', o_orderkey) AS kv_key,

@@ -171,12 +171,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+# Driver-registered in r5 (slot freed by rotating q_text_stats to the
+# test-only registry).
+QUERIES = {"q_decontaminate": q_decontaminate}
 
-TEST_QUERIES = {"q_decontaminate": q_decontaminate}
+TEST_QUERIES: dict = {}
+TEST_ORACLE: dict = {}
 
-TEST_ORACLE = {
+ORACLE = {
     "q_decontaminate": f"""
         WITH tok AS (
             SELECT doc_id,

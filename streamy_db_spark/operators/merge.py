@@ -106,12 +106,14 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(orders, changes, "o_orderkey", delete_col="is_delete")
 
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+# Driver-registered in r5 (slot freed by rotating q_scalar_funcs to the
+# test-only registry).
+QUERIES = {"q_merge_upsert": q_merge_upsert}
 
-TEST_QUERIES = {"q_merge_upsert": q_merge_upsert}
+TEST_QUERIES: dict = {}
+TEST_ORACLE: dict = {}
 
-TEST_ORACLE = {
+ORACLE = {
     "q_merge_upsert": """
         WITH snap AS (
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders

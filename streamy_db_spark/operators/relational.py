@@ -326,9 +326,15 @@ QUERIES = {
     "q_sessionize": q_sessionize,
     "q_window_events": q_window_events,
     "q_dedup_events": q_dedup_events,
-    "q_text_stats": q_text_stats,
     "q_embedding_knn": q_embedding_knn,
 }
+
+# q_text_stats rotated to the test-only registry in r5 (still DuckDB
+# hash-checked in tests): its per-lang length stats are subsumed by
+# q_source_mix (text_quality.py), and its driver slot now surfaces
+# benchmark decontamination — the same scale-real rotation as r4's
+# quadratic-baseline swap.
+TEST_QUERIES = {"q_text_stats": q_text_stats}
 
 _KNN_VEC_SQL = "[" + ", ".join(str(x) for x in KNN_QUERY_VEC) + "]::DOUBLE[]"
 
@@ -442,13 +448,6 @@ ORACLE = {
                (epoch_ns(ts) // 3600000000000) * 3600000 AS window_start_ms
         FROM events
     """,
-    "q_text_stats": """
-        SELECT lang, count(*) AS n_docs,
-               round(avg(n_chars), 4) AS avg_chars,
-               CAST(sum(n_chars) AS BIGINT) AS total_chars,
-               count(DISTINCT source) AS n_sources
-        FROM documents GROUP BY lang
-    """,
     "q_embedding_knn": f"""
         WITH scored AS (
             SELECT vec_id,
@@ -459,5 +458,15 @@ ORACLE = {
         )
         SELECT vec_id, round(cos_raw, 4) AS cosine
         FROM scored ORDER BY cos_raw DESC, vec_id LIMIT {KNN_K}
+    """,
+}
+
+TEST_ORACLE = {
+    "q_text_stats": """
+        SELECT lang, count(*) AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               count(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang
     """,
 }

@@ -16,17 +16,28 @@ def _test_only_registry():
     """Oracle-checked queries that do not hold driver slots: the
     quadratic recall baselines rotated out in r5, plus operators added
     after the ~50-slot driver window filled (sampling)."""
+    from streamy_db_spark.functions import scalar
     from streamy_db_spark.operators import (
         decontam,
         dedup,
         merge,
         minhash,
+        relational,
         sampling,
         text_quality,
     )
 
     qs, osql = {}, {}
-    for mod in (decontam, dedup, merge, minhash, sampling, text_quality):
+    for mod in (
+        decontam,
+        dedup,
+        merge,
+        minhash,
+        relational,
+        sampling,
+        scalar,
+        text_quality,
+    ):
         qs.update(mod.TEST_QUERIES)
         osql.update(mod.TEST_ORACLE)
     return qs, osql

@@ -172,7 +172,8 @@ def test_no_python_udf_in_relational_plans(spark):
     for name in (
         "q_agg_tpch_pricing",
         "q_join_3way",
-        "q_text_stats",
+        "q_decontaminate",
+        "q_merge_upsert",
         "q_text_analysis",
         "q_dedup_exact",
         "q_minhash_lsh_pairs",
