@@ -182,11 +182,69 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_tokens: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents (in ``id_col``
+    order within each shard) and chop the token stream into fixed
+    ``seq_tokens`` blocks. Emits one row per (document × block it
+    overlaps): (shard, id, seq_id, doc_tok_start, n_toks) — the exact
+    map a data loader needs to assemble training sequences with zero
+    padding except the final block per shard.
+
+    Scale shape: packing is sequential BY DESIGN, so the total order is
+    scoped to the shard (``shard_col``), never the corpus: one window
+    cumulative-sum per shard partition + a bounded explode over the
+    blocks each doc touches. Shards pack independently — exactly how a
+    100 TB corpus is packed in practice (per input shard/file group) —
+    so no global sort exists anywhere in the plan."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks).cast("long")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = (
+        df.select(shard_col, id_col, n.alias("__n"))
+        .filter(F.col("__n") > 0)
+        .withColumn("__off", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+    )
+    first_b = F.expr(f"__off div {seq_tokens}")
+    last_b = F.expr(f"(__off + __n - 1) div {seq_tokens}")
+    out = base.withColumn("seq_id", F.explode(F.sequence(first_b, last_b)))
+    span_start = F.greatest(F.col("__off"), F.col("seq_id") * seq_tokens)
+    span_end = F.least(
+        F.col("__off") + F.col("__n"), (F.col("seq_id") + 1) * seq_tokens
+    )
+    return out.select(
+        shard_col,
+        id_col,
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (span_start - F.col("__off")).cast("long").alias("doc_tok_start"),
+        (span_end - span_start).cast("long").alias("n_toks"),
+    )
+
+
 # --- test-registry queries (oracle-checked; no driver slot used) -------------
 
 
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix(load_table(spark, sf_dir, "documents"))
+
+
+_SEQ_L = 512  # packing block; small enough that sf shards span many blocks
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_tokens=_SEQ_L)
 
 
 _CHUNK, _OVERLAP = 20, 5  # small enough that sf docs split into several chunks
@@ -246,11 +304,39 @@ TEST_QUERIES = {
     "q_pii_redaction": q_pii_redaction,
     "q_source_mix": q_source_mix,
     "q_chunk_documents": q_chunk_documents,
+    "q_pack_sequences": q_pack_sequences,
 }
 
 _CHUNK_STEP = _CHUNK - _OVERLAP
 
 TEST_ORACLE = {
+    "q_pack_sequences": f"""
+        WITH base AS (
+            SELECT source, doc_id,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> '')) AS n
+            FROM documents
+        ),
+        offs AS (
+            SELECT source, doc_id, n,
+                   CAST(coalesce(sum(n) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS off
+            FROM base WHERE n > 0
+        ),
+        blocks AS (
+            SELECT source, doc_id, n, off, b AS seq_id
+            FROM offs,
+                 unnest(generate_series(off // {_SEQ_L},
+                                        (off + n - 1) // {_SEQ_L})) AS u(b)
+        )
+        SELECT source, doc_id, seq_id,
+               greatest(off, seq_id * {_SEQ_L}) - off AS doc_tok_start,
+               least(off + n, (seq_id + 1) * {_SEQ_L})
+                   - greatest(off, seq_id * {_SEQ_L}) AS n_toks
+        FROM blocks
+    """,
     "q_chunk_documents": f"""
         WITH tok AS (
             SELECT doc_id,

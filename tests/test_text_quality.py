@@ -89,3 +89,45 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_pack_sequences_planted(spark):
+    from streamy_db_spark.operators.text_quality import pack_sequences
+
+    # one shard, L=10: docs of 4, 9, 10, 3 tokens → offsets 0, 4, 13, 23
+    rows = [
+        ("s", 1, " ".join("a" * 1 for _ in range(4))),
+        ("s", 2, " ".join("b" for _ in range(9))),
+        ("s", 3, " ".join("c" for _ in range(10))),
+        ("s", 4, "d d d"),
+        ("s", 5, ""),  # empty: contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.seq_id, r.doc_tok_start, r.n_toks)
+        for r in pack_sequences(df, seq_tokens=10, shard_col="source").collect()
+    )
+    assert got == [
+        (1, 0, 0, 4),           # doc1 fully in block 0
+        (2, 0, 0, 6), (2, 1, 6, 3),   # doc2 straddles 0|1 at global tok 10
+        (3, 1, 0, 7), (3, 2, 7, 3),   # doc3 spans blocks 1 and 2
+        (4, 2, 0, 3),           # doc4 in block 2
+    ]
+    # every block except the last is exactly full
+    totals = {}
+    for _d, b, _s, n in got:
+        totals[b] = totals.get(b, 0) + n
+    assert totals == {0: 10, 1: 10, 2: 6}
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    from streamy_db_spark.operators.text_quality import pack_sequences
+
+    rows = [("x", 1, "a b c"), ("y", 2, "d e f g")]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {
+        (r.source, r.doc_id, r.seq_id, r.n_toks)
+        for r in pack_sequences(df, seq_tokens=10, shard_col="source").collect()
+    }
+    # both shards start at block 0 — no cross-shard offsets
+    assert got == {("x", 1, 0, 3), ("y", 2, 0, 4)}
