@@ -93,7 +93,41 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(id_col), salt) < threshold)
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+    salt: str = "topk-v1",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by hash order —
+    the deterministic replacement for per-stratum reservoir sampling
+    (draw an eval set of k docs per language/source, reproducibly).
+    Membership is stable across re-partitioning and reruns, and
+    changing ``salt`` draws an independent sample. One shuffle on the
+    group key; per-group state in the rank window is O(1)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 # --- test-registry queries (oracle-checked; no driver slot used) -------------
+
+
+def q_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three deterministic docs per language — the per-stratum eval-set
+    draw, fully hash-checkable because the hash order is md5."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_k_per_group(docs, ["lang"], "doc_id", k=3, salt="topk-v1")
 
 
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,9 +150,28 @@ _SQL_BUCKET = (
     f" % {_BUCKETS})"
 )
 
-TEST_QUERIES = {"q_train_test_split": q_train_test_split}
+_SQL_TOPK_BUCKET = (
+    "(('0x' || substring(md5(doc_id::VARCHAR || '|topk-v1'), 1, 8))::BIGINT"
+    f" % {_BUCKETS})"
+)
+
+TEST_QUERIES = {
+    "q_train_test_split": q_train_test_split,
+    "q_sample_per_lang": q_sample_per_lang,
+}
 
 TEST_ORACLE = {
+    "q_sample_per_lang": f"""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_SQL_TOPK_BUCKET}, doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT doc_id, lang FROM ranked WHERE rk <= 3
+    """,
     "q_train_test_split": f"""
         WITH b AS (
             SELECT doc_id, lang, {_SQL_BUCKET} AS bucket FROM documents

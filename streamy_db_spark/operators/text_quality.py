@@ -182,6 +182,45 @@ def chunk_documents(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (idf = ln((N+1)/(df+1))).
+
+    Scale shape: token explode → two map-side-combined aggregations
+    ((doc, term) counts and per-term document frequency) → shuffle join
+    keyed by term (uniform: terms are the key, df table is vocab-sized,
+    far smaller than the corpus) → per-doc top-k window. The corpus
+    count N rides along as a 1-row broadcast cross join. No Python
+    anywhere; every stage partial-aggregates before shuffling."""
+    from pyspark.sql import Window
+
+    terms = df.select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = terms.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    n = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n)).select(
+        id_col,
+        "term",
+        F.round(
+            F.col("__tf") * F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0)), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "score")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_tokens: int,
@@ -237,6 +276,10 @@ def pack_sequences(
 
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix(load_table(spark, sf_dir, "documents"))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
 
 
 _SEQ_L = 512  # packing block; small enough that sf shards span many blocks
@@ -305,11 +348,43 @@ TEST_QUERIES = {
     "q_source_mix": q_source_mix,
     "q_chunk_documents": q_chunk_documents,
     "q_pack_sequences": q_pack_sequences,
+    "q_tfidf_top_terms": q_tfidf_top_terms,
 }
 
 _CHUNK_STEP = _CHUNK - _OVERLAP
 
 TEST_ORACLE = {
+    "q_tfidf_top_terms": """
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        terms AS (
+            SELECT doc_id, t AS term FROM tok, unnest(ts) AS u(t)
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS score
+            FROM tf JOIN df USING (term), n
+        ),
+        ranked AS (
+            SELECT doc_id, term, score,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, term
+                   ) AS rk
+            FROM scored
+        )
+        SELECT doc_id, rk AS rank, term, score FROM ranked WHERE rk <= 3
+    """,
     "q_pack_sequences": f"""
         WITH base AS (
             SELECT source, doc_id,

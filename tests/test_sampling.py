@@ -87,3 +87,36 @@ def test_hash_bucket_matches_python_model(spark):
         assert got == {i: model(i, salt) for i in ids}
 
     check()
+
+
+def test_sample_k_per_group_exact_count_and_stability(spark):
+    from streamy_db_spark.operators.sampling import sample_k_per_group
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(30)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "id long, g string")
+    got1 = {(r.g, r.id) for r in sample_k_per_group(df, ["g"], "id", k=4).collect()}
+    # exact k per full group; the 1-row group yields its single row
+    from collections import Counter
+    counts = Counter(g for g, _ in got1)
+    assert counts == {"g0": 4, "g1": 4, "g2": 4, "tiny": 1}
+    # stable across re-partitioning
+    got2 = {
+        (r.g, r.id)
+        for r in sample_k_per_group(df.repartition(7), ["g"], "id", k=4).collect()
+    }
+    assert got1 == got2
+    # a different salt draws a different (but equally sized) sample
+    got3 = {
+        (r.g, r.id)
+        for r in sample_k_per_group(df, ["g"], "id", k=4, salt="other").collect()
+    }
+    assert got3 != got1 and Counter(g for g, _ in got3) == counts
+
+
+def test_sample_k_per_group_rejects_bad_k(spark):
+    import pytest
+    from streamy_db_spark.operators.sampling import sample_k_per_group
+
+    df = spark.createDataFrame([(1, "g")], "id long, g string")
+    with pytest.raises(ValueError):
+        sample_k_per_group(df, ["g"], "id", k=0)

@@ -131,3 +131,26 @@ def test_pack_sequences_shards_are_independent(spark):
     }
     # both shards start at block 0 — no cross-shard offsets
     assert got == {("x", 1, 0, 3), ("y", 2, 0, 4)}
+
+
+def test_tfidf_planted_values(spark):
+    import math
+    from streamy_db_spark.operators.text_quality import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry durian"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.rank): (r.term, r.score)
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    idf = lambda d: math.log(4.0 / (d + 1.0))  # N=3 → (N+1)/(df+1)
+    # doc1: apple tf=2 df=1 → 2*ln(2); banana tf=1 df=2 → ln(4/3)
+    assert got[(1, 1)] == ("apple", round(2 * idf(1), 6))
+    assert got[(1, 2)] == ("banana", round(1 * idf(2), 6))
+    # doc3: cherry tf=3 df=2 dominates durian tf=1 df=1
+    assert got[(3, 1)] == ("cherry", round(3 * idf(2), 6))
+    assert got[(3, 2)] == ("durian", round(1 * idf(1), 6))
