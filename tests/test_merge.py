@@ -54,3 +54,33 @@ def test_delete_of_absent_key_is_noop(spark):
     )
     got = merge_upsert(_t(spark), changes, "k", delete_col="is_delete")
     assert got.count() == 3
+
+
+def test_merge_matches_dict_model_on_random_feeds(spark):
+    """Randomized (seeded) change feeds vs a dict-based model: apply 3
+    successive merges and compare the surviving snapshot each round."""
+    import random
+
+    rng = random.Random(99)
+    snap = {k: (f"n{k}", float(k)) for k in range(20)}
+    df = spark.createDataFrame(
+        [(k, n, p) for k, (n, p) in snap.items()],
+        "k long, name string, price double",
+    )
+    for rnd in range(3):
+        keys = rng.sample(range(30), 8)
+        feed = [
+            (k, f"r{rnd}k{k}", float(rnd * 100 + k), rng.random() < 0.3)
+            for k in keys
+        ]
+        fdf = spark.createDataFrame(
+            feed, "k long, name string, price double, is_delete boolean"
+        )
+        df = merge_upsert(df, fdf, "k", delete_col="is_delete")
+        for k, n, p, dele in feed:
+            if dele:
+                snap.pop(k, None)
+            else:
+                snap[k] = (n, p)
+        got = {r.k: (r.name, r.price) for r in df.collect()}
+        assert got == snap, f"round {rnd}"
