@@ -154,3 +154,32 @@ def test_tfidf_planted_values(spark):
     # doc3: cherry tf=3 df=2 dominates durian tf=1 df=1
     assert got[(3, 1)] == ("cherry", round(3 * idf(2), 6))
     assert got[(3, 2)] == ("durian", round(1 * idf(1), 6))
+
+
+def test_pack_sequences_single_shard_exchange(spark, sf_oracle):
+    """Packing must shuffle ONCE on the shard key (the per-shard window)
+    and never globally sort or touch Python."""
+    from streamy_db_spark.operators.text_quality import q_pack_sequences
+
+    plan = (
+        q_pack_sequences(spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning(source") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert "BatchEvalPython" not in plan
+
+
+def test_tfidf_stays_jvm_side(spark, sf_oracle):
+    from streamy_db_spark.operators.text_quality import q_tfidf_top_terms
+
+    plan = (
+        q_tfidf_top_terms(spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine before the shuffles
