@@ -101,6 +101,42 @@ BUDGETS = {
 BUDGETS = {k: max(v, 1.0) for k, v in BUDGETS.items()}
 
 
+def budget_breaches(
+    checked: dict[str, float], budgets: dict[str, float]
+) -> tuple[float, dict[str, dict[str, float]]]:
+    """(machine_slowdown, breaches) for a set of measured timings.
+
+    Noise normalization: this host is a shared VM, and whole runs
+    measure 2-3x slower when a noisy neighbor lands (observed r5:
+    back-to-back clean runs at 47 s and 60 s with IDENTICAL code). A
+    per-query gate must therefore judge each query RELATIVE to how fast
+    the machine ran this time, or global noise trips dozens of budgets
+    while a genuine single-plan regression hides in the noise floor.
+    budget_q ~= 2 x t_q(baseline), so on a uniformly s-times-slower
+    machine the median of sec/budget is s/2; scaling every budget by
+    max(1, 2*median) restores the intended "2x slower than baseline,
+    machine-relative" meaning. The 1.0-floor budgets of sub-second
+    queries bias the median LOW, so the scale under-corrects —
+    conservative direction."""
+    ratios = sorted(
+        sec / budgets[name] for name, sec in checked.items() if name in budgets
+    )
+    slowdown = 1.0
+    if ratios:
+        median = ratios[len(ratios) // 2]
+        slowdown = max(1.0, round(2 * median, 3))
+    breaches = {
+        name: {
+            "sec": sec,
+            "budget": budgets[name],
+            "effective_budget": round(budgets[name] * slowdown, 2),
+        }
+        for name, sec in checked.items()
+        if name in budgets and sec > budgets[name] * slowdown
+    }
+    return slowdown, breaches
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     name = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -233,33 +269,7 @@ def main() -> None:
             checked["protocol_replay_100k"] = replay_extra[
                 "protocol_replay_100k_seconds"
             ]
-        # Noise normalization: this host is a shared VM, and whole runs
-        # measure 2-3x slower when a noisy neighbor lands (observed r5:
-        # back-to-back clean runs at 47 s and 60 s with IDENTICAL code).
-        # A per-query gate must therefore judge each query RELATIVE to
-        # how fast the machine actually ran this time, or global noise
-        # trips dozens of budgets while a genuine single-plan regression
-        # hides in the noise floor. budget_q ~= 2 x t_q(baseline), so on
-        # a uniformly s-times-slower machine the median of sec/budget is
-        # s/2; scaling every budget by max(1, 2*median) restores the
-        # intended "2x slower than baseline, machine-relative" meaning.
-        # The 1.0-floor budgets of sub-second queries bias the median
-        # LOW, so the scale under-corrects — conservative direction.
-        ratios = sorted(
-            sec / BUDGETS[name] for name, sec in checked.items() if name in BUDGETS
-        )
-        if ratios:
-            median = ratios[len(ratios) // 2]
-            slowdown = max(1.0, round(2 * median, 3))
-        breaches = {
-            name: {
-                "sec": sec,
-                "budget": BUDGETS[name],
-                "effective_budget": round(BUDGETS[name] * slowdown, 2),
-            }
-            for name, sec in checked.items()
-            if name in BUDGETS and sec > BUDGETS[name] * slowdown
-        }
+        slowdown, breaches = budget_breaches(checked, BUDGETS)
         for name, b in breaches.items():
             print(
                 f"bench: {name} BUDGET BREACH: {b['sec']}s > "
