@@ -75,7 +75,7 @@ BUDGETS = {
     "q_pivot": 0.5,
     "q_range_join": 0.8,
     "q_resize_media": 3.0,
-    "q_decontaminate": 3.0,  # first-measured-round budget (r5)
+    "q_decontaminate": 1.2,  # ~2x its r5 measurement
     "q_scalar_subquery": 1.0,
     "q_scan_filter_project": 0.6,
     "q_semi_anti_join": 1.2,
@@ -89,7 +89,7 @@ BUDGETS = {
     "q_stats_agg": 0.6,
     "q_string_funcs": 0.4,
     "q_text_analysis": 0.5,
-    "q_merge_upsert": 3.0,  # first-measured-round budget (r5)
+    "q_merge_upsert": 2.2,  # ~2x its r5 measurement
     "q_topk_orders": 0.6,
     "q_tpch_q5": 2.4,
     "q_union_merge": 0.9,

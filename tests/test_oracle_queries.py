@@ -22,6 +22,7 @@ def _test_only_registry():
         dedup,
         merge,
         minhash,
+        profile,
         relational,
         sampling,
         text_quality,
@@ -33,6 +34,7 @@ def _test_only_registry():
         dedup,
         merge,
         minhash,
+        profile,
         relational,
         sampling,
         scalar,
