@@ -92,3 +92,21 @@ def test_sf_verdict_is_nonvacuous(spark, sf_oracle):
     # must be populated — and contamination must stay the minority
     assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
     assert counts[True] < counts[False]
+
+
+def test_exact_matches_are_a_subset_of_ngram_matches(spark):
+    """Any doc the exact gate catches (normalized-equal to a benchmark
+    text of >= n tokens) shares all of that text's n-grams, so the
+    n-gram gate must catch it too — the containment that makes running
+    only the n-gram pass sound."""
+    from streamy_db_spark.operators.decontam import (
+        contaminated_ids,
+        decontaminate_exact,
+    )
+
+    corpus = _corpus(spark)
+    bench = _bench(spark)
+    exact_kept = {r.doc_id for r in decontaminate_exact(corpus, bench).collect()}
+    exact_flagged = {r.doc_id for r in corpus.collect()} - exact_kept
+    ngram_flagged = {r.doc_id for r in contaminated_ids(corpus, bench, n=5).collect()}
+    assert exact_flagged <= ngram_flagged

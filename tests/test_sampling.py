@@ -120,3 +120,20 @@ def test_sample_k_per_group_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, "g")], "id long, g string")
     with pytest.raises(ValueError):
         sample_k_per_group(df, ["g"], "id", k=0)
+
+
+def test_sample_k_per_group_monotone_in_k(spark):
+    """Hash-order top-k is monotone: raising k only ADDS rows — the
+    property that lets an eval set grow without reshuffling membership
+    (same contract as stratified_sample's fraction monotonicity)."""
+    from streamy_db_spark.operators.sampling import sample_k_per_group
+
+    rows = [(i, "g%d" % (i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    prev: set = set()
+    for k in (1, 3, 5):
+        cur = {
+            (r.g, r.id) for r in sample_k_per_group(df, ["g"], "id", k=k).collect()
+        }
+        assert prev <= cur, f"k={k} dropped earlier members"
+        prev = cur
