@@ -128,6 +128,58 @@ def write_bucketed_table(
     return df.sparkSession.table(table)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    cluster_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_mb`` files — the
+    standard maintenance pass after streaming/incremental ingest leaves
+    thousands of small files (every one costs a task + an open at scan
+    time; the listing alone dominates planning on millions of files).
+    Optionally re-clusters on ``cluster_cols`` while rewriting (zone
+    maps for free, see write_clustered). Returns the output file count.
+
+    Write-then-swap through the Hadoop FileSystem API (works on any
+    scheme Spark can read): the rewrite lands in ``<path>.__compact__``
+    and replaces the original only after it fully commits, so a crash
+    mid-compaction leaves the original intact (plus a stale temp dir to
+    garbage-collect). NOT safe under concurrent writers to ``path`` —
+    that coordination is what table formats (Delta/Iceberg) add."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact__"
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(tmp_path, True)  # clear a stale temp from a crashed run
+    if cluster_cols:
+        df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
+            *cluster_cols
+        ).write.mode("overwrite").parquet(tmp)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+
+    old = path.rstrip("/") + ".__old__"
+    old_path = jvm.org.apache.hadoop.fs.Path(old)
+    fs.delete(old_path, True)
+    if not fs.rename(hpath, old_path):
+        raise IOError(f"compact_parquet: cannot move {path} aside")
+    if not fs.rename(tmp_path, hpath):
+        fs.rename(old_path, hpath)  # roll back
+        raise IOError(f"compact_parquet: swap failed for {path}")
+    fs.delete(old_path, True)
+    return sum(
+        1
+        for f in spark.read.parquet(path).inputFiles()
+        if f.endswith(".parquet")
+    )
+
+
 def convert_to_parquet(
     df: DataFrame, path: str, partition_cols: list[str] | None = None
 ) -> DataFrame:

@@ -160,3 +160,48 @@ def test_orc_round_trip_with_pushdown(spark, orders, tmp_path_factory):
     plan = inspect.formatted_explain(back.filter(F.col("o_orderkey") == 7))
     assert "PushedFilters" in plan
     assert "o_orderkey" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_compact_parquet_shrinks_file_count(spark, orders, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cmp") / "orders")
+    orders.repartition(40).write.parquet(path)
+    from pathlib import Path as P
+
+    before = len(list(P(path).glob("*.parquet")))
+    assert before >= 30  # genuinely fragmented input
+    n = files.compact_parquet(spark, path, target_file_mb=128)
+    after = len(list(P(path).glob("*.parquet")))
+    assert after == n and after < before
+    assert _fingerprint(spark.read.parquet(path)) == _fingerprint(orders)
+    assert not P(path + ".__compact__").exists()
+    assert not P(path + ".__old__").exists()
+
+
+def test_compact_parquet_with_clustering(spark, orders, tmp_path_factory):
+    import pyarrow.parquet as pq_meta
+    from pathlib import Path as P
+
+    path = str(tmp_path_factory.mktemp("cmpc") / "orders")
+    orders.repartition(20).write.parquet(path)
+    files.compact_parquet(
+        spark, path, target_file_mb=1, cluster_cols=["o_custkey"]
+    )
+    assert _fingerprint(spark.read.parquet(path)) == _fingerprint(orders)
+    # compacted files are key-clustered: per-file ranges are disjoint
+    ranges = []
+    for f in P(path).glob("*.parquet"):
+        md = pq_meta.ParquetFile(str(f)).metadata
+        if md.num_row_groups == 0:
+            continue
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_custkey"
+        )
+        stats = [
+            md.row_group(g).column(idx).statistics
+            for g in range(md.num_row_groups)
+        ]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
