@@ -57,7 +57,7 @@ BUDGETS = {
     "q_dedup_events": 1.8,
     "q_dedup_exact": 4.1,
     "q_dedup_groups": 9.8,
-    "q_dedup_near_lsh": 2.3,
+    "q_dedup_near_lsh": 3.0,  # measured 1.1-2.3 run-to-run; headroom for the Arrow path
     "q_distinct_agg": 0.6,
     "q_embedding_knn": 1.0,
     "q_follow_join": 1.1,
