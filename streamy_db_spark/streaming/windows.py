@@ -80,3 +80,20 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .dropDuplicates(["user_id", "event_type", "window_start_ms"])
         .select("user_id", "event_type", "window_start_ms")
     )
+
+
+def dedup_stream_content(docs: DataFrame) -> DataFrame:
+    """Streaming exact content dedup: admit each document fingerprint
+    once, forever — the Structured Streaming twin of
+    operators/incremental.IncrementalDeduper (same md5-normalized
+    fingerprint, so batch backfill and the live stream admit identical
+    sets). State is deliberately UNBOUNDED: the seen-set IS the corpus
+    digest set (16 B/doc in the state store — a billion docs ≈ 16 GB,
+    hash-partitioned; run it on the RocksDB provider, which the engine's
+    parity tests already cover). No watermark by design — a duplicate
+    arriving a year later is still a duplicate."""
+    from streamy_db_spark.operators.dedup import fingerprint_documents
+
+    return fingerprint_documents(docs).dropDuplicates(["fingerprint"]).drop(
+        "fingerprint"
+    )

@@ -216,3 +216,50 @@ def test_streaming_window_agg_kill_and_restart(spark, sf_small, tmp_path):
     assert remaining, "flush window itself should still be buffered"
     for r in remaining:
         assert r["key"]["event_type"] == "__flush__", r
+
+
+def test_content_dedup_stream_matches_incremental_batches(spark, tmp_path):
+    """Two availableNow rounds over growing input through ONE
+    checkpoint: round 2 must admit only documents whose fingerprint was
+    never seen in round 1 — the IncrementalDeduper contract, held by
+    the state store across restarts."""
+    import os
+
+    from streamy_db_spark.streaming.windows import dedup_stream_content
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    b1 = [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha  beta")]
+    b2 = [(10, "gamma delta"), (11, "fresh words"), (12, "fresh words")]
+
+    def run_round(rows, part):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(os.path.join(in_dir, part))
+        q = (
+            dedup_stream_content(
+                spark.readStream.schema("doc_id long, text string")
+                .option("recursiveFileLookup", "true")
+                .parquet(in_dir)
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        return {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+
+    got1 = run_round(b1, "b1")
+    assert got1 == {1, 2} or got1 == {2, 3}  # one admit per fingerprint
+    got2 = run_round(b2, "b2")
+    admitted_round2 = got2 - got1
+    # cross-batch dup (10) rejected by round-1 state; in-batch dup
+    # collapses to one of 11/12
+    assert len(admitted_round2) == 1
+    assert admitted_round2 < {11, 12}
