@@ -32,6 +32,25 @@ from pyspark.sql import functions as F
 from streamy_db_spark.operators.dedup import dedupe_exact, fingerprint_documents
 
 
+def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """State reader for incremental dedup: None ONLY when no state has
+    ever been written — the path is missing, or is an empty directory
+    (e.g. mkdir'd by an orchestrator). Any OTHER failure (corrupt
+    footer, permissions, transient FS fault) propagates: swallowing it
+    would silently re-admit duplicates against an empty seen-set AND
+    append their fingerprints, corrupting state. Existence is checked
+    through the Hadoop FileSystem API so any scheme Spark can read
+    works."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    if fs.getFileStatus(hpath).isDirectory() and len(fs.listStatus(hpath)) == 0:
+        return None
+    return spark.read.parquet(path)
+
+
 class IncrementalDeduper:
     """Exact-dedup gate with a parquet-backed seen-fingerprint set.
 
@@ -49,10 +68,7 @@ class IncrementalDeduper:
         self.id_col = id_col
 
     def _seen(self) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(self.state_path)
-        except Exception:
-            return None  # first batch: no state yet
+        return _read_state(self.spark, self.state_path)
 
     def process_batch(self, docs: DataFrame) -> DataFrame:
         """Accept the novel documents of this batch (within-batch dups

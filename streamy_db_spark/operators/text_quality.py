@@ -437,7 +437,7 @@ TEST_ORACLE = {
         FROM chunks
     """,
     # avg over doubles is order-sensitive in the last bits → rounded on
-    # BOTH sides (aggregate-rounding rule, .claude/skills/verify gotchas)
+    # BOTH sides so the oracle hash compare is order-insensitive
     "q_source_mix": """
         WITH tok AS (
             SELECT source, lang,

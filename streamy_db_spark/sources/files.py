@@ -143,13 +143,26 @@ def compact_parquet(
 
     Write-then-swap through the Hadoop FileSystem API (works on any
     scheme Spark can read): the rewrite lands in ``<path>.__compact__``
-    and replaces the original only after it fully commits, so a crash
-    mid-compaction leaves the original intact (plus a stale temp dir to
-    garbage-collect). NOT safe under concurrent writers to ``path`` —
-    that coordination is what table formats (Delta/Iceberg) add."""
+    and replaces the original only after it fully commits. The swap is
+    two renames, NOT atomic: a crash inside that window leaves the data
+    at ``<path>.__old__`` with ``path`` missing — the recovery branch on
+    entry below renames it back before proceeding, so no data is ever
+    lost and a rerun self-heals. NOT safe under concurrent writers to
+    ``path`` — that coordination is what table formats (Delta/Iceberg)
+    add."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    # Crash recovery: a previous run that died between its two swap
+    # renames left the original at <path>.__old__ and nothing at <path>.
+    # Restore it first; a fresh .__compact__ rewrite follows as normal.
+    crashed_old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__old__")
+    if not fs.exists(hpath) and fs.exists(crashed_old):
+        if not fs.rename(crashed_old, hpath):
+            raise IOError(
+                f"compact_parquet: cannot restore {path} from crashed swap"
+            )
     total_bytes = fs.getContentSummary(hpath).getLength()
     n_files = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
 

@@ -40,10 +40,26 @@ def idempotent_parquet_sink(out_dir: str) -> Callable[[DataFrame, int], None]:
     return write
 
 
-def read_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_sink(
+    spark: SparkSession, out_dir: str, schema: str | None = None
+) -> DataFrame:
     """Read the union of all committed batch directories (the consumer
     view of the sink). ``batch`` arrives as a partition column and is
-    dropped — batch boundaries are an implementation detail."""
+    dropped — batch boundaries are an implementation detail.
+
+    A sink polled BEFORE its first batch commits has zero ``batch=*``
+    directories; rather than throw (unable to infer schema), return an
+    explicitly-empty DataFrame — with ``schema`` when the caller can
+    supply it, else zero columns. (Globbed through the Hadoop
+    FileSystem API so any scheme Spark can read works.)"""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    jvm = spark._jvm
+    gpath = jvm.org.apache.hadoop.fs.Path(out_dir.rstrip("/") + "/batch=*")
+    fs = gpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    committed = fs.globStatus(gpath)
+    if committed is None or len(committed) == 0:
+        return spark.createDataFrame([], schema if schema else T.StructType([]))
     return spark.read.option("basePath", out_dir).parquet(
         f"{out_dir}/batch=*"
     ).drop("batch")

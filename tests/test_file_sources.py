@@ -205,3 +205,21 @@ def test_compact_parquet_with_clustering(spark, orders, tmp_path_factory):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_compact_parquet_recovers_crashed_swap(spark, orders, tmp_path_factory):
+    # simulate a hard crash between the two swap renames: data sits at
+    # <path>.__old__ and <path> is gone — the next run must restore and
+    # complete instead of failing at getContentSummary (ADVICE r5)
+    import shutil
+    from pathlib import Path as P
+
+    path = str(tmp_path_factory.mktemp("cmpcrash") / "orders")
+    orders.repartition(10).write.parquet(path)
+    want = _fingerprint(spark.read.parquet(path))
+    shutil.move(path, path + ".__old__")
+    assert not P(path).exists()
+    n = files.compact_parquet(spark, path, target_file_mb=128)
+    assert n >= 1
+    assert _fingerprint(spark.read.parquet(path)) == want
+    assert not P(path + ".__old__").exists()

@@ -64,3 +64,20 @@ def test_first_batch_with_empty_state_dir(spark, tmp_path):
     p.mkdir()
     d = IncrementalDeduper(spark, str(p))
     assert {r.doc_id for r in d.process_batch(_docs(spark, B1)).collect()} == {1, 2}
+
+
+def test_corrupt_state_raises_not_readmits(spark, tmp_path):
+    # a state dir that EXISTS but cannot be read must raise — treating
+    # it as "first batch" would silently re-admit every duplicate and
+    # append dupe fingerprints (ADVICE r5, incremental.py:_seen)
+    import pytest
+
+    p = tmp_path / "state"
+    d = IncrementalDeduper(spark, str(p))
+    d.process_batch(_docs(spark, B1))
+    # corrupt every state file in place
+    for f in p.glob("*.parquet"):
+        f.write_bytes(b"not a parquet file")
+    with pytest.raises(Exception) as exc_info:
+        d.process_batch(_docs(spark, B2))
+    assert "first batch" not in str(exc_info.value)

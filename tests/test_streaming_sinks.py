@@ -70,3 +70,13 @@ def test_sink_survives_kill_and_restart_without_duplicates(spark, tmp_path):
     )
     expect = sorted((k, v, v + "!") for k, v in rows)
     assert got == expect  # exactly once: no loss, no duplicates
+
+
+def test_read_sink_before_first_commit_is_empty(spark, tmp_path):
+    # polling a sink with zero committed batches must yield an empty
+    # DataFrame, not an unable-to-infer-schema error (ADVICE r5)
+    out = str(tmp_path / "sink_out")
+    assert read_sink(spark, out).count() == 0
+    typed = read_sink(spark, out, schema="k long, v string")
+    assert typed.count() == 0
+    assert typed.columns == ["k", "v"]
