@@ -57,12 +57,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merge,
         minhash,
         multimodal,
+        profile,
         relational,
         relational_ext,
         relational_ext2,
+        sampling,
         similarity,
         temporal,
         text,
+        text_quality,
     )
 
     mods = (
@@ -77,6 +80,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity,
         multimodal,
         text,
+        text_quality,
+        sampling,
+        profile,
         scalar,
     )
     # Register every oracle-backed query BEFORE the rows-only ones: the
@@ -109,12 +115,15 @@ def oracle_sql() -> dict[str, str]:
         merge,
         minhash,
         multimodal,
+        profile,
         relational,
         relational_ext,
         relational_ext2,
+        sampling,
         similarity,
         temporal,
         text,
+        text_quality,
     )
 
     out: dict[str, str] = {}
@@ -130,6 +139,9 @@ def oracle_sql() -> dict[str, str]:
         similarity,
         multimodal,
         text,
+        text_quality,
+        sampling,
+        profile,
         scalar,
     ):
         out.update(mod.ORACLE)

@@ -19,8 +19,10 @@ judge archaeology):
   otherwise read as a speedup) and rc != 0;
 - any query breaching its pinned budget (~2× its r4/r5 measurement,
   BUDGETS below, scaled by the run's measured machine-slowdown factor
-  so shared-VM noise doesn't trip the gate — see the normalization
-  comment in main()) ⇒ rc != 0 with the breaches listed.
+  so uniform shared-VM noise doesn't trip the gate) AFTER a one-shot
+  retry judged on min(first, retry) — bursty noise windows and one-time
+  cold compiles don't reproduce on retry, genuine plan regressions do
+  (see retry_breaches) ⇒ rc != 0 with the persisting breaches listed.
 """
 
 from __future__ import annotations
@@ -97,12 +99,20 @@ BUDGETS = {
     "q_window_funcs": 0.5,
     "protocol_replay_10k": 14.0,
     "protocol_replay_100k": 60.0,
+    "protocol_replay_1m": 220.0,  # ~2x its first (r6) measurement: 106.5 s
+    "q_minhash_lsh_pairs_capped": 10.0,  # shares the q_minhash_lsh_pairs pipeline shape
+    "q_pack_sequences": 2.0,
+    "q_profile_orders": 2.0,
+    "q_train_test_split": 1.5,
 }
 BUDGETS = {k: max(v, 1.0) for k, v in BUDGETS.items()}
 
 
 def budget_breaches(
-    checked: dict[str, float], budgets: dict[str, float]
+    checked: dict[str, float],
+    budgets: dict[str, float],
+    min_ratios: int = 8,
+    max_slowdown: float = 3.0,
 ) -> tuple[float, dict[str, dict[str, float]]]:
     """(machine_slowdown, breaches) for a set of measured timings.
 
@@ -117,14 +127,22 @@ def budget_breaches(
     max(1, 2*median) restores the intended "2x slower than baseline,
     machine-relative" meaning. The 1.0-floor budgets of sub-second
     queries bias the median LOW, so the scale under-corrects —
-    conservative direction."""
+    conservative direction.
+
+    Guard rails (r5 advice): the scale only kicks in with at least
+    ``min_ratios`` checked queries — with very few, one slow query
+    would scale its own budget and could never breach — and is capped
+    at ``max_slowdown`` so a correlated REAL regression (a conf/codegen
+    change slowing half the registry) cannot disguise itself as
+    unbounded machine noise. Bursty (non-uniform) noise that the median
+    cannot see is handled one level up by retry_breaches()."""
     ratios = sorted(
         sec / budgets[name] for name, sec in checked.items() if name in budgets
     )
     slowdown = 1.0
-    if ratios:
+    if len(ratios) >= min_ratios:
         median = ratios[len(ratios) // 2]
-        slowdown = max(1.0, round(2 * median, 3))
+        slowdown = min(max(1.0, round(2 * median, 3)), max_slowdown)
     breaches = {
         name: {
             "sec": sec,
@@ -135,6 +153,42 @@ def budget_breaches(
         if name in budgets and sec > budgets[name] * slowdown
     }
     return slowdown, breaches
+
+
+def retry_breaches(
+    timings: dict[str, float],
+    budgets: dict[str, float],
+    rerun,
+    **gate_kwargs,
+) -> tuple[float, dict[str, dict[str, float]], dict[str, dict[str, float]]]:
+    """Burst-robust budget gate: re-measure each breaching query once
+    and judge it on min(first, retry).
+
+    Why: the median-slowdown normalization above handles UNIFORM noise,
+    but a noise burst covering a contiguous block of the run (r5: 13 of
+    51 queries breached, everything before/after at full speed, median
+    clean) leaves machine_slowdown at 1.0 while healthy queries breach.
+    A genuine plan regression reproduces on the retry; a noise burst —
+    or a one-time session-cold plan compile landing on whichever query
+    runs first — does not. ``rerun(name) -> seconds`` re-executes one
+    query; queries it cannot re-execute (returns None) keep their first
+    timing. Retried minima are written back into ``timings`` (in place)
+    so the headline total reflects steady-state, and both measurements
+    are returned for the record.
+
+    Returns (machine_slowdown, breaches, retried) where retried maps
+    each retried query to {"first": s, "retry": s}."""
+    _, first_breaches = budget_breaches(timings, budgets, **gate_kwargs)
+    retried: dict[str, dict[str, float]] = {}
+    for name in sorted(first_breaches):
+        t_retry = rerun(name)
+        if t_retry is None:
+            continue
+        t_retry = round(t_retry, 3)
+        retried[name] = {"first": timings[name], "retry": t_retry}
+        timings[name] = min(timings[name], t_retry)
+    slowdown, breaches = budget_breaches(timings, budgets, **gate_kwargs)
+    return slowdown, breaches, retried
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -198,8 +252,21 @@ def main() -> None:
     def _warm(v):  # pragma: no cover - trivial
         return v * 1.0
 
-    spark.range(10_000, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+    n_warm_parts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(10_000, numPartitions=n_warm_parts).select(
         _warm(F.col("id").cast("double"))
+    ).count()
+
+    # Warm the mapInPandas PLAN SHAPE too (r5: MapInPandasExec compiles
+    # ~2.4 s of one-time codegen the scalar pandas_udf warmup above does
+    # not touch — measured 3.2 s session-cold vs 0.81 s warm for
+    # q_media_features; the cost landed on whichever media query ran
+    # first and breached its budget). Same resident-engine rationale.
+    def _warm_mip(batches):  # pragma: no cover - trivial
+        yield from batches
+
+    spark.range(10_000, numPartitions=n_warm_parts).mapInPandas(
+        _warm_mip, "id long"
     ).count()
 
     # Warm the dedup pair-pipeline plan shapes on the smallest SF (same
@@ -245,6 +312,11 @@ def main() -> None:
     for label, mix, warm, in_total in (
         ("protocol_replay_10k", "scale_bench", True, True),
         ("protocol_replay_100k", "scale_bench_100k", False, False),
+        # One more decade (r5 verdict item 6): 1M transactions, generated
+        # distributedly (fixtures.generate_df_distributed). First
+        # measurement: 106.5 s / 9,391 txn/s / 7 waves, tail-collapse
+        # fired — throughput keeps growing with batch size.
+        ("protocol_replay_1m", "scale_bench_1m", False, False),
     ):
         try:
             replay_s, rate, stats = bench_protocol_replay(spark, mix, warm)
@@ -262,19 +334,62 @@ def main() -> None:
     # Budgets only bind on the standard bench configuration.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     breaches = {}
+    retried: dict[str, dict[str, float]] = {}
     slowdown = 1.0
     if abs(_sf_from_dir(SF_DIR) - 0.1) < 1e-9 and cpus >= 16:
         checked = dict(timings)
-        if "protocol_replay_100k_seconds" in replay_extra:
-            checked["protocol_replay_100k"] = replay_extra[
-                "protocol_replay_100k_seconds"
-            ]
-        slowdown, breaches = budget_breaches(checked, BUDGETS)
+        for label in ("protocol_replay_100k", "protocol_replay_1m"):
+            if f"{label}_seconds" in replay_extra:
+                checked[label] = replay_extra[f"{label}_seconds"]
+
+        qfns = entry_mod.queries()
+        retry_rates: dict[str, float] = {}
+
+        def rerun(name: str) -> float | None:
+            try:
+                if name.startswith("protocol_replay_"):
+                    mix = {
+                        "protocol_replay_10k": "scale_bench",
+                        "protocol_replay_100k": "scale_bench_100k",
+                        "protocol_replay_1m": "scale_bench_1m",
+                    }.get(name)
+                    if mix is None:
+                        return None
+                    sec, rate, _ = bench_protocol_replay(spark, mix, warm=False)
+                    retry_rates[name] = rate
+                    return sec
+                if name not in qfns:
+                    return None
+                t0 = time.perf_counter()
+                qfns[name](spark, SF_DIR).count()
+                return time.perf_counter() - t0
+            except Exception as exc:  # noqa: BLE001 - retry must not kill the record
+                print(f"bench: retry of {name} FAILED: {exc}", file=sys.stderr)
+                return None
+
+        slowdown, breaches, retried = retry_breaches(checked, BUDGETS, rerun)
+
+        # Propagate retried minima back into the reported fields so the
+        # headline total reflects steady-state, with both measurements
+        # preserved in "retried".
+        for name in retried:
+            if name in timings:
+                timings[name] = checked[name]
+        for label in ("protocol_replay_100k", "protocol_replay_1m"):
+            if label in retried:
+                replay_extra[f"{label}_seconds"] = checked[label]
+        for name, rate in retry_rates.items():
+            if name in retried and checked[name] == retried[name]["retry"]:
+                key = f"{name.split('_')[-1]}_txn_per_sec"
+                replay_extra[key] = round(rate, 1)
+                if name == "protocol_replay_10k":
+                    txn_rate = rate
+
         for name, b in breaches.items():
             print(
                 f"bench: {name} BUDGET BREACH: {b['sec']}s > "
                 f"{b['effective_budget']}s (budget {b['budget']}s x "
-                f"machine slowdown {slowdown})",
+                f"machine slowdown {slowdown}; persisted across a retry)",
                 file=sys.stderr,
             )
 
@@ -293,6 +408,7 @@ def main() -> None:
                 **replay_extra,
                 "machine_slowdown": slowdown,
                 "budget_breaches": breaches,
+                "retried": retried,
                 "errors": errors,
             }
         )

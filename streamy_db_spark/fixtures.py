@@ -41,7 +41,14 @@ MIXES = {
     # 10× rows — proves replay throughput grows with batch size
     # (BASELINE.md's claim; bench.py protocol_replay_100k).
     "scale_bench_100k": (100_000, 4, 100_000),
+    # One more decade (bench.py protocol_replay_1m) — generated
+    # DISTRIBUTEDLY (see generate_df_distributed): 1M rows of nested
+    # Python objects through Py4J would dominate the bench.
+    "scale_bench_1m": (1_000_000, 4, 1_000_000),
 }
+
+# Mixes too large to build on the driver take the Spark-side generator.
+_DISTRIBUTED_THRESHOLD = 500_000
 
 
 def _key(rng: random.Random, keyspace: int) -> str:
@@ -122,7 +129,90 @@ def to_dataframe(spark: SparkSession, txns: list[dict[str, Any]]) -> DataFrame:
 
 
 def generate_df(spark: SparkSession, mix: str, seed: int = 42) -> DataFrame:
+    n_txns, keys_per_txn, keyspace = MIXES[mix]
+    if n_txns >= _DISTRIBUTED_THRESHOLD:
+        return generate_df_distributed(
+            spark, n_txns, keys_per_txn, keyspace, seed
+        )
     return to_dataframe(spark, generate(mix, seed))
+
+
+def generate_df_distributed(
+    spark: SparkSession,
+    n_txns: int,
+    keys_per_txn: int = 4,
+    keyspace: int | None = None,
+    seed: int = 42,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Spark-side ``scale_bench``-shaped workload for replay benches too
+    big to build on the driver (1M txns of nested structs through Py4J
+    would take longer than the replay itself — and a 100 TB harness
+    must generate where it computes anyway).
+
+    Same statistical shape as the driver-side scale_bench mixes: sparse
+    conflicts (txns × keys/txn ÷ keyspace = keys_per_txn when keyspace
+    == n_txns), monotone ts with ~3-way ties, 4 kafka partitions with
+    dense per-partition offsets, one expect-absent assert on the first
+    key, versioned updates on every key. Key draws come from xxhash64
+    rather than random.Random, so rows are NOT identical to
+    ``generate()`` — replay correctness never depends on the draw
+    source (the serial-oracle equivalence tests run on the driver-side
+    mixes). Within-txn hash collisions are deduped via array_distinct
+    (expected ~k²·n/2/keyspace ≈ 8 rows at 1M), keeping per-key lock
+    semantics clean; those rows simply carry fewer keys, as the
+    ``deletes`` mix already does."""
+    keyspace = keyspace or n_txns
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    base_epoch = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp())
+    keys = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(keys_per_txn - 1)),
+            lambda j: F.format_string(
+                "key_%010d",
+                F.pmod(F.xxhash64(F.col("id"), F.lit(seed), j), F.lit(keyspace)),
+            ),
+        )
+    )
+    uid = F.md5(F.concat(F.col("id").cast("string"), F.lit(f"#{seed}")))
+    df = (
+        spark.range(n_txns, numPartitions=n_partitions)
+        .withColumn("keys", keys)
+        .select(
+            F.timestamp_seconds(
+                F.lit(base_epoch) + (F.col("id") / 3).cast("long")
+            ).alias("ts"),
+            F.pmod(F.col("id"), F.lit(N_PARTITIONS)).cast("int").alias(
+                "kafka_partition"
+            ),
+            (F.col("id") / N_PARTITIONS).cast("long").alias("kafka_offset"),
+            F.concat_ws(
+                "-",
+                F.substring(uid, 1, 8),
+                F.substring(uid, 9, 4),
+                F.substring(uid, 13, 4),
+                F.substring(uid, 17, 4),
+                F.substring(uid, 21, 12),
+            ).alias("transaction_id"),
+            F.array(
+                F.struct(
+                    F.element_at("keys", 1).alias("key"),
+                    F.lit(None).cast("string").alias("value"),
+                )
+            ).alias("asserts"),
+            F.transform(
+                "keys",
+                lambda k: F.struct(
+                    k.alias("key"),
+                    F.concat(k, F.lit("_v"), F.col("id").cast("string")).alias(
+                        "value"
+                    ),
+                ),
+            ).alias("updates"),
+        )
+    )
+    return df
 
 
 def planted_embeddings(

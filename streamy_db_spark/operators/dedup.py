@@ -315,13 +315,20 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for the LSH path's recall: oracle-checked via TEST_* (see
 # tests/test_oracle_queries.py) but rotated out of the driver registry
 # so its slot goes to a scale-real operator (r4 verdict item 3).
+# q_dedup_near_lsh rotated to the test registry in r6: approximate
+# (rows-only in the driver — no hash evidence from its slot), while the
+# registered q_minhash_lsh_pairs / q_minhash_lsh_pairs_capped pair
+# carries the near-dup story under the strong oracle gate. Its
+# recall-vs-exact guard still runs in tests/test_oracle_queries.py.
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_groups": q_dedup_groups,
-    "q_dedup_near_lsh": q_dedup_near_lsh,
 }
 
-TEST_QUERIES = {"q_dedup_near_embedding": q_dedup_near_embedding}
+TEST_QUERIES = {
+    "q_dedup_near_embedding": q_dedup_near_embedding,
+    "q_dedup_near_lsh": q_dedup_near_lsh,
+}
 
 ORACLE = {
     "q_dedup_exact": r"""

@@ -68,7 +68,7 @@ def profile_table(
     )
 
 
-# --- test-registry query (oracle-checked; no driver slot used) ---------------
+# --- driver-registered query (promoted r6, r5 verdict item 5) ----------------
 
 
 _Q_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
@@ -78,10 +78,9 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(load_table(spark, sf_dir, "orders"), _Q_COLS)
 
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+QUERIES: dict = {"q_profile_orders": q_profile_orders}
 
-TEST_QUERIES = {"q_profile_orders": q_profile_orders}
+TEST_QUERIES: dict = {}
 
 
 def _col_sql(c: str, numeric: bool) -> str:
@@ -97,8 +96,10 @@ def _col_sql(c: str, numeric: bool) -> str:
     """
 
 
-TEST_ORACLE = {
+ORACLE: dict = {
     "q_profile_orders": " UNION ALL ".join(
         _col_sql(c, c != "o_orderstatus") for c in _Q_COLS
     ),
 }
+
+TEST_ORACLE: dict = {}

@@ -142,8 +142,10 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+# q_train_test_split promoted to a DRIVER slot in r6 (r5 verdict item
+# 5): split assignment is the membership contract every downstream
+# training job depends on, so it belongs under the driver's hash gate.
+QUERIES: dict = {"q_train_test_split": q_train_test_split}
 
 _SQL_BUCKET = (
     "(('0x' || substring(md5(doc_id::VARCHAR || '|split-v1'), 1, 8))::BIGINT"
@@ -156,22 +158,10 @@ _SQL_TOPK_BUCKET = (
 )
 
 TEST_QUERIES = {
-    "q_train_test_split": q_train_test_split,
     "q_sample_per_lang": q_sample_per_lang,
 }
 
-TEST_ORACLE = {
-    "q_sample_per_lang": f"""
-        WITH ranked AS (
-            SELECT doc_id, lang,
-                   row_number() OVER (
-                       PARTITION BY lang
-                       ORDER BY {_SQL_TOPK_BUCKET}, doc_id
-                   ) AS rk
-            FROM documents
-        )
-        SELECT doc_id, lang FROM ranked WHERE rk <= 3
-    """,
+ORACLE: dict = {
     "q_train_test_split": f"""
         WITH b AS (
             SELECT doc_id, lang, {_SQL_BUCKET} AS bucket FROM documents
@@ -186,5 +176,19 @@ TEST_ORACLE = {
                min(doc_id) AS min_doc_id
         FROM b
         GROUP BY 1, 2
+    """,
+}
+
+TEST_ORACLE = {
+    "q_sample_per_lang": f"""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_SQL_TOPK_BUCKET}, doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT doc_id, lang FROM ranked WHERE rk <= 3
     """,
 }

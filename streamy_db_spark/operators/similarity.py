@@ -365,11 +365,16 @@ def q_ann_ivf(spark, sf_dir: str) -> DataFrame:
     )
 
 
+# q_ann_lsh rotated to the test registry in r6: approximate (rows-only
+# in the driver, so its slot carried no hash evidence), and the ANN
+# scale path stays represented by q_ann_ivf (persisted-probe tested).
+# Its recall ≥0.5 guard still runs in tests/test_oracle_queries.py.
 QUERIES = {
     "q_knn_batch": q_knn_batch,
-    "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
 }
+
+TEST_QUERIES = {"q_ann_lsh": q_ann_lsh}
 
 _COS_SQL = (
     "list_dot_product(q.e, c.e) / "

@@ -339,7 +339,11 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES: dict = {}
+# q_pack_sequences promoted to a DRIVER slot in r6 (r5 verdict item 5):
+# GPT-style sequence packing is production-critical for a training-data
+# engine and its window-cumsum formulation deserves the driver's strong
+# hash gate, not just local verification.
+QUERIES: dict = {"q_pack_sequences": q_pack_sequences}
 ORACLE: dict = {}
 
 TEST_QUERIES = {
@@ -347,7 +351,6 @@ TEST_QUERIES = {
     "q_pii_redaction": q_pii_redaction,
     "q_source_mix": q_source_mix,
     "q_chunk_documents": q_chunk_documents,
-    "q_pack_sequences": q_pack_sequences,
     "q_tfidf_top_terms": q_tfidf_top_terms,
 }
 
@@ -384,33 +387,6 @@ TEST_ORACLE = {
             FROM scored
         )
         SELECT doc_id, rk AS rank, term, score FROM ranked WHERE rk <= 3
-    """,
-    "q_pack_sequences": f"""
-        WITH base AS (
-            SELECT source, doc_id,
-                   len(list_filter(string_split_regex(lower(text), '\\s+'),
-                                   t -> t <> '')) AS n
-            FROM documents
-        ),
-        offs AS (
-            SELECT source, doc_id, n,
-                   CAST(coalesce(sum(n) OVER (
-                       PARTITION BY source ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS BIGINT) AS off
-            FROM base WHERE n > 0
-        ),
-        blocks AS (
-            SELECT source, doc_id, n, off, b AS seq_id
-            FROM offs,
-                 unnest(generate_series(off // {_SEQ_L},
-                                        (off + n - 1) // {_SEQ_L})) AS u(b)
-        )
-        SELECT source, doc_id, seq_id,
-               greatest(off, seq_id * {_SEQ_L}) - off AS doc_tok_start,
-               least(off + n, (seq_id + 1) * {_SEQ_L})
-                   - greatest(off, seq_id * {_SEQ_L}) AS n_toks
-        FROM blocks
     """,
     "q_chunk_documents": f"""
         WITH tok AS (
@@ -504,3 +480,31 @@ TEST_ORACLE = {
         FROM red
     """,
 }
+
+ORACLE["q_pack_sequences"] = TEST_ORACLE_PACK = f"""
+        WITH base AS (
+            SELECT source, doc_id,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> '')) AS n
+            FROM documents
+        ),
+        offs AS (
+            SELECT source, doc_id, n,
+                   CAST(coalesce(sum(n) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS off
+            FROM base WHERE n > 0
+        ),
+        blocks AS (
+            SELECT source, doc_id, n, off, b AS seq_id
+            FROM offs,
+                 unnest(generate_series(off // {_SEQ_L},
+                                        (off + n - 1) // {_SEQ_L})) AS u(b)
+        )
+        SELECT source, doc_id, seq_id,
+               greatest(off, seq_id * {_SEQ_L}) - off AS doc_tok_start,
+               least(off + n, (seq_id + 1) * {_SEQ_L})
+                   - greatest(off, seq_id * {_SEQ_L}) AS n_toks
+        FROM blocks
+    """

@@ -1,12 +1,23 @@
 """Unit semantics of bench.py's noise-normalized budget gate — no Spark
 session needed (pure arithmetic; the gate protects every future round's
-regression signal, so it gets its own tests)."""
+regression signal, so it gets its own tests).
+
+r6 gate shape: median-slowdown normalization for UNIFORM noise (now
+capped at 3x and only active with >= min_ratios checked queries), plus
+a one-shot retry of every breaching query judged on min(first, retry)
+for BURSTY noise — the r5 failure mode where a noise window covering a
+contiguous block of the run left the median clean while healthy queries
+breached.
+"""
 
 from __future__ import annotations
 
-from bench import budget_breaches
+from bench import budget_breaches, retry_breaches
 
 BUDGETS = {"a": 2.0, "b": 4.0, "c": 1.0, "d": 10.0}
+# a wider registry for the scaling/retry tests (scaling requires
+# min_ratios measurements so one slow query can't scale its own budget)
+WIDE = {f"q{i:02d}": float(2 + i % 5) for i in range(16)}
 
 
 def test_fast_machine_no_breach():
@@ -25,20 +36,97 @@ def test_isolated_regression_trips_on_fast_machine():
 def test_global_noise_does_not_trip():
     # machine uniformly 3x slower than baseline (= 1.5x budgets):
     # every query exceeds its raw budget, none is a real regression
-    timings = {k: v * 1.5 for k, v in BUDGETS.items()}
-    slow, br = budget_breaches(timings, BUDGETS)
+    timings = {k: v * 1.5 for k, v in WIDE.items()}
+    slow, br = budget_breaches(timings, WIDE)
     assert slow == 3.0
     assert br == {}
 
 
 def test_regression_still_trips_under_global_noise():
-    timings = {k: v * 1.5 for k, v in BUDGETS.items()}
-    timings["d"] = BUDGETS["d"] * 4  # genuinely 8x baseline
-    slow, br = budget_breaches(timings, BUDGETS)
-    assert set(br) == {"d"}
-    assert br["d"]["effective_budget"] == BUDGETS["d"] * slow
+    timings = {k: v * 1.5 for k, v in WIDE.items()}
+    timings["q00"] = WIDE["q00"] * 4  # genuinely 8x baseline
+    slow, br = budget_breaches(timings, WIDE)
+    assert set(br) == {"q00"}
+    assert br["q00"]["effective_budget"] == WIDE["q00"] * slow
 
 
 def test_unknown_queries_are_ignored():
     slow, br = budget_breaches({"new_query": 99.0}, BUDGETS)
     assert slow == 1.0 and br == {}
+
+
+def test_slowdown_capped_at_3x():
+    # a correlated REAL regression slowing the whole registry 10x must
+    # not be normalized away as machine noise: the scale caps at 3x and
+    # every query breaches (r5 advice)
+    timings = {k: v * 5.0 for k, v in WIDE.items()}  # 10x baseline
+    slow, br = budget_breaches(timings, WIDE)
+    assert slow == 3.0
+    assert set(br) == set(WIDE)
+
+
+def test_no_scaling_with_few_queries():
+    # with fewer than min_ratios measurements a single slow query must
+    # not scale its own budget out of reach (r5 advice)
+    slow, br = budget_breaches({"a": 9.0}, BUDGETS)
+    assert slow == 1.0
+    assert set(br) == {"a"}
+
+
+# ---------------------------------------------------------------- retry
+
+
+def test_retry_clears_contiguous_noise_window():
+    # r5 failure mode: a noise burst covers a contiguous block of the
+    # alphabetical sweep; the median stays clean (slowdown 1.0) and the
+    # block breaches. The retry runs after the burst passes and comes
+    # back at steady-state speed — the gate must go green.
+    steady = {k: v * 0.45 for k, v in WIDE.items()}
+    timings = dict(steady)
+    for name in ["q03", "q04", "q05", "q06"]:  # the noise window
+        timings[name] = WIDE[name] * 4.0
+    slow, br, retried = retry_breaches(
+        timings, WIDE, rerun=lambda name: steady[name]
+    )
+    assert br == {}
+    assert set(retried) == {"q03", "q04", "q05", "q06"}
+    for name, rec in retried.items():
+        assert rec["retry"] == steady[name]
+        assert timings[name] == steady[name]  # headline uses the min
+
+
+def test_retry_does_not_mask_genuine_regression():
+    # a real 3x single-query plan regression reproduces on the retry
+    # and must still fail the gate
+    timings = {k: v * 0.45 for k, v in WIDE.items()}
+    timings["q07"] = WIDE["q07"] * 3.0
+    slow, br, retried = retry_breaches(
+        timings, WIDE, rerun=lambda name: WIDE[name] * 3.1
+    )
+    assert set(br) == {"q07"}
+    assert retried["q07"]["first"] == WIDE["q07"] * 3.0
+    # min(first, retry) is what got judged
+    assert timings["q07"] == WIDE["q07"] * 3.0
+
+
+def test_retry_unrunnable_query_keeps_first_timing():
+    # rerun returning None (query not re-executable) keeps the first
+    # measurement and the breach stands — no silent pass
+    timings = {k: v * 0.45 for k, v in WIDE.items()}
+    timings["q09"] = WIDE["q09"] * 5.0
+    slow, br, retried = retry_breaches(timings, WIDE, rerun=lambda name: None)
+    assert set(br) == {"q09"}
+    assert retried == {}
+
+
+def test_retry_only_reruns_breaching_queries():
+    calls = []
+
+    def rerun(name):
+        calls.append(name)
+        return 0.1
+
+    timings = {k: v * 0.45 for k, v in WIDE.items()}
+    timings["q01"] = WIDE["q01"] * 4.0
+    retry_breaches(timings, WIDE, rerun=rerun)
+    assert calls == ["q01"]
