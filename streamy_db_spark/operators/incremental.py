@@ -90,3 +90,168 @@ class IncrementalDeduper:
         """Distinct accepted fingerprints (driver-sized scalar)."""
         seen = self._seen()
         return 0 if seen is None else seen.select("fingerprint").distinct().count()
+
+
+# --- incremental NEAR-dup dedup (batch-over-batch MinHash admission) ---------
+
+
+class IncrementalNearDeduper:
+    """Batch-over-batch MinHash-LSH near-dup admission (r5 verdict item
+    4): "is this document a near-duplicate of anything already
+    accepted?" without re-reading accepted text.
+
+    State per accepted doc: the 16-element MinHash signature (16 × 8 B)
+    plus its 4 LSH band hashes (position = band index) — parquet,
+    appended once per batch, never rewritten. Admission for a new batch:
+
+    1. rows whose doc_id is already in state are dropped (crash-replay
+       idempotence, mirroring IncrementalDeduper's membership semantics);
+    2. docs with no shingles (< SHINGLE_W tokens) are accepted verbatim
+       and NOT persisted — under shingle Jaccard they cannot be a
+       near-dup of anything;
+    3. candidate edges: batch↔batch and batch↔accepted pairs sharing a
+       band bucket (same band index, same band hash — the standard LSH
+       probe), verified by signature agreement ≥ ``sig_threshold``
+       (matching components / 16, the unbiased MinHash Jaccard
+       estimate). Signature agreement rather than exact shingle Jaccard
+       is what makes the state O(1) per doc: text never re-enters the
+       pipeline;
+    4. connected components over those edges; a component containing ANY
+       accepted doc is contaminated and all its batch members are
+       rejected (they would have folded into that doc's group in a
+       one-shot dedup); a clean component keeps its min-doc_id member;
+       edge-free docs are accepted.
+
+    Scale shape: state moves only signatures and band hashes (~200 B per
+    accepted doc); the probe is a shuffle join keyed by (band,
+    band_hash) — uniform md5 keys, no skew (hot boilerplate buckets in
+    the STATE are bounded by admission itself: the first accepted copy
+    blocks the rest, so a bucket holds at most a handful of accepted
+    near-dups). Within-batch edges use the same banded join, never
+    all-pairs. Components run on the batch's edge set only (batch-sized,
+    not corpus-sized).
+
+    Semantics note (documented, tested): admission is ingestion-order
+    greedy. One-shot dedup over the concatenated corpus can link two
+    EARLIER-accepted docs through a LATER bridge doc and collapse them
+    into one group; the incremental gate has already accepted both by
+    the time the bridge arrives, so it rejects the bridge and keeps
+    both. The serial greedy model in
+    tests/test_incremental_near_dedup.py IS the contract; on
+    bridge-free corpora it coincides with one-shot
+    minhash pairs + connected-components keepers.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        id_col: str = "doc_id",
+        sig_threshold: float = 0.5,
+    ):
+        self.spark = spark
+        self.state_path = state_path
+        self.id_col = id_col
+        self.sig_threshold = sig_threshold
+
+    def _sig_table(self, docs: DataFrame) -> DataFrame:
+        from streamy_db_spark.operators.minhash import (
+            band_hashes,
+            minhash_signature,
+            with_shingles,
+        )
+
+        sh = (
+            with_shingles(docs.select(F.col(self.id_col).alias("doc_id"), "text"))
+            .filter(F.size("shingles") > 0)
+            .select("doc_id", minhash_signature(F.col("shingles")).alias("sig"))
+        )
+        return sh.withColumn("bands", band_hashes(F.col("sig")))
+
+    def _agreement(self, a, b):
+        from streamy_db_spark.operators.minhash import MINHASH_K
+
+        matches = F.size(
+            F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v)
+        )
+        return matches.cast("double") / F.lit(float(MINHASH_K))
+
+    def _banded_edges(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        """(id_a, id_b) pairs sharing ≥1 band bucket with signature
+        agreement ≥ threshold. left/right: (doc_id, sig, bands)."""
+        la = left.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("sig").alias("sig_a"),
+            F.posexplode("bands").alias("band", "bh"),
+        )
+        rb = right.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("sig").alias("sig_b"),
+            F.posexplode("bands").alias("band", "bh"),
+        )
+        return (
+            la.join(rb, ["band", "bh"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+            .distinct()
+            .filter(
+                self._agreement(F.col("sig_a"), F.col("sig_b"))
+                >= self.sig_threshold
+            )
+            .select("id_a", "id_b")
+        )
+
+    def process_batch(self, docs: DataFrame) -> DataFrame:
+        from streamy_db_spark.operators.dedup import connected_components
+
+        seen = _read_state(self.spark, self.state_path)
+        if seen is not None:
+            docs = docs.join(
+                seen.select(F.col("doc_id").alias(self.id_col)).distinct(),
+                self.id_col,
+                "left_anti",
+            )
+        sigs = self._sig_table(docs).localCheckpoint(eager=True)
+
+        edges = self._banded_edges(sigs, sigs).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+        if seen is not None:
+            edges = edges.unionByName(self._banded_edges(sigs, seen))
+        comp = connected_components(edges)
+
+        # contaminated component = one containing any accepted (state)
+        # doc: every batch member of it is rejected.
+        blocked_keepers = comp.join(
+            sigs.select("doc_id"), F.col("node") == F.col("doc_id"), "left_anti"
+        ).select("keeper").distinct()
+        rejected = (
+            comp.join(blocked_keepers, "keeper")
+            .select(F.col("node").alias("doc_id"))
+            .unionByName(
+                # clean components: everyone but the min-id keeper
+                comp.join(blocked_keepers, "keeper", "left_anti")
+                .filter(F.col("node") != F.col("keeper"))
+                .select(F.col("node").alias("doc_id"))
+            )
+            .distinct()
+        )
+        accepted_sigs = sigs.join(rejected, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        accepted_sigs.write.mode("append").parquet(self.state_path)
+
+        accepted_ids = accepted_sigs.select("doc_id")
+        # no-shingle docs (absent from sigs) are always accepted
+        trivial = docs.join(
+            self._sig_table(docs).select(F.col("doc_id").alias(self.id_col)),
+            self.id_col,
+            "left_anti",
+        )
+        return docs.join(
+            accepted_ids.withColumnRenamed("doc_id", self.id_col), self.id_col
+        ).unionByName(trivial)
+
+    def seen_count(self) -> int:
+        seen = _read_state(self.spark, self.state_path)
+        return 0 if seen is None else seen.select("doc_id").distinct().count()

@@ -127,26 +127,28 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_bands_from_shingles(sh: DataFrame) -> DataFrame:
-    sig = sh.select("doc_id", minhash_signature(F.col("shingles")).alias("sig"))
-    bands = [
-        F.struct(
-            F.lit(b).alias("band"),
+def band_hashes(sig: Column) -> Column:
+    """LSH band hashes of a signature as an array<string> whose position
+    IS the band index — the compact per-doc form the incremental
+    near-dedup state persists (operators/incremental.py)."""
+    return F.array(
+        *[
             _md5(
                 F.concat_ws(
                     "|",
-                    *[
-                        F.col("sig")[b * LSH_ROWS + r].cast("string")
-                        for r in range(LSH_ROWS)
-                    ],
+                    *[sig[b * LSH_ROWS + r].cast("string") for r in range(LSH_ROWS)],
                 )
-            ).alias("band_hash"),
-        )
-        for b in range(LSH_BANDS)
-    ]
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+
+
+def minhash_bands_from_shingles(sh: DataFrame) -> DataFrame:
+    sig = sh.select("doc_id", minhash_signature(F.col("shingles")).alias("sig"))
     return sig.select(
-        "doc_id", F.explode(F.array(*bands)).alias("bh")
-    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+        "doc_id", F.posexplode(band_hashes(F.col("sig"))).alias("band", "band_hash")
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:

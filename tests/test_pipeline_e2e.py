@@ -23,7 +23,7 @@ from streamy_db_spark.sources.tables import load_table
 SF = "/root/testdata/sf0.001"
 
 
-def test_full_corpus_build(spark):
+def test_full_corpus_build(spark, tmp_path_factory):
     docs = load_table(spark, SF, "documents").select(
         "doc_id", "source", "text"
     )
@@ -88,3 +88,50 @@ def test_full_corpus_build(spark):
     ).collect()[0].n
     span_total = packed.agg(F.sum("n_toks").alias("n")).collect()[0].n
     assert span_total == tok_total
+
+    # 6. land the train split CLUSTERED on doc_id (file-level zone maps
+    # for the id-ranged reads training jobs do), fragmented on purpose...
+    from streamy_db_spark.sources import files
+
+    out = str(tmp_path_factory.mktemp("corpus") / "train")
+    landed = files.write_clustered(
+        train.repartition(16), out, cluster_cols=["doc_id"], n_files=8
+    )
+    assert landed.count() == n_train
+
+    # ...then 7. compact it — the maintenance pass after ingest — and
+    # assert the layout contract from the actual parquet footers:
+    # fewer files, disjoint per-file doc_id ranges, zero row loss.
+    import pyarrow.parquet as pq_meta
+    from pathlib import Path as P
+
+    before = len(list(P(out).glob("*.parquet")))
+    n_files = files.compact_parquet(
+        spark, out, target_file_mb=128, cluster_cols=["doc_id"]
+    )
+    after = len(list(P(out).glob("*.parquet")))
+    assert after == n_files and after < before
+
+    final = spark.read.parquet(out)
+    assert final.count() == n_train
+    assert {r.doc_id for r in final.select("doc_id").collect()} == {
+        r.doc_id for r in train.select("doc_id").collect()
+    }
+    ranges = []
+    for f in P(out).glob("*.parquet"):
+        md = pq_meta.ParquetFile(str(f)).metadata
+        if md.num_row_groups == 0:
+            continue
+        idx = next(
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "doc_id"
+        )
+        stats = [
+            md.row_group(g).column(idx).statistics
+            for g in range(md.num_row_groups)
+        ]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint footer ranges: zone maps intact
