@@ -104,8 +104,11 @@ class IncrementalNearDeduper:
     plus its 4 LSH band hashes (position = band index) — parquet,
     appended once per batch, never rewritten. Admission for a new batch:
 
-    1. rows whose doc_id is already in state are dropped (crash-replay
-       idempotence, mirroring IncrementalDeduper's membership semantics);
+    1. rows whose doc_id is already in state were accepted by an
+       earlier run of the same batch: they are RE-EMITTED verbatim and
+       nothing is re-appended, so a crash-replayed batch reproduces its
+       original output exactly (the contract the streaming
+       ``near_dedup_sink`` twin's per-batch overwrite sink relies on);
     2. docs with no shingles (< SHINGLE_W tokens) are accepted verbatim
        and NOT persisted — under shingle Jaccard they cannot be a
        near-dup of anything;
@@ -205,12 +208,22 @@ class IncrementalNearDeduper:
         from streamy_db_spark.operators.dedup import connected_components
 
         seen = _read_state(self.spark, self.state_path)
+        replayed = None
         if seen is not None:
-            docs = docs.join(
-                seen.select(F.col("doc_id").alias(self.id_col)).distinct(),
-                self.id_col,
-                "left_anti",
-            )
+            seen_ids = seen.select(
+                F.col("doc_id").alias(self.id_col)
+            ).distinct()
+            # Rows whose id is ALREADY in state were accepted by an
+            # earlier run of this batch: RE-EMIT them (and re-admit
+            # nothing else) so a crash-replay reproduces the original
+            # output exactly — the property the foreachBatch streaming
+            # twin's idempotent per-batch sink relies on (overwriting a
+            # committed batch directory with the same rows, never with
+            # an empty set). Previously-REJECTED rows are not in state;
+            # re-evaluating them re-rejects them, because the doc (or
+            # keeper) that blocked them is still in state.
+            replayed = docs.join(seen_ids, self.id_col)
+            docs = docs.join(seen_ids, self.id_col, "left_anti")
         sigs = self._sig_table(docs).localCheckpoint(eager=True)
 
         edges = self._banded_edges(sigs, sigs).filter(
@@ -248,9 +261,12 @@ class IncrementalNearDeduper:
             self.id_col,
             "left_anti",
         )
-        return docs.join(
+        out = docs.join(
             accepted_ids.withColumnRenamed("doc_id", self.id_col), self.id_col
         ).unionByName(trivial)
+        if replayed is not None:
+            out = out.unionByName(replayed)
+        return out
 
     def seen_count(self) -> int:
         seen = _read_state(self.spark, self.state_path)

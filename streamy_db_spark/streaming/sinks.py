@@ -63,3 +63,39 @@ def read_sink(
     return spark.read.option("basePath", out_dir).parquet(
         f"{out_dir}/batch=*"
     ).drop("batch")
+
+
+def near_dedup_sink(
+    spark: SparkSession,
+    state_path: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    sig_threshold: float = 0.5,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming near-dup admission as a ``foreachBatch`` function — the
+    Structured Streaming twin of
+    operators/incremental.IncrementalNearDeduper, completing the
+    symmetry dedup_stream_content ↔ IncrementalDeduper already has for
+    exact dedup.
+
+    Each micro-batch runs MinHash-LSH admission against the shared
+    parquet signature state and lands its accepted rows in a
+    ``batch=<id>`` directory with overwrite semantics. Exactly-once
+    composition: process_batch re-emits previously-accepted rows on a
+    crash-replayed batch (id-membership in state) and appends nothing,
+    so the replay overwrites the committed directory with IDENTICAL
+    content — no loss, no duplication. The state lives outside the
+    Spark state store on purpose: the same parquet signatures serve
+    batch backfill (IncrementalNearDeduper directly) and the live
+    stream, so both admit identical sets."""
+    from streamy_db_spark.operators.incremental import IncrementalNearDeduper
+
+    deduper = IncrementalNearDeduper(
+        spark, state_path, id_col=id_col, sig_threshold=sig_threshold
+    )
+    write = idempotent_parquet_sink(out_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        write(deduper.process_batch(batch_df), batch_id)
+
+    return process

@@ -137,14 +137,15 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     d = IncrementalNearDeduper(spark, str(tmp_path / "state"))
     first = {r.doc_id for r in d.process_batch(_docs(spark, B1)).collect()}
     before = d.seen_count()
-    again = d.process_batch(_docs(spark, B1)).collect()
-    # trivial (no-shingle) docs re-admit on replay by design — they are
-    # not persisted; every PERSISTED doc must not re-admit
-    assert {r.doc_id for r in again} <= {4}
+    # crash-replay contract: the SAME batch reproduces the SAME output
+    # (previously accepted rows re-emitted, nothing re-appended) — what
+    # the streaming twin's per-batch overwrite sink needs for
+    # exactly-once
+    again = {r.doc_id for r in d.process_batch(_docs(spark, B1)).collect()}
+    assert again == first == {1, 2, 4}
     assert d.seen_count() == before
     nxt = {r.doc_id for r in d.process_batch(_docs(spark, B2)).collect()}
     assert nxt == {11}
-    assert first == {1, 2, 4}
 
 
 def test_exact_copy_across_batches_rejected(spark, tmp_path):

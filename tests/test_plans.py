@@ -166,6 +166,42 @@ def test_grouping_sets_single_scan(spark):
     assert plan.count("Scan parquet") == 1
 
 
+def test_train_test_split_scan_side_assignment(spark):
+    """Split labels are a pure scan-side projection; the ONLY exchange
+    is the stats groupBy — membership assignment itself moves no data
+    (the property that lets it run over 100 TB as part of any scan)."""
+    plan = plan_of(spark, "q_train_test_split")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_profile_single_scan(spark):
+    """Every column's stats come from ONE scan — the whole point of the
+    wide-aggregate + stack formulation (a per-column loop would rescan
+    the table per column)."""
+    plan = plan_of(spark, "q_profile_orders")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """Packing must never range-partition/sort the corpus globally —
+    one shard-keyed window exchange only (the 100 TB-viable shape)."""
+    plan = plan_of(spark, "q_pack_sequences")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_capped_pairs_stays_hash_joined(spark):
+    """The hot-bucket-capped candidate path must keep every join
+    hash-keyed on (band, band_hash) — no nested-loop fallback from the
+    size/rep tagging — and stay fully JVM-side."""
+    plan = plan_of(spark, "q_minhash_lsh_pairs_capped")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
 def test_no_python_udf_in_relational_plans(spark):
     """Relational/text/dedup-exact queries must stay JVM-side; Python may
     appear only in the declared Arrow-batched operators (media, ANN)."""

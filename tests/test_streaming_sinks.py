@@ -80,3 +80,81 @@ def test_read_sink_before_first_commit_is_empty(spark, tmp_path):
     typed = read_sink(spark, out, schema="k long, v string")
     assert typed.count() == 0
     assert typed.columns == ["k", "v"]
+
+
+DOC_SCHEMA = "doc_id long, text string"
+
+_N1 = "the quick brown fox jumps over the lazy dog by the old river bank at dawn"
+_N2 = "completely different words about spark partitions shuffles and columnar scans here"
+
+
+def _write_doc_files(spark, in_dir):
+    batches = [
+        [(1, _N1), (2, _N2), (3, _N1.replace("dawn", "dusk"))],
+        [(10, _N1.replace("quick", "swift")), (11, "totally novel text about parquet footers and row groups")],
+    ]
+    for f, part in enumerate(batches):
+        spark.createDataFrame(part, DOC_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(in_dir, f"part{f}"))
+    return batches
+
+
+def test_near_dedup_sink_matches_batch_deduper(spark, tmp_path):
+    """The streaming near-dedup twin must admit exactly what the batch
+    IncrementalNearDeduper admits over the same batches, and a replayed
+    micro-batch must leave the sink content unchanged (exactly-once by
+    idempotent overwrite)."""
+    from streamy_db_spark.operators.incremental import IncrementalNearDeduper
+    from streamy_db_spark.streaming.sinks import near_dedup_sink
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batches = _write_doc_files(spark, in_dir)
+
+    q = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+        .writeStream.foreachBatch(
+            near_dedup_sink(spark, str(tmp_path / "state"), out_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    got = {r.doc_id for r in read_sink(spark, out_dir).collect()}
+
+    # batch twin over the same batches in the same order
+    ref = IncrementalNearDeduper(spark, str(tmp_path / "state_batch"))
+    want = set()
+    for part in batches:
+        want |= {
+            r.doc_id
+            for r in ref.process_batch(
+                spark.createDataFrame(part, DOC_SCHEMA)
+            ).collect()
+        }
+    assert got == want
+    assert got == {1, 2, 11}  # pin the fixture's expected admissions
+
+    # replay a committed micro-batch directly (discover which batch id
+    # carried the first input file from the sink itself): identical sink
+    # content afterwards
+    import glob
+
+    replay_bid = None
+    for d in glob.glob(os.path.join(out_dir, "batch=*")):
+        ids = {r.doc_id for r in spark.read.parquet(d).collect()}
+        if 1 in ids:
+            replay_bid = int(d.rsplit("=", 1)[1])
+    assert replay_bid is not None
+    sink_fn = near_dedup_sink(spark, str(tmp_path / "state"), out_dir)
+    sink_fn(spark.createDataFrame(batches[0], DOC_SCHEMA), replay_bid)
+    again = {r.doc_id for r in read_sink(spark, out_dir).collect()}
+    assert again == got
