@@ -91,6 +91,22 @@ class IncrementalDeduper:
         seen = self._seen()
         return 0 if seen is None else seen.select("fingerprint").distinct().count()
 
+    def compact_state(self, target_file_mb: int = 128) -> int:
+        """Rewrite the append-only state into ~``target_file_mb`` files.
+        Every process_batch appends its own parquet directory commit, so
+        a long-running ingest accumulates one small file (or more) per
+        batch — the classic small-files problem (sources/files
+        compact_parquet docstring). Also drops exact-duplicate
+        fingerprints left by crash-replayed appends. Run it on whatever
+        cadence keeps state file counts sane (e.g. nightly); admission
+        verdicts are unaffected (membership is an EXISTS over a set).
+        Returns the output file count."""
+        from streamy_db_spark.sources.files import compact_parquet
+
+        return compact_parquet(
+            self.spark, self.state_path, target_file_mb, dedupe_rows=True
+        )
+
 
 # --- incremental NEAR-dup dedup (batch-over-batch MinHash admission) ---------
 
@@ -271,3 +287,15 @@ class IncrementalNearDeduper:
     def seen_count(self) -> int:
         seen = _read_state(self.spark, self.state_path)
         return 0 if seen is None else seen.select("doc_id").distinct().count()
+
+    def compact_state(self, target_file_mb: int = 128) -> int:
+        """Same maintenance pass as IncrementalDeduper.compact_state —
+        one parquet directory per processed batch otherwise accumulates
+        forever. Signature rows are deduplicated by full row (a doc_id
+        appears at most once per append, and replays append nothing, so
+        distinct only drops crash artifacts)."""
+        from streamy_db_spark.sources.files import compact_parquet
+
+        return compact_parquet(
+            self.spark, self.state_path, target_file_mb, dedupe_rows=True
+        )

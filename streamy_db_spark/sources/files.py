@@ -133,6 +133,7 @@ def compact_parquet(
     path: str,
     target_file_mb: int = 128,
     cluster_cols: list[str] | None = None,
+    dedupe_rows: bool = False,
 ) -> int:
     """Rewrite a parquet directory into ~``target_file_mb`` files — the
     standard maintenance pass after streaming/incremental ingest leaves
@@ -167,6 +168,12 @@ def compact_parquet(
     n_files = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
 
     df = spark.read.parquet(path)
+    if dedupe_rows:
+        # append-only state dirs (incremental dedup fingerprints) can
+        # carry exact-duplicate rows from crash-replayed appends — they
+        # cost space, never correctness, and compaction is the natural
+        # place to drop them
+        df = df.distinct()
     tmp = path.rstrip("/") + ".__compact__"
     tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
     fs.delete(tmp_path, True)  # clear a stale temp from a crashed run

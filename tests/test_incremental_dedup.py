@@ -81,3 +81,28 @@ def test_corrupt_state_raises_not_readmits(spark, tmp_path):
     with pytest.raises(Exception) as exc_info:
         d.process_batch(_docs(spark, B2))
     assert "first batch" not in str(exc_info.value)
+
+
+def test_compact_state_preserves_verdicts(spark, tmp_path):
+    # many small appended batches -> compact -> same membership verdicts
+    from pathlib import Path as P
+
+    p = tmp_path / "state"
+    d = IncrementalDeduper(spark, str(p))
+    for k in range(6):
+        d.process_batch(
+            _docs(spark, [(100 * k + i, f"doc {k} {i} body") for i in range(3)])
+        )
+    before_files = len(list(p.glob("*.parquet")))
+    assert before_files >= 6  # one commit (>=1 file) per batch
+    seen_before = d.seen_count()
+
+    n = d.compact_state()
+    after_files = len(list(p.glob("*.parquet")))
+    assert after_files == n < before_files
+    assert d.seen_count() == seen_before
+
+    # replay of an old batch still rejects everything; novel still admits
+    assert d.process_batch(
+        _docs(spark, [(999, "doc 0 0 body"), (1000, "genuinely new body")])
+    ).collect()[0].doc_id == 1000

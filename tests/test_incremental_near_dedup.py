@@ -165,3 +165,23 @@ def test_corrupt_state_raises(spark, tmp_path):
         f.write_bytes(b"garbage")
     with pytest.raises(Exception):
         d.process_batch(_docs(spark, B2))
+
+
+def test_compact_state_preserves_near_dedup_verdicts(spark, tmp_path):
+    from pathlib import Path as P
+
+    p = tmp_path / "state"
+    d = IncrementalNearDeduper(spark, str(p))
+    d.process_batch(_docs(spark, B1))
+    d.process_batch(_docs(spark, B2))
+    before_files = len(list(p.glob("*.parquet")))
+    seen_before = d.seen_count()
+
+    n = d.compact_state()
+    assert len(list(p.glob("*.parquet"))) == n <= before_files
+    assert d.seen_count() == seen_before
+
+    # post-compaction verdicts unchanged: near-dup of an accepted doc
+    # still rejected, novel content still admitted
+    got = {r.doc_id for r in d.process_batch(_docs(spark, B3)).collect()}
+    assert got == {21}
