@@ -271,9 +271,10 @@ class IncrementalNearDeduper:
         accepted_sigs.write.mode("append").parquet(self.state_path)
 
         accepted_ids = accepted_sigs.select("doc_id")
-        # no-shingle docs (absent from sigs) are always accepted
+        # no-shingle docs (absent from sigs) are always accepted — reuse
+        # the checkpointed sig table, never re-shingle the batch
         trivial = docs.join(
-            self._sig_table(docs).select(F.col("doc_id").alias(self.id_col)),
+            sigs.select(F.col("doc_id").alias(self.id_col)),
             self.id_col,
             "left_anti",
         )

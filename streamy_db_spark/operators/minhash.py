@@ -378,7 +378,7 @@ def pairs_from_sketch(
     uses)."""
     bands = sk.select(
         "doc_id", F.posexplode(band_hashes(F.col("sig"))).alias("band", "band_hash")
-    )
+    ).cache()  # read ≥2× (both sides of the candidate self-join; sizes agg too)
     cand = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
     a = sk.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sk.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
