@@ -120,6 +120,79 @@ def sample_k_per_group(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    total_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic mixture rebalancer: draw a sample whose per-source
+    token volume approaches ``total_tokens × w_s / Σw`` — the step that
+    turns mixture weights (web 70 / books 20 / code 10) into actual
+    training-corpus membership.
+
+    Keep rule for a doc in source s with hash bucket b:
+        b · Σw · tokens_s  <  10_000 · total_tokens · w_s
+    evaluated in decimal(38,0) — EXACT integer arithmetic, no float
+    rounding, no int64 overflow at 100 TB token volumes (DuckDB mirrors
+    it in HUGEINT, so the operator sits under the value-hash oracle
+    gate). When a source is under-represented (its fair share exceeds
+    its volume) the inequality holds for every bucket and the whole
+    source is kept — the min(1, ·) clamp falls out of the algebra.
+
+    Properties (tested): membership is monotone in ``total_tokens``
+    (growing the budget only ADDS docs), stable across re-partitioning
+    and reruns (md5-bucket, not rand()), and composes with
+    ``with_split`` (independent salts). Sources absent from ``weights``
+    get weight 0 — excluded. Integer weights by design: exact
+    arithmetic needs exact inputs; scale float ratios to integers.
+
+    Scale shape: ONE map-side-combined aggregation for per-source token
+    volumes (source-cardinality rows → broadcast join back), then a
+    scan-side filter. No corpus-wide shuffle, no driver collect."""
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and non-negative")
+    if total_tokens < 0:
+        raise ValueError(f"total_tokens must be >= 0, got {total_tokens}")
+    w_total = sum(weights.values())
+    if w_total == 0:
+        raise ValueError("at least one weight must be positive")
+    from pyspark.sql.functions import broadcast
+
+    from streamy_db_spark.operators.decontam import tokens as _tokens
+
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in weights.items()], f"{source_col} string, __w long"
+    )
+    vol = (
+        df.select(
+            source_col, F.size(_tokens(F.col(text_col))).cast("long").alias("__nt")
+        )
+        .groupBy(source_col)
+        .agg(F.sum("__nt").alias("__tok_s"))
+    )
+    dec = "decimal(38,0)"
+    keep = (
+        hash_bucket(F.col(id_col), salt).cast(dec)
+        * F.lit(w_total).cast(dec)
+        * F.col("__tok_s").cast(dec)
+    ) < (
+        F.lit(_BUCKETS).cast(dec)
+        * F.lit(total_tokens).cast(dec)
+        * F.col("__w").cast(dec)
+    )
+    return (
+        df.join(broadcast(vol), source_col)
+        .join(broadcast(wdf), source_col)
+        .filter(keep)
+        .drop("__tok_s", "__w")
+    )
+
+
 # --- test-registry queries (oracle-checked; no driver slot used) -------------
 
 
@@ -128,6 +201,20 @@ def q_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     draw, fully hash-checkable because the hash order is md5."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return sample_k_per_group(docs, ["lang"], "doc_id", k=3, salt="topk-v1")
+
+
+_MIX_WEIGHTS = {"src0": 3, "src1": 1, "src2": 1}
+_MIX_TOTAL = 2_000  # tokens — samples all three sources non-trivially at sf0.01
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-rebalanced sample membership over three sources — the
+    kept (doc_id, source) set is a pure function of the md5 buckets and
+    exact integer token accounting, hence hash-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, _MIX_WEIGHTS, _MIX_TOTAL).select(
+        "doc_id", "source"
+    )
 
 
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,7 +246,17 @@ _SQL_TOPK_BUCKET = (
 
 TEST_QUERIES = {
     "q_sample_per_lang": q_sample_per_lang,
+    "q_mixture_sample": q_mixture_sample,
 }
+
+_SQL_MIX_BUCKET = (
+    "(('0x' || substring(md5(doc_id::VARCHAR || '|mix-v1'), 1, 8))::BIGINT"
+    f" % {_BUCKETS})"
+)
+
+_SQL_MIX_WEIGHTS_VALUES = ", ".join(
+    f"('{s}', {w})" for s, w in _MIX_WEIGHTS.items()
+)
 
 ORACLE: dict = {
     "q_train_test_split": f"""
@@ -180,6 +277,28 @@ ORACLE: dict = {
 }
 
 TEST_ORACLE = {
+    # exact-integer mirror of mixture_sample's keep rule in HUGEINT
+    # (Spark side runs decimal(38,0) — same exact arithmetic)
+    "q_mixture_sample": f"""
+        WITH w(source, wgt) AS (VALUES {_SQL_MIX_WEIGHTS_VALUES}),
+        vol AS (
+            SELECT source,
+                   CAST(sum(len(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       t -> t <> ''))) AS BIGINT) AS tok_s
+            FROM documents GROUP BY source
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d
+        JOIN vol v ON v.source = d.source
+        JOIN w ON w.source = d.source
+        WHERE {_SQL_MIX_BUCKET}::HUGEINT
+                  * {sum(_MIX_WEIGHTS.values())}::HUGEINT
+                  * v.tok_s::HUGEINT
+              < {_BUCKETS}::HUGEINT
+                  * {_MIX_TOTAL}::HUGEINT
+                  * w.wgt::HUGEINT
+    """,
     "q_sample_per_lang": f"""
         WITH ranked AS (
             SELECT doc_id, lang,

@@ -137,3 +137,73 @@ def test_sample_k_per_group_monotone_in_k(spark):
         }
         assert prev <= cur, f"k={k} dropped earlier members"
         prev = cur
+
+
+# --- mixture_sample -----------------------------------------------------------
+
+
+def _mix_docs(spark):
+    rows = []
+    rng_words = lambda i, n: " ".join(f"t{i}w{j}" for j in range(n))  # noqa: E731
+    for i in range(30):
+        rows.append((i, "web", rng_words(i, 10)))
+    for i in range(30, 40):
+        rows.append((i, "books", rng_words(i, 30)))
+    for i in range(40, 44):
+        rows.append((i, "code", rng_words(i, 5)))
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_mixture_sample_monotone_in_budget(spark):
+    from streamy_db_spark.operators.sampling import mixture_sample
+
+    docs = _mix_docs(spark)
+    w = {"web": 1, "books": 1}
+    kept = [
+        {r.doc_id for r in mixture_sample(docs, w, total).collect()}
+        for total in (50, 150, 400, 10_000)
+    ]
+    for small, big in zip(kept, kept[1:]):
+        assert small <= big  # growing the budget only ADDS docs
+    # a generous budget keeps every weighted source in full
+    assert kept[-1] == {i for i in range(40)}  # code has weight 0: excluded
+
+
+def test_mixture_sample_underrepresented_source_fully_kept(spark):
+    from streamy_db_spark.operators.sampling import mixture_sample
+
+    docs = _mix_docs(spark)
+    # code's fair share (1/3 of 600 = 200 tokens) exceeds its 20-token
+    # volume -> keep-all falls out of the integer algebra
+    got = mixture_sample(docs, {"web": 1, "books": 1, "code": 1}, 600)
+    code_kept = {r.doc_id for r in got.filter("source = 'code'").collect()}
+    assert code_kept == {40, 41, 42, 43}
+
+
+def test_mixture_sample_stable_under_repartition(spark):
+    from streamy_db_spark.operators.sampling import mixture_sample
+
+    docs = _mix_docs(spark)
+    w = {"web": 2, "books": 1}
+    a = {r.doc_id for r in mixture_sample(docs, w, 200).collect()}
+    b = {
+        r.doc_id
+        for r in mixture_sample(docs.repartition(13, "text"), w, 200).collect()
+    }
+    assert a == b
+
+
+def test_mixture_sample_validation(spark):
+    import pytest
+
+    from streamy_db_spark.operators.sampling import mixture_sample
+
+    docs = _mix_docs(spark)
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {}, 100)
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"web": -1}, 100)
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"web": 0}, 100)
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"web": 1}, -5)
