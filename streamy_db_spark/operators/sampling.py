@@ -193,6 +193,43 @@ def mixture_sample(
     )
 
 
+def shuffle_corpus(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic corpus shuffle for training-data layout: every doc
+    gets a (shard, pos) coordinate where shard = hash bucket mod
+    ``n_shards`` and pos = rank of the doc's hash within its shard.
+    Reading shards in order then rows in pos order yields a pseudorandom
+    document order that is REPRODUCIBLE — a pure function of (id, salt),
+    stable across reruns, re-partitioning, and incremental rebuilds, and
+    re-drawable with a fresh salt per epoch. ``orderBy(rand())`` has
+    none of those properties.
+
+    Scale shape: ONE shuffle keyed by shard (this is a layout job — the
+    one shuffle is the point), per-shard sort inside the window; never a
+    corpus-GLOBAL sort (no rangepartitioning over all rows; each shard
+    sorts independently, and shard sizes are balanced by construction —
+    md5 buckets are uniform). Ties in the 32-bit bucket break by id, so
+    pos is total and deterministic. Compose: write with
+    ``files.write_partitioned(..., ["shard"])`` and feed training
+    readers shard files directly."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from pyspark.sql import Window
+
+    h = hash_bucket(F.col(id_col), salt)
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__h")
+    )
+
+
 # --- test-registry queries (oracle-checked; no driver slot used) -------------
 
 
@@ -201,6 +238,16 @@ def q_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     draw, fully hash-checkable because the hash order is md5."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return sample_k_per_group(docs, ["lang"], "doc_id", k=3, salt="topk-v1")
+
+
+_SHUFFLE_SHARDS = 8
+
+
+def q_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle coordinates over documents — (shard, pos)
+    are pure md5 arithmetic, hence hash-checkable."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_corpus(docs, _SHUFFLE_SHARDS)
 
 
 _MIX_WEIGHTS = {"src0": 3, "src1": 1, "src2": 1}
@@ -247,7 +294,13 @@ _SQL_TOPK_BUCKET = (
 TEST_QUERIES = {
     "q_sample_per_lang": q_sample_per_lang,
     "q_mixture_sample": q_mixture_sample,
+    "q_shuffle_corpus": q_shuffle_corpus,
 }
+
+_SQL_SHUFFLE_BUCKET = (
+    "(('0x' || substring(md5(doc_id::VARCHAR || '|shuffle-v1'), 1, 8))::BIGINT"
+    f" % {_BUCKETS})"
+)
 
 _SQL_MIX_BUCKET = (
     "(('0x' || substring(md5(doc_id::VARCHAR || '|mix-v1'), 1, 8))::BIGINT"
@@ -277,6 +330,18 @@ ORACLE: dict = {
 }
 
 TEST_ORACLE = {
+    "q_shuffle_corpus": f"""
+        WITH h AS (
+            SELECT doc_id, {_SQL_SHUFFLE_BUCKET} AS hb FROM documents
+        )
+        SELECT doc_id,
+               CAST(hb % {_SHUFFLE_SHARDS} AS INTEGER) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY hb % {_SHUFFLE_SHARDS}
+                   ORDER BY hb, doc_id
+               ) - 1 AS BIGINT) AS pos
+        FROM h
+    """,
     # exact-integer mirror of mixture_sample's keep rule in HUGEINT
     # (Spark side runs decimal(38,0) — same exact arithmetic)
     "q_mixture_sample": f"""

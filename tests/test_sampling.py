@@ -207,3 +207,43 @@ def test_mixture_sample_validation(spark):
         mixture_sample(docs, {"web": 0}, 100)
     with pytest.raises(ValueError):
         mixture_sample(docs, {"web": 1}, -5)
+
+
+# --- shuffle_corpus -----------------------------------------------------------
+
+
+def test_shuffle_corpus_properties(spark):
+    from streamy_db_spark.operators.sampling import shuffle_corpus
+
+    docs = _mix_docs(spark).select("doc_id")
+    out = shuffle_corpus(docs, 4).collect()
+    assert len(out) == 44
+    # coordinates are a bijection: every (shard, pos) unique, pos dense
+    coords = {(r.shard, r.pos) for r in out}
+    assert len(coords) == 44
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    # deterministic across repartition
+    again = {
+        (r.doc_id, r.shard, r.pos)
+        for r in shuffle_corpus(docs.repartition(7), 4).collect()
+    }
+    assert again == {(r.doc_id, r.shard, r.pos) for r in out}
+    # a different salt draws a different order
+    other = {
+        (r.doc_id, r.shard, r.pos)
+        for r in shuffle_corpus(docs, 4, salt="epoch2").collect()
+    }
+    assert other != again
+
+
+def test_shuffle_corpus_no_global_sort_plan(spark):
+    from streamy_db_spark.operators.sampling import q_shuffle_corpus
+    from streamy_db_spark.plans import inspect
+
+    plan = inspect.executed_plan(q_shuffle_corpus(spark, "/root/testdata/sf0.001"))
+    assert "rangepartitioning" not in plan  # shard-local sorts only
+    assert plan.count("Exchange") == 1  # the one layout shuffle
