@@ -177,7 +177,15 @@ def retry_breaches(
     are returned for the record.
 
     Returns (machine_slowdown, breaches, retried) where retried maps
-    each retried query to {"first": s, "retry": s}."""
+    each retried query to {"first": s, "retry": s}.
+
+    The final breach set is the INTERSECTION with the first-pass set: a
+    query that passed the first gate was never offered a retry, so it
+    must not fail the final one either — writing retry minima back can
+    LOWER the recomputed machine_slowdown, which would otherwise flip
+    first-pass-passing queries into breaches without a retry,
+    reintroducing exactly the spurious-failure mode the retry exists to
+    eliminate (r6 review)."""
     _, first_breaches = budget_breaches(timings, budgets, **gate_kwargs)
     retried: dict[str, dict[str, float]] = {}
     for name in sorted(first_breaches):
@@ -187,7 +195,8 @@ def retry_breaches(
         t_retry = round(t_retry, 3)
         retried[name] = {"first": timings[name], "retry": t_retry}
         timings[name] = min(timings[name], t_retry)
-    slowdown, breaches = budget_breaches(timings, budgets, **gate_kwargs)
+    slowdown, final = budget_breaches(timings, budgets, **gate_kwargs)
+    breaches = {name: rec for name, rec in final.items() if name in first_breaches}
     return slowdown, breaches, retried
 
 
@@ -360,6 +369,18 @@ def main() -> None:
                     return sec
                 if name not in qfns:
                     return None
+                # Purge per-corpus memo caches first: a retry that reads
+                # the localCheckpointed pair/sketch/centroid stages back
+                # would measure a cache hit, clearing ANY breach in the
+                # pipeline those budgets were pinned against — the gate
+                # would be structurally void for the dedup/ANN family.
+                try:
+                    from streamy_db_spark.operators import minhash, similarity
+
+                    minhash.clear_corpus_caches(spark, SF_DIR)
+                    similarity._IVF_CENTROID_CACHE.clear()
+                except Exception:  # noqa: BLE001 - purge is best-effort
+                    pass
                 t0 = time.perf_counter()
                 qfns[name](spark, SF_DIR).count()
                 return time.perf_counter() - t0

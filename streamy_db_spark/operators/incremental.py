@@ -38,12 +38,34 @@ def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
     (e.g. mkdir'd by an orchestrator). Any OTHER failure (corrupt
     footer, permissions, transient FS fault) propagates: swallowing it
     would silently re-admit duplicates against an empty seen-set AND
-    append their fingerprints, corrupting state. Existence is checked
-    through the Hadoop FileSystem API so any scheme Spark can read
-    works."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    append their fingerprints, corrupting state.
+
+    Existence is checked through the Hadoop FileSystem API (any scheme
+    Spark can read); under Spark Connect — no ``_jvm`` handle — fall
+    back to read-and-classify: only the missing-path / empty-dir error
+    classes map to None, everything else re-raises (r6 review: the
+    plain ``except Exception: None`` this replaced treated corrupt
+    state as first-batch)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    except Exception:  # Spark Connect session: classify by error instead
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force analysis so missing paths surface HERE
+            return df
+        except AnalysisException as exc:
+            msg = str(exc)
+            if (
+                "PATH_NOT_FOUND" in msg
+                or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg  # existing-but-empty dir
+            ):
+                return None
+            raise
     if not fs.exists(hpath):
         return None
     if fs.getFileStatus(hpath).isDirectory() and len(fs.listStatus(hpath)) == 0:

@@ -342,6 +342,18 @@ def _memo(cache: dict, key: tuple, df: DataFrame) -> DataFrame:
     return df
 
 
+def clear_corpus_caches(spark: SparkSession, sf_dir: str) -> None:
+    """Drop every memoized sketch/pair stage for a corpus (all cap
+    variants). The bench's budget-retry calls this before re-running a
+    query so the retry re-pays the SAME pipeline work the budget was
+    pinned against — a cached retry would clear any breach and make the
+    gate structurally void for the dedup family (r6 review)."""
+    key = _corpus_key(spark, sf_dir)
+    for cache in (_SKETCH_CACHE, _PAIRS_CACHE):
+        for k in [k for k in cache if k[:2] == key]:
+            cache.pop(k, None)
+
+
 def sketch_table_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized (doc_id, shingles, sig) sketch table for a corpus,
     computed once per (session, corpus)."""
@@ -376,9 +388,13 @@ def pairs_from_sketch(
     the sketch stage (identical semantics: band construction is
     band_hashes(sig), the same expression minhash_bands_from_shingles
     uses)."""
+    # Materialized once (read ≥2×: both sides of the candidate
+    # self-join, plus the sizes agg under a cap). localCheckpoint rather
+    # than cache(): the storage is released with the DataFrame instead
+    # of pinning executor cache blocks per invocation (r6 review).
     bands = sk.select(
         "doc_id", F.posexplode(band_hashes(F.col("sig"))).alias("band", "band_hash")
-    ).cache()  # read ≥2× (both sides of the candidate self-join; sizes agg too)
+    ).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
     a = sk.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sk.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -391,16 +407,24 @@ def pairs_from_sketch(
     )
 
 
-def minhash_near_dup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = _corpus_key(spark, sf_dir)
+def minhash_near_dup_pairs_cached(
+    spark: SparkSession, sf_dir: str, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Memoized verified pair set per (session, corpus, cap variant).
+    The localCheckpoint also releases the transient bands cache()
+    pressure: each variant materializes once per corpus, so repeated
+    driver/bench invocations re-read the checkpoint instead of
+    re-pinning fresh cached partitions (r6 review)."""
+    key = (*_corpus_key(spark, sf_dir), max_bucket_size)
     df = _PAIRS_CACHE.get(key)
     if df is None:
         df = _memo(
             _PAIRS_CACHE,
             key,
-            pairs_from_sketch(sketch_table_cached(spark, sf_dir)).localCheckpoint(
-                eager=True
-            ),
+            pairs_from_sketch(
+                sketch_table_cached(spark, sf_dir),
+                max_bucket_size=max_bucket_size,
+            ).localCheckpoint(eager=True),
         )
     return df
 
@@ -451,10 +475,10 @@ def q_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification. The star is a pure function of the bucket contents,
     so the DuckDB oracle mirrors it exactly — no approximation gap.
     Consumes the memoized sketch table: only the band/candidate/verify
-    stages differ from q_minhash_lsh_pairs, so only they re-run."""
-    return pairs_from_sketch(
-        sketch_table_cached(spark, sf_dir),
-        max_bucket_size=_CAPPED_Q_BUCKET_SIZE,
+    stages differ from q_minhash_lsh_pairs, so only they re-run (and the
+    verified pair set is itself memoized per cap variant)."""
+    return minhash_near_dup_pairs_cached(
+        spark, sf_dir, max_bucket_size=_CAPPED_Q_BUCKET_SIZE
     )
 
 

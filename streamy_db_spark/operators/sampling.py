@@ -31,15 +31,22 @@ _BUCKETS = 10_000  # split resolution: 0.01 % granularity
 DEFAULT_FRACTIONS = {"train": 0.90, "valid": 0.05, "test": 0.05}
 
 
-def hash_bucket(id_col: Column, salt: str) -> Column:
-    """Stable bucket in [0, 10_000): first 8 hex chars (32 bits) of
-    md5(id ∥ '|' ∥ salt) mod 10_000. 32 bits so the integer conversion is
-    exact in both engines; the salt decouples independent splits drawn
-    over the same ids."""
+def hash_u32(id_col: Column, salt: str) -> Column:
+    """Full 32-bit hash: first 8 hex chars of md5(id ∥ '|' ∥ salt) as a
+    long in [0, 2³²). 32 bits so the integer conversion is exact in
+    both engines; the salt decouples independent draws over the same
+    ids."""
     digest = F.md5(F.encode(F.concat(id_col.cast("string"), F.lit("|" + salt)), "UTF-8"))
-    return (F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % _BUCKETS).cast(
-        "int"
-    )
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+
+
+def hash_bucket(id_col: Column, salt: str) -> Column:
+    """Stable bucket in [0, 10_000): hash_u32 mod 10_000 — coarse
+    membership resolution for splits/samples. Anything that needs a
+    near-total ORDER (shuffle_corpus) must use hash_u32 directly: the
+    bucket has only 10⁴ values, so ordering by it leaves id-ordered
+    runs once a corpus outgrows ~10k docs."""
+    return (hash_u32(id_col, salt) % _BUCKETS).cast("int")
 
 
 def with_split(
@@ -212,15 +219,18 @@ def shuffle_corpus(
     one shuffle is the point), per-shard sort inside the window; never a
     corpus-GLOBAL sort (no rangepartitioning over all rows; each shard
     sorts independently, and shard sizes are balanced by construction —
-    md5 buckets are uniform). Ties in the 32-bit bucket break by id, so
-    pos is total and deterministic. Compose: write with
+    md5 buckets are uniform). Ordering uses the FULL 32-bit hash value
+    (not the 10⁴-bucket projection — that would leave id-ordered runs
+    of ~n/10⁴ docs, leaking corpus order into training batches, r6
+    review); residual 32-bit ties break by id, so pos is total and
+    deterministic. Compose: write with
     ``files.write_partitioned(..., ["shard"])`` and feed training
     readers shard files directly."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     from pyspark.sql import Window
 
-    h = hash_bucket(F.col(id_col), salt)
+    h = hash_u32(F.col(id_col), salt)
     w = Window.partitionBy("shard").orderBy("__h", id_col)
     return (
         df.withColumn("__h", h)
@@ -297,9 +307,8 @@ TEST_QUERIES = {
     "q_shuffle_corpus": q_shuffle_corpus,
 }
 
-_SQL_SHUFFLE_BUCKET = (
-    "(('0x' || substring(md5(doc_id::VARCHAR || '|shuffle-v1'), 1, 8))::BIGINT"
-    f" % {_BUCKETS})"
+_SQL_SHUFFLE_U32 = (
+    "(('0x' || substring(md5(doc_id::VARCHAR || '|shuffle-v1'), 1, 8))::BIGINT)"
 )
 
 _SQL_MIX_BUCKET = (
@@ -332,7 +341,7 @@ ORACLE: dict = {
 TEST_ORACLE = {
     "q_shuffle_corpus": f"""
         WITH h AS (
-            SELECT doc_id, {_SQL_SHUFFLE_BUCKET} AS hb FROM documents
+            SELECT doc_id, {_SQL_SHUFFLE_U32} AS hb FROM documents
         )
         SELECT doc_id,
                CAST(hb % {_SHUFFLE_SHARDS} AS INTEGER) AS shard,

@@ -481,7 +481,7 @@ TEST_ORACLE = {
     """,
 }
 
-ORACLE["q_pack_sequences"] = TEST_ORACLE_PACK = f"""
+ORACLE["q_pack_sequences"] = f"""
         WITH base AS (
             SELECT source, doc_id,
                    len(list_filter(string_split_regex(lower(text), '\\s+'),

@@ -50,19 +50,42 @@ def read_sink(
     A sink polled BEFORE its first batch commits has zero ``batch=*``
     directories; rather than throw (unable to infer schema), return an
     explicitly-empty DataFrame — with ``schema`` when the caller can
-    supply it, else zero columns. (Globbed through the Hadoop
-    FileSystem API so any scheme Spark can read works.)"""
+    supply it, else zero columns. Globbed through the Hadoop FileSystem
+    API (any scheme Spark can read); under Spark Connect (no ``_jvm``)
+    the same answer comes from classifying the read error."""
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
     from pyspark.sql import types as T  # noqa: PLC0415
 
-    jvm = spark._jvm
-    gpath = jvm.org.apache.hadoop.fs.Path(out_dir.rstrip("/") + "/batch=*")
-    fs = gpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    def _empty() -> DataFrame:
+        return spark.createDataFrame([], schema if schema else T.StructType([]))
+
+    def _read() -> DataFrame:
+        return spark.read.option("basePath", out_dir).parquet(
+            f"{out_dir}/batch=*"
+        ).drop("batch")
+
+    try:
+        jvm = spark._jvm
+        gpath = jvm.org.apache.hadoop.fs.Path(out_dir.rstrip("/") + "/batch=*")
+        fs = gpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    except Exception:  # Spark Connect session
+        try:
+            df = _read()
+            df.schema
+            return df
+        except AnalysisException as exc:
+            msg = str(exc)
+            if (
+                "PATH_NOT_FOUND" in msg
+                or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg
+            ):
+                return _empty()
+            raise
     committed = fs.globStatus(gpath)
     if committed is None or len(committed) == 0:
-        return spark.createDataFrame([], schema if schema else T.StructType([]))
-    return spark.read.option("basePath", out_dir).parquet(
-        f"{out_dir}/batch=*"
-    ).drop("batch")
+        return _empty()
+    return _read()
 
 
 def near_dedup_sink(

@@ -130,3 +130,28 @@ def test_retry_only_reruns_breaching_queries():
     timings["q01"] = WIDE["q01"] * 4.0
     retry_breaches(timings, WIDE, rerun=rerun)
     assert calls == ["q01"]
+
+
+def test_slowdown_drop_after_retry_cannot_create_new_breaches():
+    """Writing retry minima back lowers the recomputed machine_slowdown;
+    a query that PASSED the first gate (and was therefore never offered
+    a retry) must not flip into a breach under the lower final slowdown
+    (r6 review finding)."""
+    steady = {k: v * 0.45 for k, v in WIDE.items()}
+    timings = dict(steady)
+    inflated = sorted(WIDE)[:8]
+    for name in inflated:
+        timings[name] = WIDE[name] * 3.5  # breach even at the 3x cap
+    borderline = sorted(WIDE)[10]
+    timings[borderline] = WIDE[borderline] * 1.5  # passes at slowdown 3
+
+    slow1, br1 = budget_breaches(timings, WIDE)
+    assert slow1 == 3.0 and borderline not in br1
+    assert set(br1) == set(inflated)
+
+    slow, br, retried = retry_breaches(
+        timings, WIDE, rerun=lambda name: steady[name]
+    )
+    assert set(retried) == set(inflated)
+    assert slow == 1.0  # recomputed lower after write-back...
+    assert br == {}  # ...but no new breaches appear
