@@ -227,9 +227,14 @@ def pack_sequences(
     shard_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    order_col: str | None = None,
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate documents (in ``id_col``
-    order within each shard) and chop the token stream into fixed
+    order within each shard — or by ``order_col`` with ``id_col``
+    tiebreak, e.g. the ``pos`` coordinate from
+    ``sampling.shuffle_corpus`` so packed sequences interleave a
+    reproducible pseudorandom document order) and chop the token stream
+    into fixed
     ``seq_tokens`` blocks. Emits one row per (document × block it
     overlaps): (shard, id, seq_id, doc_tok_start, n_toks) — the exact
     map a data loader needs to assemble training sequences with zero
@@ -245,13 +250,14 @@ def pack_sequences(
 
     toks = tokens(F.col(text_col))
     n = F.size(toks).cast("long")
+    order = [order_col, id_col] if order_col else [id_col]
     w = (
         Window.partitionBy(shard_col)
-        .orderBy(id_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     base = (
-        df.select(shard_col, id_col, n.alias("__n"))
+        df.select(shard_col, id_col, *([order_col] if order_col else []), n.alias("__n"))
         .filter(F.col("__n") > 0)
         .withColumn("__off", F.coalesce(F.sum("__n").over(w), F.lit(0)))
     )

@@ -183,3 +183,50 @@ def test_tfidf_stays_jvm_side(spark, sf_oracle):
     )
     assert "BatchEvalPython" not in plan
     assert "partial_count" in plan  # map-side combine before the shuffles
+
+
+def test_pack_sequences_in_shuffled_order(spark):
+    """Packing composes with shuffle_corpus: ordering by the shuffle pos
+    (id tiebreak) must match the pure-Python packing model over the same
+    order, and conserve tokens exactly."""
+    from streamy_db_spark.operators.decontam import tokens as _tokens
+    from streamy_db_spark.operators.sampling import shuffle_corpus
+    from streamy_db_spark.operators.text_quality import pack_sequences
+
+    rows = [
+        (i, f"s{i % 2}", " ".join(f"d{i}t{j}" for j in range(3 + i % 5)))
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    shuffled = docs.join(
+        shuffle_corpus(docs.select("doc_id"), n_shards=1).select("doc_id", "pos"),
+        "doc_id",
+    )
+    got = {
+        (r.source, r.doc_id, r.seq_id, r.doc_tok_start, r.n_toks)
+        for r in pack_sequences(shuffled, 8, order_col="pos").collect()
+    }
+
+    # pure-Python model over the identical order
+    n_of = {
+        r.doc_id: r.n
+        for r in shuffled.select(
+            "doc_id", F.size(_tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    pos_of = {r.doc_id: r.pos for r in shuffled.select("doc_id", "pos").collect()}
+    want = set()
+    for src in ("s0", "s1"):
+        ids = sorted(
+            (i for i, s, _ in rows if s == src), key=lambda i: (pos_of[i], i)
+        )
+        off = 0
+        for i in ids:
+            n = n_of[i]
+            for b in range(off // 8, (off + n - 1) // 8 + 1):
+                start = max(off, b * 8)
+                end = min(off + n, (b + 1) * 8)
+                want.add((src, i, b, start - off, end - start))
+            off += n
+    assert got == want
+    assert sum(t[4] for t in got) == sum(n_of.values())
