@@ -135,3 +135,24 @@ def test_full_corpus_build(spark, tmp_path_factory):
     ranges.sort()
     for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint footer ranges: zone maps intact
+
+    # 8. mixture-rebalance the train split to a token budget, lay it
+    # out in reproducible shuffled order, and pack in THAT order — the
+    # layout tail of the pipeline (weights uniform here; the point is
+    # the composition, exact-integer keep rule, and order plumbing)
+    from streamy_db_spark.operators.sampling import mixture_sample, shuffle_corpus
+
+    srcs = [r.source for r in train.select("source").distinct().collect()]
+    mixed = mixture_sample(train, {s: 1 for s in srcs}, total_tokens=2_000)
+    n_mix = mixed.count()
+    assert 0 < n_mix <= n_train
+
+    shuffled = mixed.join(
+        shuffle_corpus(mixed.select("doc_id"), n_shards=4).select("doc_id", "pos"),
+        "doc_id",
+    )
+    packed_mix = pack_sequences(shuffled, seq_tokens=128, order_col="pos")
+    tok_mix = (
+        mixed.select(F.sum(F.size(tokens(F.col("text")))).alias("n")).collect()[0].n
+    )
+    assert packed_mix.agg(F.sum("n_toks").alias("n")).collect()[0].n == tok_mix
