@@ -45,6 +45,11 @@ MIXES = {
     # DISTRIBUTEDLY (see generate_df_distributed): 1M rows of nested
     # Python objects through Py4J would dominate the bench.
     "scale_bench_1m": (1_000_000, 4, 1_000_000),
+    # Wave-depth stress: ~16 writes per key ⇒ long per-key release
+    # chains ⇒ many dependency waves. Not part of the per-round bench;
+    # a one-off measurement recorded in BASELINE.md §4 (the wavefront's
+    # worst case is conflict DENSITY, not row count).
+    "conflict_bench_100k": (100_000, 4, 25_000),
 }
 
 # Mixes too large to build on the driver take the Spark-side generator.
