@@ -247,3 +247,47 @@ def test_shuffle_corpus_no_global_sort_plan(spark):
     plan = inspect.executed_plan(q_shuffle_corpus(spark, "/root/testdata/sf0.001"))
     assert "rangepartitioning" not in plan  # shard-local sorts only
     assert plan.count("Exchange") == 1  # the one layout shuffle
+
+
+def test_mixture_sample_matches_python_model(spark):
+    """mixture_sample vs a pure-Python md5 model of the exact-integer
+    keep rule, over several weight/budget configurations — the whole
+    rule (bucketing, token accounting, clamp algebra) reproduced
+    outside Spark."""
+    import hashlib
+
+    from streamy_db_spark.operators.sampling import mixture_sample
+
+    rows = [
+        (i, f"s{i % 3}", " ".join(f"m{i}w{j}" for j in range(2 + (i * 7) % 9)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def model(weights, total):
+        W = sum(weights.values())
+        toks: dict[str, int] = {}
+        for _, src, text in rows:
+            toks[src] = toks.get(src, 0) + len(text.split())
+        keep = set()
+        for i, src, _text in rows:
+            if src not in weights:
+                continue
+            b = (
+                int(hashlib.md5(f"{i}|mix-v1".encode()).hexdigest()[:8], 16)
+                % 10_000
+            )
+            if b * W * toks[src] < 10_000 * total * weights[src]:
+                keep.add(i)
+        return keep
+
+    for weights, total in (
+        ({"s0": 1, "s1": 1, "s2": 1}, 150),
+        ({"s0": 5, "s1": 1}, 90),
+        ({"s2": 7}, 10_000),  # over-budget: keep-all for s2, others dropped
+        ({"s0": 1, "s1": 2, "s2": 3}, 0),  # zero budget: keep nothing
+    ):
+        got = {
+            r.doc_id for r in mixture_sample(docs, weights, total).collect()
+        }
+        assert got == model(weights, total), (weights, total)
