@@ -218,3 +218,18 @@ def test_no_python_udf_in_relational_plans(spark):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name  # row-at-a-time Python
         assert "PythonUDF" not in plan, name
+
+
+def test_mixture_sample_plan_shape(spark):
+    """Mixture rebalancing must broadcast the source-cardinality stats
+    back to the scan (never shuffle the corpus against them) and keep
+    every join hash-equi — the scan-side-filter shape that works at
+    100 TB."""
+    from streamy_db_spark.operators.sampling import q_mixture_sample
+    from streamy_db_spark.plans import inspect
+
+    plan = inspect.executed_plan(q_mixture_sample(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
