@@ -179,25 +179,30 @@ def retry_breaches(
     Returns (machine_slowdown, breaches, retried) where retried maps
     each retried query to {"first": s, "retry": s}.
 
-    The final breach set is the INTERSECTION with the first-pass set: a
-    query that passed the first gate was never offered a retry, so it
-    must not fail the final one either — writing retry minima back can
-    LOWER the recomputed machine_slowdown, which would otherwise flip
-    first-pass-passing queries into breaches without a retry,
-    reintroducing exactly the spurious-failure mode the retry exists to
-    eliminate (r6 review)."""
-    _, first_breaches = budget_breaches(timings, budgets, **gate_kwargs)
+    Runs to a FIXPOINT: writing retry minima back can LOWER the
+    recomputed machine_slowdown, which may expose queries that passed
+    the first gate only because noise elsewhere inflated the scale — a
+    genuinely regressed query hiding under that umbrella. Every query
+    that breaches under any iteration's slowdown gets exactly one
+    retry; the loop ends when no un-retried breach remains, so the
+    final breach set contains only queries that persisted across their
+    own retry (no false failure without a retry, no false pass without
+    a re-measure — r6 review, both directions)."""
     retried: dict[str, dict[str, float]] = {}
-    for name in sorted(first_breaches):
-        t_retry = rerun(name)
-        if t_retry is None:
-            continue
-        t_retry = round(t_retry, 3)
-        retried[name] = {"first": timings[name], "retry": t_retry}
-        timings[name] = min(timings[name], t_retry)
-    slowdown, final = budget_breaches(timings, budgets, **gate_kwargs)
-    breaches = {name: rec for name, rec in final.items() if name in first_breaches}
-    return slowdown, breaches, retried
+    attempted: set[str] = set()
+    while True:
+        slowdown, breaches = budget_breaches(timings, budgets, **gate_kwargs)
+        pending = sorted(set(breaches) - attempted)
+        if not pending:
+            return slowdown, breaches, retried
+        for name in pending:
+            attempted.add(name)
+            t_retry = rerun(name)
+            if t_retry is None:
+                continue
+            t_retry = round(t_retry, 3)
+            retried[name] = {"first": timings[name], "retry": t_retry}
+            timings[name] = min(timings[name], t_retry)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -379,8 +384,11 @@ def main() -> None:
 
                     minhash.clear_corpus_caches(spark, SF_DIR)
                     similarity._IVF_CENTROID_CACHE.clear()
-                except Exception:  # noqa: BLE001 - purge is best-effort
-                    pass
+                except Exception as exc:  # noqa: BLE001 - purge is best-effort
+                    # ...but never silently: a swallowed purge failure
+                    # reinstates cache-hit retries and quietly voids
+                    # the gate for the dedup/ANN family (r6 review).
+                    print(f"bench: cache purge failed: {exc}", file=sys.stderr)
                 t0 = time.perf_counter()
                 qfns[name](spark, SF_DIR).count()
                 return time.perf_counter() - t0

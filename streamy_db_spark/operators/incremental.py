@@ -38,50 +38,29 @@ def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
     (e.g. mkdir'd by an orchestrator). Any OTHER failure (corrupt
     footer, permissions, transient FS fault) propagates: swallowing it
     would silently re-admit duplicates against an empty seen-set AND
-    append their fingerprints, corrupting state.
+    append their fingerprints, corrupting state. Delegates to
+    sources/files.read_parquet_if_exists (JVM FS probe, Spark Connect
+    read-and-classify fallback) so the error-class knowledge lives in
+    one place."""
+    from streamy_db_spark.sources.files import read_parquet_if_exists
 
-    Existence is checked through the Hadoop FileSystem API (any scheme
-    Spark can read); under Spark Connect — no ``_jvm`` handle — fall
-    back to read-and-classify: only the missing-path / empty-dir error
-    classes map to None, everything else re-raises (r6 review: the
-    plain ``except Exception: None`` this replaced treated corrupt
-    state as first-batch)."""
-    try:
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    except Exception:  # Spark Connect session: classify by error instead
-        from pyspark.errors import AnalysisException
-
-        try:
-            df = spark.read.parquet(path)
-            df.schema  # force analysis so missing paths surface HERE
-            return df
-        except AnalysisException as exc:
-            msg = str(exc)
-            if (
-                "PATH_NOT_FOUND" in msg
-                or "Path does not exist" in msg
-                or "UNABLE_TO_INFER_SCHEMA" in msg  # existing-but-empty dir
-            ):
-                return None
-            raise
-    if not fs.exists(hpath):
-        return None
-    if fs.getFileStatus(hpath).isDirectory() and len(fs.listStatus(hpath)) == 0:
-        return None
-    return spark.read.parquet(path)
+    return read_parquet_if_exists(spark, path)
 
 
 class IncrementalDeduper:
     """Exact-dedup gate with a parquet-backed seen-fingerprint set.
 
     ``process_batch(docs)`` returns the accepted (novel) rows and
-    appends their fingerprints to the state path. Crash safety: the
-    state append is atomic per batch directory write; re-running a
-    batch after a crash re-admits the same rows (fingerprint appends
-    are idempotent for verdict purposes — duplicates in the seen-set
-    cost space, never correctness, since membership is an EXISTS).
+    appends their (fingerprint, accepted_id) pairs to the state path.
+    Crash safety: the state append is atomic per batch directory
+    write, and a crash AFTER the append but before the caller consumed
+    the output is recoverable — re-running the batch RE-EMITS every row
+    whose (fingerprint, id) pair matches a recorded acceptance, so the
+    replay reproduces the original output instead of silently dropping
+    documents whose fingerprints already block them (r6 review; the
+    same contract IncrementalNearDeduper keeps). Duplicate state rows
+    from replayed appends cost space, never correctness — membership is
+    an EXISTS.
     """
 
     def __init__(self, spark: SparkSession, state_path: str, id_col: str = "doc_id"):
@@ -95,18 +74,30 @@ class IncrementalDeduper:
     def process_batch(self, docs: DataFrame) -> DataFrame:
         """Accept the novel documents of this batch (within-batch dups
         collapse to the min-id row first), persist their fingerprints,
-        and return the accepted rows (without the fingerprint column)."""
+        and return the accepted rows (without the fingerprint column).
+        Crash-replayed batches re-emit their originally accepted rows."""
         batch = fingerprint_documents(dedupe_exact(docs, self.id_col))
         seen = self._seen()
+        replayed = None
         if seen is not None:
+            if "accepted_id" in seen.columns:
+                acc = seen.select(
+                    "fingerprint", F.col("accepted_id").alias(self.id_col)
+                ).distinct()
+                replayed = batch.join(acc, ["fingerprint", self.id_col])
             batch = batch.join(
                 seen.select("fingerprint").distinct(), "fingerprint", "left_anti"
             )
         # Materialize the verdict BEFORE appending state: the append
         # must not re-trigger a scan that would now see its own output.
         batch = batch.localCheckpoint(eager=True)
-        batch.select("fingerprint").write.mode("append").parquet(self.state_path)
-        return batch.drop("fingerprint")
+        batch.select(
+            "fingerprint", F.col(self.id_col).alias("accepted_id")
+        ).write.mode("append").parquet(self.state_path)
+        out = batch.drop("fingerprint")
+        if replayed is not None:
+            out = out.unionByName(replayed.drop("fingerprint"))
+        return out
 
     def seen_count(self) -> int:
         """Distinct accepted fingerprints (driver-sized scalar)."""
@@ -142,11 +133,12 @@ class IncrementalNearDeduper:
     plus its 4 LSH band hashes (position = band index) — parquet,
     appended once per batch, never rewritten. Admission for a new batch:
 
-    1. rows whose doc_id is already in state were accepted by an
-       earlier run of the same batch: they are RE-EMITTED verbatim and
-       nothing is re-appended, so a crash-replayed batch reproduces its
-       original output exactly (the contract the streaming
-       ``near_dedup_sink`` twin's per-batch overwrite sink relies on);
+    1. rows whose doc_id is already in state were accepted before; with
+       a ``batch_id`` (state column ``batch_seq``) a crash-replay of
+       the SAME batch re-emits them verbatim while a re-send in a LATER
+       batch is dropped — see process_batch's docstring (the contract
+       the streaming ``near_dedup_sink`` twin's per-batch overwrite
+       sink relies on);
     2. docs with no shingles (< SHINGLE_W tokens) are accepted verbatim
        and NOT persisted — under shingle Jaccard they cannot be a
        near-dup of anything;
@@ -242,7 +234,22 @@ class IncrementalNearDeduper:
             .select("id_a", "id_b")
         )
 
-    def process_batch(self, docs: DataFrame) -> DataFrame:
+    def process_batch(
+        self, docs: DataFrame, batch_id: int | None = None
+    ) -> DataFrame:
+        """Admit the batch. ``batch_id`` (optional, monotone — e.g. the
+        foreachBatch micro-batch id) disambiguates crash-replay from
+        upstream re-send: rows whose id is in state FROM THIS batch_id
+        were accepted by an earlier run of the same batch and are
+        RE-EMITTED (so a replay reproduces its original output — the
+        idempotent-sink contract); rows whose id is in state from an
+        EARLIER batch are at-least-once re-sends of already-admitted
+        docs and are DROPPED, never duplicated into the output (r6
+        review). Without ``batch_id`` (or over pre-batch_seq state) any
+        state id re-emits — only safe when the upstream never re-sends
+        an id in a later batch. Previously-REJECTED rows are not in
+        state; re-evaluating them re-rejects them, because the doc (or
+        keeper) that blocked them is still in state."""
         from streamy_db_spark.operators.dedup import connected_components
 
         seen = _read_state(self.spark, self.state_path)
@@ -251,16 +258,15 @@ class IncrementalNearDeduper:
             seen_ids = seen.select(
                 F.col("doc_id").alias(self.id_col)
             ).distinct()
-            # Rows whose id is ALREADY in state were accepted by an
-            # earlier run of this batch: RE-EMIT them (and re-admit
-            # nothing else) so a crash-replay reproduces the original
-            # output exactly — the property the foreachBatch streaming
-            # twin's idempotent per-batch sink relies on (overwriting a
-            # committed batch directory with the same rows, never with
-            # an empty set). Previously-REJECTED rows are not in state;
-            # re-evaluating them re-rejects them, because the doc (or
-            # keeper) that blocked them is still in state.
-            replayed = docs.join(seen_ids, self.id_col)
+            if batch_id is not None and "batch_seq" in seen.columns:
+                rep_ids = (
+                    seen.filter(F.col("batch_seq") == int(batch_id))
+                    .select(F.col("doc_id").alias(self.id_col))
+                    .distinct()
+                )
+            else:
+                rep_ids = seen_ids
+            replayed = docs.join(rep_ids, self.id_col)
             docs = docs.join(seen_ids, self.id_col, "left_anti")
         sigs = self._sig_table(docs).localCheckpoint(eager=True)
 
@@ -290,7 +296,10 @@ class IncrementalNearDeduper:
         accepted_sigs = sigs.join(rejected, "doc_id", "left_anti").localCheckpoint(
             eager=True
         )
-        accepted_sigs.write.mode("append").parquet(self.state_path)
+        accepted_sigs.withColumn(
+            "batch_seq",
+            F.lit(-1 if batch_id is None else int(batch_id)).cast("long"),
+        ).write.mode("append").parquet(self.state_path)
 
         accepted_ids = accepted_sigs.select("doc_id")
         # no-shingle docs (absent from sigs) are always accepted — reuse

@@ -164,6 +164,9 @@ def mixture_sample(
         raise ValueError("weights must be non-empty and non-negative")
     if total_tokens < 0:
         raise ValueError(f"total_tokens must be >= 0, got {total_tokens}")
+    clash = {"__tok_s", "__w"} & set(df.columns)
+    if clash:
+        raise ValueError(f"columns {sorted(clash)} collide in mixture_sample")
     w_total = sum(weights.values())
     if w_total == 0:
         raise ValueError("at least one weight must be positive")
@@ -228,6 +231,11 @@ def shuffle_corpus(
     readers shard files directly."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    clash = {"shard", "pos", "__h"} & set(df.columns)
+    if clash:
+        # same convention as with_split: never silently replace a
+        # caller's column with a coordinate (r6 review)
+        raise ValueError(f"columns {sorted(clash)} collide in shuffle_corpus")
     from pyspark.sql import Window
 
     h = hash_u32(F.col(id_col), salt)

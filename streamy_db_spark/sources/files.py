@@ -70,6 +70,49 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
 
 
+def is_missing_path_error(exc: Exception) -> bool:
+    """True when an AnalysisException means 'nothing has ever been
+    written here' — missing path, or a directory with no readable files
+    (schema inference fails). Shared by every state/sink reader that
+    must distinguish first-run-empty from genuinely broken (corrupt
+    footer, permissions), so the error-class knowledge lives in ONE
+    place."""
+    msg = str(exc)
+    return (
+        "PATH_NOT_FOUND" in msg
+        or "Path does not exist" in msg
+        or "UNABLE_TO_INFER_SCHEMA" in msg
+    )
+
+
+def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Parquet DataFrame, or None ONLY when the path is missing or an
+    empty directory. Any other failure propagates. Existence goes
+    through the Hadoop FileSystem API when the session has a JVM
+    handle; Spark Connect falls back to read-and-classify via
+    is_missing_path_error."""
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    except Exception:  # Spark Connect session: classify by error instead
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force analysis so missing paths surface HERE
+            return df
+        except AnalysisException as exc:
+            if is_missing_path_error(exc):
+                return None
+            raise
+    if not fs.exists(hpath):
+        return None
+    if fs.getFileStatus(hpath).isDirectory() and len(fs.listStatus(hpath)) == 0:
+        return None
+    return spark.read.parquet(path)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source — columnar like parquet (schema in the file footer, so
     no explicit schema needed; predicate pushdown and column pruning
@@ -151,9 +194,16 @@ def compact_parquet(
     lost and a rerun self-heals. NOT safe under concurrent writers to
     ``path`` — that coordination is what table formats (Delta/Iceberg)
     add."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    except Exception as exc:
+        raise NotImplementedError(
+            "compact_parquet drives Hadoop FileSystem renames and needs a "
+            "classic (JVM-attached) SparkSession; Spark Connect sessions "
+            "cannot run it — compact from a classic session instead"
+        ) from exc
 
     # Crash recovery: a previous run that died between its two swap
     # renames left the original at <path>.__old__ and nothing at <path>.

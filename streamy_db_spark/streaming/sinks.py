@@ -69,17 +69,14 @@ def read_sink(
         gpath = jvm.org.apache.hadoop.fs.Path(out_dir.rstrip("/") + "/batch=*")
         fs = gpath.getFileSystem(spark._jsc.hadoopConfiguration())
     except Exception:  # Spark Connect session
+        from streamy_db_spark.sources.files import is_missing_path_error
+
         try:
             df = _read()
             df.schema
             return df
         except AnalysisException as exc:
-            msg = str(exc)
-            if (
-                "PATH_NOT_FOUND" in msg
-                or "Path does not exist" in msg
-                or "UNABLE_TO_INFER_SCHEMA" in msg
-            ):
+            if is_missing_path_error(exc):
                 return _empty()
             raise
     committed = fs.globStatus(gpath)
@@ -119,6 +116,10 @@ def near_dedup_sink(
     write = idempotent_parquet_sink(out_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        write(deduper.process_batch(batch_df), batch_id)
+        # batch_id disambiguates crash-replay (same id ⇒ re-emit the
+        # original output, sink overwrites with identical content) from
+        # an upstream re-send in a LATER batch (dropped, never
+        # duplicated into a new batch directory).
+        write(deduper.process_batch(batch_df, batch_id=batch_id), batch_id)
 
     return process

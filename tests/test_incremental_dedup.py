@@ -42,13 +42,26 @@ def test_incremental_equals_one_shot(spark, tmp_path):
 
 def test_replayed_batch_is_idempotent(spark, tmp_path):
     d = IncrementalDeduper(spark, str(tmp_path / "state"))
-    d.process_batch(_docs(spark, B1))
-    # crash-replay: the same batch runs again — its rows are now all
-    # seen, nothing is re-admitted, and later batches are unaffected
-    again = d.process_batch(_docs(spark, B1)).collect()
-    assert again == []
+    first = {r.doc_id for r in d.process_batch(_docs(spark, B1)).collect()}
+    assert first == {1, 2}
+    # crash-replay contract (r6): the state append may have committed
+    # while the caller never consumed the output — re-running the batch
+    # must RE-EMIT the originally accepted rows (matched by
+    # fingerprint+id), not return empty and strand them; later batches
+    # are unaffected
+    again = {r.doc_id for r in d.process_batch(_docs(spark, B1)).collect()}
+    assert again == first
     kept2 = {r.doc_id for r in d.process_batch(_docs(spark, B2)).collect()}
     assert kept2 == {11}
+
+
+def test_resent_content_under_new_id_stays_rejected(spark, tmp_path):
+    # re-emit keys on (fingerprint, id): the same content arriving
+    # under a DIFFERENT id is a duplicate, not a replay
+    d = IncrementalDeduper(spark, str(tmp_path / "state"))
+    d.process_batch(_docs(spark, B1))
+    out = d.process_batch(_docs(spark, [(99, "alpha beta gamma")])).collect()
+    assert out == []
 
 
 def test_accepted_rows_keep_schema(spark, tmp_path):
@@ -85,8 +98,6 @@ def test_corrupt_state_raises_not_readmits(spark, tmp_path):
 
 def test_compact_state_preserves_verdicts(spark, tmp_path):
     # many small appended batches -> compact -> same membership verdicts
-    from pathlib import Path as P
-
     p = tmp_path / "state"
     d = IncrementalDeduper(spark, str(p))
     for k in range(6):

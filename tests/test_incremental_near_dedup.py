@@ -168,8 +168,6 @@ def test_corrupt_state_raises(spark, tmp_path):
 
 
 def test_compact_state_preserves_near_dedup_verdicts(spark, tmp_path):
-    from pathlib import Path as P
-
     p = tmp_path / "state"
     d = IncrementalNearDeduper(spark, str(p))
     d.process_batch(_docs(spark, B1))
@@ -185,3 +183,28 @@ def test_compact_state_preserves_near_dedup_verdicts(spark, tmp_path):
     # still rejected, novel content still admitted
     got = {r.doc_id for r in d.process_batch(_docs(spark, B3)).collect()}
     assert got == {21}
+
+
+def test_batch_id_distinguishes_replay_from_resend(spark, tmp_path):
+    """With batch ids, a crash-replay (same batch_id) reproduces its
+    output while an upstream re-send of an accepted id in a LATER batch
+    is dropped — never duplicated (r6 review)."""
+    d = IncrementalNearDeduper(spark, str(tmp_path / "state"))
+    first = {
+        r.doc_id for r in d.process_batch(_docs(spark, B1), batch_id=0).collect()
+    }
+    assert first == {1, 2, 4}
+    # crash-replay of batch 0: identical output
+    again = {
+        r.doc_id for r in d.process_batch(_docs(spark, B1), batch_id=0).collect()
+    }
+    assert again == first
+    # batch 1 re-sends accepted doc 1 alongside novel content: the
+    # re-send is DROPPED, the novel doc admits
+    resend = B2 + [(1, BASE)]
+    out = {
+        r.doc_id
+        for r in d.process_batch(_docs(spark, resend), batch_id=1).collect()
+    }
+    assert 1 not in out
+    assert out == {11}
