@@ -291,3 +291,32 @@ def test_mixture_sample_matches_python_model(spark):
             r.doc_id for r in mixture_sample(docs, weights, total).collect()
         }
         assert got == model(weights, total), (weights, total)
+
+
+def test_shuffle_corpus_matches_python_model(spark):
+    """shuffle_corpus vs a pure-Python md5 reconstruction of the
+    (shard, pos) coordinates — full 32-bit ordering, id tiebreak, shard
+    assignment all reproduced outside Spark."""
+    import hashlib
+
+    from streamy_db_spark.operators.sampling import shuffle_corpus
+
+    ids = [3, 17, 42, 1000, 65536, 9999999] + list(range(50))
+    docs = spark.createDataFrame([(i,) for i in set(ids)], "doc_id long")
+    got = {
+        r.doc_id: (r.shard, r.pos)
+        for r in shuffle_corpus(docs, n_shards=4, salt="epochX").collect()
+    }
+
+    u32 = {
+        i: int(hashlib.md5(f"{i}|epochX".encode()).hexdigest()[:8], 16)
+        for i in set(ids)
+    }
+    want = {}
+    for shard in range(4):
+        members = sorted(
+            (i for i in u32 if u32[i] % 4 == shard), key=lambda i: (u32[i], i)
+        )
+        for pos, i in enumerate(members):
+            want[i] = (shard, pos)
+    assert got == want
