@@ -384,11 +384,18 @@ def main() -> None:
 
                     minhash.clear_corpus_caches(spark, SF_DIR)
                     similarity._IVF_CENTROID_CACHE.clear()
-                except Exception as exc:  # noqa: BLE001 - purge is best-effort
-                    # ...but never silently: a swallowed purge failure
-                    # reinstates cache-hit retries and quietly voids
-                    # the gate for the dedup/ANN family (r6 review).
-                    print(f"bench: cache purge failed: {exc}", file=sys.stderr)
+                except Exception as exc:  # noqa: BLE001
+                    # FAIL SAFE: a cache-hit retry would clear any
+                    # genuine pipeline regression, so if the purge
+                    # cannot be guaranteed, decline the retry — the
+                    # first timing (and its breach) stands (r6 review:
+                    # warn-and-measure would quietly void the gate).
+                    print(
+                        f"bench: cache purge failed, declining retry of "
+                        f"{name}: {exc}",
+                        file=sys.stderr,
+                    )
+                    return None
                 t0 = time.perf_counter()
                 qfns[name](spark, SF_DIR).count()
                 return time.perf_counter() - t0

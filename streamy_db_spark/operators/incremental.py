@@ -41,10 +41,15 @@ def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
     append their fingerprints, corrupting state. Delegates to
     sources/files.read_parquet_if_exists (JVM FS probe, Spark Connect
     read-and-classify fallback) so the error-class knowledge lives in
-    one place."""
+    one place. mergeSchema is ON: state directories EVOLVE (r6 added
+    accepted_id / batch_seq columns) and a single arbitrary footer
+    would make column visibility — and therefore replay semantics —
+    nondeterministic over mixed-version state. Old rows surface the
+    new columns as NULL, which every consumer treats as
+    'no replay metadata recorded'."""
     from streamy_db_spark.sources.files import read_parquet_if_exists
 
-    return read_parquet_if_exists(spark, path)
+    return read_parquet_if_exists(spark, path, merge_schema=True)
 
 
 class IncrementalDeduper:
@@ -55,12 +60,13 @@ class IncrementalDeduper:
     Crash safety: the state append is atomic per batch directory
     write, and a crash AFTER the append but before the caller consumed
     the output is recoverable — re-running the batch RE-EMITS every row
-    whose (fingerprint, id) pair matches a recorded acceptance, so the
-    replay reproduces the original output instead of silently dropping
-    documents whose fingerprints already block them (r6 review; the
-    same contract IncrementalNearDeduper keeps). Duplicate state rows
-    from replayed appends cost space, never correctness — membership is
-    an EXISTS.
+    whose (fingerprint, id) pair matches a recorded acceptance FROM THE
+    SAME ``batch_id``, so the replay reproduces the original output
+    instead of silently dropping documents whose fingerprints already
+    block them; re-sends in later batches are dropped, never
+    duplicated (r6 review; the same contract IncrementalNearDeduper
+    keeps). Duplicate state rows from replayed appends cost space,
+    never correctness — membership is an EXISTS.
     """
 
     def __init__(self, spark: SparkSession, state_path: str, id_col: str = "doc_id"):
@@ -71,33 +77,64 @@ class IncrementalDeduper:
     def _seen(self) -> DataFrame | None:
         return _read_state(self.spark, self.state_path)
 
-    def process_batch(self, docs: DataFrame) -> DataFrame:
+    def process_batch(
+        self, docs: DataFrame, batch_id: int | None = None
+    ) -> DataFrame:
         """Accept the novel documents of this batch (within-batch dups
         collapse to the min-id row first), persist their fingerprints,
         and return the accepted rows (without the fingerprint column).
-        Crash-replayed batches re-emit their originally accepted rows."""
-        batch = fingerprint_documents(dedupe_exact(docs, self.id_col))
+
+        ``batch_id`` (optional, monotone ≥ 0) disambiguates crash-replay
+        from upstream re-send, exactly as in IncrementalNearDeduper: a
+        (fingerprint, id) acceptance recorded under THIS batch_id is
+        re-emitted (replay reproduces its original output); one recorded
+        under an EARLIER batch is an at-least-once re-send — e.g. an
+        unchanged page on the next crawl — and is dropped, never
+        duplicated. Without ``batch_id`` (or over pre-batch_seq state)
+        any (fingerprint, id) match re-emits, which is only safe when
+        the upstream never re-sends an accepted doc in a later batch.
+        The state append and the returned rows materialize from ONE
+        localCheckpoint, so the output never lazily re-reads state (it
+        survives a subsequent compact_state) and the md5 fingerprint
+        scan runs once."""
+        if batch_id is not None and batch_id < 0:
+            raise ValueError(f"batch_id must be >= 0, got {batch_id}")
+        fp = fingerprint_documents(dedupe_exact(docs, self.id_col))
         seen = self._seen()
-        replayed = None
-        if seen is not None:
+        if seen is None:
+            tagged = fp.withColumn("__novel", F.lit(True))
+        else:
             if "accepted_id" in seen.columns:
                 acc = seen.select(
-                    "fingerprint", F.col("accepted_id").alias(self.id_col)
-                ).distinct()
-                replayed = batch.join(acc, ["fingerprint", self.id_col])
-            batch = batch.join(
+                    "fingerprint",
+                    F.col("accepted_id").alias(self.id_col),
+                    *( ["batch_seq"] if "batch_seq" in seen.columns else [] ),
+                )
+                if batch_id is not None and "batch_seq" in seen.columns:
+                    acc = acc.filter(F.col("batch_seq") == int(batch_id))
+                acc = acc.select("fingerprint", self.id_col).distinct()
+                replayed = fp.join(acc, ["fingerprint", self.id_col])
+            else:
+                replayed = fp.limit(0)
+            novel = fp.join(
                 seen.select("fingerprint").distinct(), "fingerprint", "left_anti"
             )
-        # Materialize the verdict BEFORE appending state: the append
-        # must not re-trigger a scan that would now see its own output.
-        batch = batch.localCheckpoint(eager=True)
-        batch.select(
-            "fingerprint", F.col(self.id_col).alias("accepted_id")
+            tagged = novel.withColumn("__novel", F.lit(True)).unionByName(
+                replayed.withColumn("__novel", F.lit(False))
+            )
+        # ONE materialization: the state append must not re-trigger a
+        # scan that would see its own output, and the returned rows must
+        # not keep a lazy dependency on the state files (a later
+        # compact_state renames them away).
+        tagged = tagged.localCheckpoint(eager=True)
+        tagged.filter(F.col("__novel")).select(
+            "fingerprint",
+            F.col(self.id_col).alias("accepted_id"),
+            F.lit(-1 if batch_id is None else int(batch_id))
+            .cast("long")
+            .alias("batch_seq"),
         ).write.mode("append").parquet(self.state_path)
-        out = batch.drop("fingerprint")
-        if replayed is not None:
-            out = out.unionByName(replayed.drop("fingerprint"))
-        return out
+        return tagged.drop("fingerprint", "__novel")
 
     def seen_count(self) -> int:
         """Distinct accepted fingerprints (driver-sized scalar)."""
@@ -113,11 +150,18 @@ class IncrementalDeduper:
         fingerprints left by crash-replayed appends. Run it on whatever
         cadence keeps state file counts sane (e.g. nightly); admission
         verdicts are unaffected (membership is an EXISTS over a set).
-        Returns the output file count."""
+        mergeSchema on: the state schema evolved across versions and a
+        single-footer read could silently strip the newer
+        replay-metadata columns (r6 review). Returns the output file
+        count."""
         from streamy_db_spark.sources.files import compact_parquet
 
         return compact_parquet(
-            self.spark, self.state_path, target_file_mb, dedupe_rows=True
+            self.spark,
+            self.state_path,
+            target_file_mb,
+            dedupe_rows=True,
+            merge_schema=True,
         )
 
 
@@ -140,8 +184,10 @@ class IncrementalNearDeduper:
        the streaming ``near_dedup_sink`` twin's per-batch overwrite
        sink relies on);
     2. docs with no shingles (< SHINGLE_W tokens) are accepted verbatim
-       and NOT persisted — under shingle Jaccard they cannot be a
-       near-dup of anything;
+       — under shingle Jaccard they cannot be a near-dup of anything —
+       and persisted with a NULL signature and empty band set, so a
+       later re-send of a short doc drops like any other accepted id
+       while never producing candidate edges;
     3. candidate edges: batch↔batch and batch↔accepted pairs sharing a
        band bucket (same band index, same band hash — the standard LSH
        probe), verified by signature agreement ≥ ``sig_threshold``
@@ -249,7 +295,15 @@ class IncrementalNearDeduper:
         state id re-emits — only safe when the upstream never re-sends
         an id in a later batch. Previously-REJECTED rows are not in
         state; re-evaluating them re-rejects them, because the doc (or
-        keeper) that blocked them is still in state."""
+        keeper) that blocked them is still in state.
+
+        The dedup state and the stream's checkpoint must live and die
+        TOGETHER: restarting a stream with a fresh checkpoint resets
+        foreachBatch ids to 0, and batch 0's acceptances from the old
+        run would read as crash-replays. Recovery that discards the
+        checkpoint must discard (or re-seed) the state dir too."""
+        if batch_id is not None and batch_id < 0:
+            raise ValueError(f"batch_id must be >= 0, got {batch_id}")
         from streamy_db_spark.operators.dedup import connected_components
 
         seen = _read_state(self.spark, self.state_path)
@@ -293,28 +347,37 @@ class IncrementalNearDeduper:
             )
             .distinct()
         )
-        accepted_sigs = sigs.join(rejected, "doc_id", "left_anti").localCheckpoint(
-            eager=True
+        accepted_sigs = sigs.join(rejected, "doc_id", "left_anti")
+
+        # no-shingle docs (absent from sigs) are always accepted — reuse
+        # the checkpointed sig table, never re-shingle the batch. They
+        # ARE persisted (sig NULL, no bands) so a later-batch re-send of
+        # a short doc is dropped like any other accepted id; the empty
+        # band array means they never produce candidate edges.
+        trivial_ids = docs.select(F.col(self.id_col).alias("doc_id")).join(
+            sigs.select("doc_id"), "doc_id", "left_anti"
         )
-        accepted_sigs.withColumn(
+        new_state = accepted_sigs.unionByName(
+            trivial_ids.select(
+                "doc_id",
+                F.lit(None).cast("array<long>").alias("sig"),
+                F.array().cast("array<string>").alias("bands"),
+            )
+        ).localCheckpoint(eager=True)
+        new_state.withColumn(
             "batch_seq",
             F.lit(-1 if batch_id is None else int(batch_id)).cast("long"),
         ).write.mode("append").parquet(self.state_path)
 
-        accepted_ids = accepted_sigs.select("doc_id")
-        # no-shingle docs (absent from sigs) are always accepted — reuse
-        # the checkpointed sig table, never re-shingle the batch
-        trivial = docs.join(
-            sigs.select(F.col("doc_id").alias(self.id_col)),
-            self.id_col,
-            "left_anti",
-        )
+        # Materialize the output so it neither lazily re-reads the state
+        # files (a later compact_state renames them away) nor recomputes
+        # the batch's signatures on every action.
         out = docs.join(
-            accepted_ids.withColumnRenamed("doc_id", self.id_col), self.id_col
-        ).unionByName(trivial)
+            new_state.select(F.col("doc_id").alias(self.id_col)), self.id_col
+        )
         if replayed is not None:
             out = out.unionByName(replayed)
-        return out
+        return out.localCheckpoint(eager=True)
 
     def seen_count(self) -> int:
         seen = _read_state(self.spark, self.state_path)
@@ -325,9 +388,15 @@ class IncrementalNearDeduper:
         one parquet directory per processed batch otherwise accumulates
         forever. Signature rows are deduplicated by full row (a doc_id
         appears at most once per append, and replays append nothing, so
-        distinct only drops crash artifacts)."""
+        distinct only drops crash artifacts). mergeSchema on: the state
+        schema evolved across versions and a single-footer read could
+        silently strip the newer replay-metadata columns (r6 review)."""
         from streamy_db_spark.sources.files import compact_parquet
 
         return compact_parquet(
-            self.spark, self.state_path, target_file_mb, dedupe_rows=True
+            self.spark,
+            self.state_path,
+            target_file_mb,
+            dedupe_rows=True,
+            merge_schema=True,
         )

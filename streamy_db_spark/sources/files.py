@@ -85,13 +85,23 @@ def is_missing_path_error(exc: Exception) -> bool:
     )
 
 
-def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+def read_parquet_if_exists(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame | None:
     """Parquet DataFrame, or None ONLY when the path is missing or an
     empty directory. Any other failure propagates. Existence goes
     through the Hadoop FileSystem API when the session has a JVM
     handle; Spark Connect falls back to read-and-classify via
-    is_missing_path_error."""
+    is_missing_path_error. ``merge_schema`` unions the footers'
+    schemas — required for evolved directories (e.g. dedup state dirs
+    that gained columns across versions), where a single arbitrary
+    footer would make column visibility nondeterministic."""
     from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    def _do_read() -> DataFrame:
+        return spark.read.option(
+            "mergeSchema", str(merge_schema).lower()
+        ).parquet(path)
 
     try:
         jvm = spark._jvm
@@ -99,7 +109,7 @@ def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     except Exception:  # Spark Connect session: classify by error instead
         try:
-            df = spark.read.parquet(path)
+            df = _do_read()
             df.schema  # force analysis so missing paths surface HERE
             return df
         except AnalysisException as exc:
@@ -110,7 +120,7 @@ def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
         return None
     if fs.getFileStatus(hpath).isDirectory() and len(fs.listStatus(hpath)) == 0:
         return None
-    return spark.read.parquet(path)
+    return _do_read()
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
@@ -177,6 +187,7 @@ def compact_parquet(
     target_file_mb: int = 128,
     cluster_cols: list[str] | None = None,
     dedupe_rows: bool = False,
+    merge_schema: bool = False,
 ) -> int:
     """Rewrite a parquet directory into ~``target_file_mb`` files — the
     standard maintenance pass after streaming/incremental ingest leaves
@@ -217,7 +228,7 @@ def compact_parquet(
     total_bytes = fs.getContentSummary(hpath).getLength()
     n_files = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
 
-    df = spark.read.parquet(path)
+    df = spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
     if dedupe_rows:
         # append-only state dirs (incremental dedup fingerprints) can
         # carry exact-duplicate rows from crash-replayed appends — they

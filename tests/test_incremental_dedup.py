@@ -117,3 +117,38 @@ def test_compact_state_preserves_verdicts(spark, tmp_path):
     assert d.process_batch(
         _docs(spark, [(999, "doc 0 0 body"), (1000, "genuinely new body")])
     ).collect()[0].doc_id == 1000
+
+
+def test_batch_id_drops_recrawled_doc(spark, tmp_path):
+    """With batch ids, an unchanged doc re-sent in a LATER batch (the
+    daily-recrawl case) is dropped — only a crash-replay of the SAME
+    batch re-emits (r6 review)."""
+    d = IncrementalDeduper(spark, str(tmp_path / "state"))
+    first = {
+        r.doc_id for r in d.process_batch(_docs(spark, B1), batch_id=0).collect()
+    }
+    assert first == {1, 2}
+    # crash-replay of batch 0 reproduces its output
+    again = {
+        r.doc_id for r in d.process_batch(_docs(spark, B1), batch_id=0).collect()
+    }
+    assert again == first
+    # batch 5 re-crawls doc 1 unchanged alongside novel content
+    out = {
+        r.doc_id
+        for r in d.process_batch(
+            _docs(spark, [(1, "alpha beta gamma"), (50, "novel words here")]),
+            batch_id=5,
+        ).collect()
+    }
+    assert out == {50}
+
+
+def test_output_survives_state_compaction(spark, tmp_path):
+    """The returned DataFrame must not lazily re-read the state files —
+    compact_state renames them away (r6 review)."""
+    d = IncrementalDeduper(spark, str(tmp_path / "state"))
+    d.process_batch(_docs(spark, B1))
+    out = d.process_batch(_docs(spark, B1))  # replay: depends on state read
+    d.compact_state()
+    assert {r.doc_id for r in out.collect()} == {1, 2}

@@ -107,7 +107,9 @@ def test_incremental_near_equals_serial_greedy(spark, tmp_path):
     assert got[0] == {1, 2, 4}
     assert got[1] == {11}
     assert got[2] == {21}
-    assert d.seen_count() == 4  # 1, 2, 11, 21 (trivial 4 not persisted)
+    # 1, 2, 11, 21 + trivial 4 (persisted with NULL sig so later
+    # re-sends of short docs drop too)
+    assert d.seen_count() == 5
 
 
 def test_bridge_free_matches_one_shot_groups(spark, tmp_path):
@@ -208,3 +210,28 @@ def test_batch_id_distinguishes_replay_from_resend(spark, tmp_path):
     }
     assert 1 not in out
     assert out == {11}
+
+
+def test_short_doc_resend_dropped_with_batch_ids(spark, tmp_path):
+    """Trivial (no-shingle) docs are persisted too: a later-batch
+    re-send of a short doc is dropped, not duplicated (r6 review)."""
+    d = IncrementalNearDeduper(spark, str(tmp_path / "state"))
+    first = {
+        r.doc_id for r in d.process_batch(_docs(spark, B1), batch_id=0).collect()
+    }
+    assert 4 in first  # the short doc admitted once
+    out = {
+        r.doc_id
+        for r in d.process_batch(
+            _docs(spark, [(4, "too short"), (30, THIRD)]), batch_id=3
+        ).collect()
+    }
+    assert out == {30}
+
+
+def test_near_output_survives_state_compaction(spark, tmp_path):
+    d = IncrementalNearDeduper(spark, str(tmp_path / "state"))
+    d.process_batch(_docs(spark, B1), batch_id=0)
+    out = d.process_batch(_docs(spark, B1), batch_id=0)  # replay path
+    d.compact_state()
+    assert {r.doc_id for r in out.collect()} == {1, 2, 4}
