@@ -275,12 +275,21 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q_dedup_events: exact dedup on (user, type, hour-window) ----------------
 def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    return dedup_events_hourly(events)
+
+
+def dedup_events_hourly(events: DataFrame) -> DataFrame:
+    """Exact dedup on (user, type, hour window). Hour bucketing uses
+    integer div, not float: ns longs exceed double's 2^53 exactness, so
+    a float-div bucket double-rounds UP for timestamps within ~256 ns
+    below an hour boundary — one bucket off vs the oracle's integer
+    floor-div (r6 verdict; same discipline as q_sessionize above).
+    Boundary behavior is pinned by
+    tests/test_oracle_queries.py::test_dedup_events_hour_boundary."""
     return events.select(
         "user_id",
         "event_type",
-        ((F.col("ts_ns") / HOUR_NS).cast("long") * HOUR_MS).alias(
-            "window_start_ms"
-        ),
+        (F.expr(f"ts_ns div {HOUR_NS}") * HOUR_MS).alias("window_start_ms"),
     ).dropDuplicates()
 
 

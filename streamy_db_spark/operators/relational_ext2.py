@@ -272,11 +272,14 @@ QUERIES = {
     "q_array_funcs": q_array_funcs,
     "q_json_funcs": q_json_funcs,
     "q_scalar_subquery": q_scalar_subquery,
-    # rows-only (error-bound-tested, no exact oracle) — registered last so
-    # the driver's bounded correctness window is spent on hash-checkable
-    # queries first (see __spark_entry__.queries()).
-    "q_sketch_aggs": q_sketch_aggs,
 }
+
+# q_sketch_aggs rotated to the test registry in r7 (r6 verdict item 1):
+# approximate by design, so its driver slot carried rows-only evidence
+# while hash-exact queries sat in the test registry. Its HLL++/quantile
+# error bounds stay guarded by test_sketch_aggs_accuracy.
+TEST_QUERIES = {"q_sketch_aggs": q_sketch_aggs}
+TEST_ORACLE: dict = {}
 
 ORACLE = {
     "q_outer_join": """

@@ -297,7 +297,16 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_train_test_split promoted to a DRIVER slot in r6 (r5 verdict item
 # 5): split assignment is the membership contract every downstream
 # training job depends on, so it belongs under the driver's hash gate.
-QUERIES: dict = {"q_train_test_split": q_train_test_split}
+# q_mixture_sample + q_shuffle_corpus promoted in r7 (r6 verdict item
+# 1): both are hash-exact, and they replace the two approximate-by-
+# design rows-only slots (q_sketch_aggs, q_ann_ivf — rotated to their
+# modules' test registries with their error/recall guards intact), so
+# the driver gate records 50/50 rows+schema+hash.
+QUERIES: dict = {
+    "q_train_test_split": q_train_test_split,
+    "q_mixture_sample": q_mixture_sample,
+    "q_shuffle_corpus": q_shuffle_corpus,
+}
 
 _SQL_BUCKET = (
     "(('0x' || substring(md5(doc_id::VARCHAR || '|split-v1'), 1, 8))::BIGINT"
@@ -311,8 +320,6 @@ _SQL_TOPK_BUCKET = (
 
 TEST_QUERIES = {
     "q_sample_per_lang": q_sample_per_lang,
-    "q_mixture_sample": q_mixture_sample,
-    "q_shuffle_corpus": q_shuffle_corpus,
 }
 
 _SQL_SHUFFLE_U32 = (
@@ -344,9 +351,6 @@ ORACLE: dict = {
         FROM b
         GROUP BY 1, 2
     """,
-}
-
-TEST_ORACLE = {
     "q_shuffle_corpus": f"""
         WITH h AS (
             SELECT doc_id, {_SQL_SHUFFLE_U32} AS hb FROM documents
@@ -381,6 +385,9 @@ TEST_ORACLE = {
                   * {_MIX_TOTAL}::HUGEINT
                   * w.wgt::HUGEINT
     """,
+}
+
+TEST_ORACLE = {
     "q_sample_per_lang": f"""
         WITH ranked AS (
             SELECT doc_id, lang,

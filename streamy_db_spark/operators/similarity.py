@@ -365,16 +365,17 @@ def q_ann_ivf(spark, sf_dir: str) -> DataFrame:
     )
 
 
-# q_ann_lsh rotated to the test registry in r6: approximate (rows-only
-# in the driver, so its slot carried no hash evidence), and the ANN
-# scale path stays represented by q_ann_ivf (persisted-probe tested).
-# Its recall ≥0.5 guard still runs in tests/test_oracle_queries.py.
+# q_ann_lsh rotated to the test registry in r6, q_ann_ivf in r7 (same
+# reasoning both times): approximate ops are rows-only in the driver, so
+# their slots carried no hash evidence while hash-exact queries sat in
+# the test registry. Both recall guards and the persisted-probe test
+# still run in tests/test_oracle_queries.py; the exact k-NN baseline
+# q_knn_batch keeps its hash-verified driver slot.
 QUERIES = {
     "q_knn_batch": q_knn_batch,
-    "q_ann_ivf": q_ann_ivf,
 }
 
-TEST_QUERIES = {"q_ann_lsh": q_ann_lsh}
+TEST_QUERIES = {"q_ann_lsh": q_ann_lsh, "q_ann_ivf": q_ann_ivf}
 
 _COS_SQL = (
     "list_dot_product(q.e, c.e) / "
