@@ -120,7 +120,19 @@ def read_parquet_if_exists(
         return None
     if fs.getFileStatus(hpath).isDirectory() and len(fs.listStatus(hpath)) == 0:
         return None
-    return _do_read()
+    # Classify the read the same way the Connect branch does: a directory
+    # that exists but holds no readable data files (e.g. only a _SUCCESS
+    # marker from an empty append) raises UNABLE_TO_INFER_SCHEMA — that is
+    # still "nothing has ever been written here", and first-batch-vs-error
+    # semantics must not differ by deployment type (r6 advice).
+    try:
+        df = _do_read()
+        df.schema  # force analysis so missing/empty paths surface HERE
+        return df
+    except AnalysisException as exc:
+        if is_missing_path_error(exc):
+            return None
+        raise
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:

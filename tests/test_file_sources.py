@@ -223,3 +223,29 @@ def test_compact_parquet_recovers_crashed_swap(spark, orders, tmp_path_factory):
     assert n >= 1
     assert _fingerprint(spark.read.parquet(path)) == want
     assert not P(path + ".__old__").exists()
+
+
+def test_read_parquet_if_exists_marker_only_dir(spark, tmp_path_factory):
+    # a directory holding only non-data files (e.g. a _SUCCESS marker
+    # from an empty append) is "nothing has ever been written here":
+    # must return None on the JVM session, matching the Spark Connect
+    # fallback's classification (r6 advice — the JVM branch used to
+    # leak UNABLE_TO_INFER_SCHEMA here)
+    d = tmp_path_factory.mktemp("markeronly") / "state"
+    d.mkdir()
+    (d / "_SUCCESS").touch()
+    assert files.read_parquet_if_exists(spark, str(d)) is None
+
+
+def test_read_parquet_if_exists_corrupt_still_raises(spark, tmp_path_factory):
+    # the None classification must not swallow genuinely broken data:
+    # a directory with an unreadable .parquet file still propagates
+    import pytest as _pytest
+
+    d = tmp_path_factory.mktemp("corrupt") / "state"
+    d.mkdir()
+    (d / "part-00000.parquet").write_bytes(b"not a parquet footer")
+    with _pytest.raises(Exception):
+        df = files.read_parquet_if_exists(spark, str(d))
+        assert df is not None
+        df.collect()
