@@ -26,10 +26,84 @@ the training-data dedup family (operators/dedup.py).
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamy_db_spark.operators.dedup import dedupe_exact, fingerprint_documents
+
+#: Name of the stream-ownership heartbeat file inside a state directory.
+#: The leading underscore makes Spark's parquet reader skip it (like
+#: _SUCCESS), so it can live at the state root without poisoning reads.
+STREAM_HEARTBEAT = "_stream_heartbeat"
+
+
+def _state_fs(spark: SparkSession, path: str):
+    """(fs, Path-factory) for ``path`` via the Hadoop FileSystem API, or
+    (None, None) under Spark Connect (no JVM handle). Heartbeat guards
+    and legacy migration are classic-session features — the same gate
+    compact_parquet already has."""
+    try:
+        jvm = spark._jvm
+        mk = jvm.org.apache.hadoop.fs.Path
+        fs = mk(path).getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs, mk
+    except Exception:
+        return None, None
+
+
+def touch_stream_heartbeat(spark: SparkSession, state_path: str) -> None:
+    """Record 'a live stream owns this state dir right now'. Called by
+    streaming/sinks.near_dedup_sink on EVERY micro-batch; compact_state
+    refuses to run while the heartbeat is fresh (see
+    ``_guard_compact_vs_stream``), closing the r6 race where a compact's
+    write-then-swap could rename state files out from under an in-flight
+    ``process_batch``. The file's mtime IS the signal; the epoch-seconds
+    content is for humans debugging a refused compaction. No-op under
+    Spark Connect, where compact_state cannot run anyway."""
+    fs, mk = _state_fs(spark, state_path)
+    if fs is None:
+        return
+    p = mk(state_path.rstrip("/") + "/" + STREAM_HEARTBEAT)
+    out = fs.create(p, True)
+    out.write(bytearray(str(int(time.time())), "ascii"))
+    out.close()
+
+
+def stream_heartbeat_age_s(spark: SparkSession, state_path: str) -> float | None:
+    """Seconds since the last stream heartbeat on ``state_path``, or None
+    when no heartbeat exists (never streamed, or Spark Connect)."""
+    fs, mk = _state_fs(spark, state_path)
+    if fs is None:
+        return None
+    p = mk(state_path.rstrip("/") + "/" + STREAM_HEARTBEAT)
+    if not fs.exists(p):
+        return None
+    mtime_ms = fs.getFileStatus(p).getModificationTime()
+    return max(0.0, time.time() - mtime_ms / 1000.0)
+
+
+def _guard_compact_vs_stream(
+    spark: SparkSession, state_path: str, force: bool, max_age_s: float
+) -> None:
+    """Refuse to compact state a live stream appears to own. 'Live' =
+    heartbeat younger than ``max_age_s`` (default 600 s — micro-batches
+    heartbeat every trigger, so a 10-minute-stale heartbeat means the
+    stream is stopped or wedged). ``force=True`` overrides for operators
+    who KNOW the stream is down (e.g. after a kill whose heartbeat is
+    still warm)."""
+    if force:
+        return
+    age = stream_heartbeat_age_s(spark, state_path)
+    if age is not None and age < max_age_s:
+        raise RuntimeError(
+            f"compact_state refused: a stream heartbeat on {state_path} is "
+            f"{age:.0f}s old (< {max_age_s:.0f}s). Compacting under a live "
+            "near_dedup_sink stream races the write-then-swap against "
+            "in-flight process_batch reads. Stop the stream first, or pass "
+            "force=True if you know it is down."
+        )
 
 
 def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
@@ -141,7 +215,12 @@ class IncrementalDeduper:
         seen = self._seen()
         return 0 if seen is None else seen.select("fingerprint").distinct().count()
 
-    def compact_state(self, target_file_mb: int = 128) -> int:
+    def compact_state(
+        self,
+        target_file_mb: int = 128,
+        force: bool = False,
+        stream_heartbeat_max_age_s: float = 600.0,
+    ) -> int:
         """Rewrite the append-only state into ~``target_file_mb`` files.
         Every process_batch appends its own parquet directory commit, so
         a long-running ingest accumulates one small file (or more) per
@@ -152,10 +231,15 @@ class IncrementalDeduper:
         verdicts are unaffected (membership is an EXISTS over a set).
         mergeSchema on: the state schema evolved across versions and a
         single-footer read could silently strip the newer
-        replay-metadata columns (r6 review). Returns the output file
-        count."""
+        replay-metadata columns (r6 review). Refuses to run while a
+        stream heartbeat on this state dir is fresh (see
+        ``_guard_compact_vs_stream``) unless ``force``. Returns the
+        output file count."""
         from streamy_db_spark.sources.files import compact_parquet
 
+        _guard_compact_vs_stream(
+            self.spark, self.state_path, force, stream_heartbeat_max_age_s
+        )
         return compact_parquet(
             self.spark,
             self.state_path,
@@ -174,8 +258,8 @@ class IncrementalNearDeduper:
     accepted?" without re-reading accepted text.
 
     State per accepted doc: the 16-element MinHash signature (16 × 8 B)
-    plus its 4 LSH band hashes (position = band index) — parquet,
-    appended once per batch, never rewritten. Admission for a new batch:
+    plus its 4 LSH band keys — parquet, appended once per batch,
+    rewritten only by ``compact_state``. Admission for a new batch:
 
     1. rows whose doc_id is already in state were accepted before; with
        a ``batch_id`` (state column ``batch_seq``) a crash-replay of
@@ -201,14 +285,29 @@ class IncrementalNearDeduper:
        one-shot dedup); a clean component keeps its min-doc_id member;
        edge-free docs are accepted.
 
-    Scale shape: state moves only signatures and band hashes (~200 B per
-    accepted doc); the probe is a shuffle join keyed by (band,
-    band_hash) — uniform md5 keys, no skew (hot boilerplate buckets in
-    the STATE are bounded by admission itself: the first accepted copy
-    blocks the rest, so a bucket holds at most a handful of accepted
-    near-dups). Within-batch edges use the same banded join, never
-    all-pairs. Components run on the batch's edge set only (batch-sized,
-    not corpus-sized).
+    State layout (v2, this round — closing the r6/r7 verdict's one
+    standing 100×-scale killer):
+
+    - ``<state>/ids``    — (doc_id, batch_seq): membership + replay.
+    - ``<state>/bands``  — (bkey, doc_id, sig): the probe side, stored
+      PRE-EXPLODED (bkey = "<band>:<band_hash>", one row per band per
+      accepted doc) so no per-batch posexplode of the corpus state ever
+      runs again. ``compact_state`` re-clusters it on bkey.
+
+    Scale shape of the probe: the batch side (micro-batch-sized by
+    construction) is BROADCAST into a hash join whose streamed side is
+    the state scan — the accepted-corpus state is read map-side and
+    never shuffled, so probe traffic is O(batch), not O(state), per
+    micro-batch (v1 posexploded and shuffle-joined the ENTIRE state
+    every batch — a full-state exchange per micro-batch at 1B docs).
+    Batches too large to broadcast (``broadcast_batch_max_docs``, a
+    backfill shape — use the one-shot minhash path for those instead)
+    fall back to the shuffle join. Hot boilerplate buckets in the STATE
+    are bounded by admission itself: the first accepted copy blocks the
+    rest, so a bucket holds at most a handful of accepted near-dups.
+    Within-batch edges use a batch×batch banded join, never all-pairs.
+    Components run on the batch's edge set only (batch-sized, not
+    corpus-sized).
 
     Semantics note (documented, tested): admission is ingestion-order
     greedy. One-shot dedup over the concatenated corpus can link two
@@ -227,11 +326,77 @@ class IncrementalNearDeduper:
         state_path: str,
         id_col: str = "doc_id",
         sig_threshold: float = 0.5,
+        broadcast_batch_max_docs: int = 200_000,
     ):
         self.spark = spark
         self.state_path = state_path
         self.id_col = id_col
         self.sig_threshold = sig_threshold
+        # ~700 B of broadcast payload per shingled doc (4 × (bkey 35 B +
+        # sig 128 B + id 8 B)); the default caps the broadcast at
+        # ~140 MB — micro-batches are far below it, giant backfill
+        # batches fall back to the shuffle join.
+        self.broadcast_batch_max_docs = broadcast_batch_max_docs
+        self._ids_path = state_path.rstrip("/") + "/ids"
+        self._bands_path = state_path.rstrip("/") + "/bands"
+
+    def _ids(self) -> DataFrame | None:
+        self._migrate_legacy_state()
+        return _read_state(self.spark, self._ids_path)
+
+    def _state_bands(self) -> DataFrame | None:
+        self._migrate_legacy_state()
+        return _read_state(self.spark, self._bands_path)
+
+    def _migrate_legacy_state(self) -> None:
+        """One-time v1→v2 state rewrite. v1 (≤ r7) stored one flat
+        parquet dir of (doc_id, sig, bands[, batch_seq]) rows at the
+        state root; v2 splits it into ids/ + pre-exploded bands/ (class
+        docstring). Crash-safe: the subdir writes are OVERWRITE and a
+        ``_migrated`` marker lands before any legacy file is deleted, so
+        a crash mid-write re-runs the full rewrite from the intact
+        legacy files, and a crash mid-delete skips the rewrite (marker
+        present) and only finishes the deletes — no partial-legacy
+        re-migration can ever drop rows. Classic sessions only (Hadoop
+        FS listing); Spark Connect sessions predate no v1 state."""
+        fs, mk = _state_fs(self.spark, self.state_path)
+        if fs is None:
+            return
+        root = mk(self.state_path)
+        if not fs.exists(root):
+            return
+        legacy = [
+            st.getPath()
+            for st in fs.listStatus(root)
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        ]
+        if not legacy:
+            return
+        marker = mk(self.state_path.rstrip("/") + "/_migrated")
+        if not fs.exists(marker):
+            old = self.spark.read.option("mergeSchema", "true").parquet(
+                *[p.toString() for p in legacy]
+            )
+            if "batch_seq" not in old.columns:
+                old = old.withColumn("batch_seq", F.lit(-1).cast("long"))
+            old.select("doc_id", "batch_seq").write.mode("overwrite").parquet(
+                self._ids_path
+            )
+            old.select(
+                "doc_id", "sig", F.posexplode("bands").alias("band", "bh")
+            ).select(
+                F.concat_ws(
+                    ":", F.col("band").cast("string"), F.col("bh")
+                ).alias("bkey"),
+                "doc_id",
+                "sig",
+            ).write.mode("overwrite").parquet(self._bands_path)
+            fs.create(marker, True).close()
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isFile() and (name.endswith(".parquet") or name == "_SUCCESS"):
+                fs.delete(st.getPath(), False)
+        fs.delete(marker, False)
 
     def _sig_table(self, docs: DataFrame) -> DataFrame:
         from streamy_db_spark.operators.minhash import (
@@ -255,29 +420,71 @@ class IncrementalNearDeduper:
         )
         return matches.cast("double") / F.lit(float(MINHASH_K))
 
-    def _banded_edges(self, left: DataFrame, right: DataFrame) -> DataFrame:
-        """(id_a, id_b) pairs sharing ≥1 band bucket with signature
-        agreement ≥ threshold. left/right: (doc_id, sig, bands)."""
-        la = left.select(
-            F.col("doc_id").alias("id_a"),
-            F.col("sig").alias("sig_a"),
+    @staticmethod
+    def _explode_bands(sigs: DataFrame, id_alias: str, sig_alias: str) -> DataFrame:
+        """(bkey, <id_alias>, <sig_alias>) — one row per band per doc,
+        bkey = '<band>:<band_hash>' (the single join key the v2 bands/
+        state persists). sigs: (doc_id, sig, bands)."""
+        return sigs.select(
+            F.col("doc_id").alias(id_alias),
+            F.col("sig").alias(sig_alias),
             F.posexplode("bands").alias("band", "bh"),
+        ).select(
+            F.concat_ws(":", F.col("band").cast("string"), F.col("bh")).alias(
+                "bkey"
+            ),
+            id_alias,
+            sig_alias,
         )
-        rb = right.select(
-            F.col("doc_id").alias("id_b"),
-            F.col("sig").alias("sig_b"),
-            F.posexplode("bands").alias("band", "bh"),
-        )
+
+    def _verify_candidates(self, cand: DataFrame) -> DataFrame:
+        """Candidate (id_a, id_b, sig_a, sig_b) rows → verified (id_a,
+        id_b) edges: dedup multi-band collisions (candidate-pair-sized,
+        never state-sized), then signature-agreement ≥ threshold."""
         return (
-            la.join(rb, ["band", "bh"])
-            .filter(F.col("id_a") != F.col("id_b"))
-            .select("id_a", "id_b", "sig_a", "sig_b")
+            cand.select("id_a", "id_b", "sig_a", "sig_b")
             .distinct()
             .filter(
                 self._agreement(F.col("sig_a"), F.col("sig_b"))
                 >= self.sig_threshold
             )
             .select("id_a", "id_b")
+        )
+
+    def _banded_edges(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        """(id_a, id_b) pairs sharing ≥1 band bucket with signature
+        agreement ≥ threshold. left/right: (doc_id, sig, bands). The
+        batch×batch (in-batch) edge join — both sides batch-sized."""
+        la = self._explode_bands(left, "id_a", "sig_a")
+        rb = self._explode_bands(right, "id_b", "sig_b")
+        return self._verify_candidates(
+            la.join(rb, "bkey").filter(F.col("id_a") != F.col("id_b"))
+        )
+
+    def _probe_join(self, sigs: DataFrame, n_batch_docs: int) -> DataFrame | None:
+        """The batch↔accepted-state candidate join — THE operation whose
+        v1 shape was the 100×-scale killer (r6/r7 verdict: posexplode +
+        full-state shuffle per micro-batch). v2: the state side arrives
+        pre-exploded from bands/ and is the STREAMED side of a broadcast
+        hash join on bkey — scanned once, hash-probed map-side, never
+        shuffled or sorted (plan-gated in
+        tests/test_incremental_near_dedup.py). Batches above
+        ``broadcast_batch_max_docs`` fall back to a shuffle join. None
+        when no banded state exists yet."""
+        state = self._state_bands()
+        if state is None:
+            return None
+        bb = self._explode_bands(sigs, "id_a", "sig_a")
+        if n_batch_docs <= self.broadcast_batch_max_docs:
+            bb = F.broadcast(bb)
+        return (
+            state.select(
+                "bkey",
+                F.col("doc_id").alias("id_b"),
+                F.col("sig").alias("sig_b"),
+            )
+            .join(bb, "bkey")
+            .filter(F.col("id_a") != F.col("id_b"))
         )
 
     def process_batch(
@@ -294,8 +501,13 @@ class IncrementalNearDeduper:
         review). Without ``batch_id`` (or over pre-batch_seq state) any
         state id re-emits — only safe when the upstream never re-sends
         an id in a later batch. Previously-REJECTED rows are not in
-        state; re-evaluating them re-rejects them, because the doc (or
-        keeper) that blocked them is still in state.
+        state; a re-send of a doc that was DIRECTLY edge-connected to an
+        accepted doc re-rejects (its blocker is still in state), but
+        rejection is NOT stable transitively: in a chain A–B–C (batch 1
+        accepts A; batch 2 rejects B via A and C via B), a later re-send
+        of C ALONE is ADMITTED — C's only edge was to B, and B never
+        entered state (r7 review; pinned by
+        test_transitively_blocked_doc_admitted_on_resend).
 
         The dedup state and the stream's checkpoint must live and die
         TOGETHER: restarting a stream with a fresh checkpoint resets
@@ -306,15 +518,15 @@ class IncrementalNearDeduper:
             raise ValueError(f"batch_id must be >= 0, got {batch_id}")
         from streamy_db_spark.operators.dedup import connected_components
 
-        seen = _read_state(self.spark, self.state_path)
+        ids = self._ids()
         replayed = None
-        if seen is not None:
-            seen_ids = seen.select(
+        if ids is not None:
+            seen_ids = ids.select(
                 F.col("doc_id").alias(self.id_col)
             ).distinct()
-            if batch_id is not None and "batch_seq" in seen.columns:
+            if batch_id is not None and "batch_seq" in ids.columns:
                 rep_ids = (
-                    seen.filter(F.col("batch_seq") == int(batch_id))
+                    ids.filter(F.col("batch_seq") == int(batch_id))
                     .select(F.col("doc_id").alias(self.id_col))
                     .distinct()
                 )
@@ -323,12 +535,14 @@ class IncrementalNearDeduper:
             replayed = docs.join(rep_ids, self.id_col)
             docs = docs.join(seen_ids, self.id_col, "left_anti")
         sigs = self._sig_table(docs).localCheckpoint(eager=True)
+        n_batch = sigs.count()  # checkpointed: the count is a cheap scan
 
         edges = self._banded_edges(sigs, sigs).filter(
             F.col("id_a") < F.col("id_b")
         )
-        if seen is not None:
-            edges = edges.unionByName(self._banded_edges(sigs, seen))
+        probe = self._probe_join(sigs, n_batch)
+        if probe is not None:
+            edges = edges.unionByName(self._verify_candidates(probe))
         comp = connected_components(edges)
 
         # contaminated component = one containing any accepted (state)
@@ -364,10 +578,21 @@ class IncrementalNearDeduper:
                 F.array().cast("array<string>").alias("bands"),
             )
         ).localCheckpoint(eager=True)
-        new_state.withColumn(
-            "batch_seq",
-            F.lit(-1 if batch_id is None else int(batch_id)).cast("long"),
-        ).write.mode("append").parquet(self.state_path)
+        # Two appends from the ONE checkpointed frame (so neither write
+        # lazily re-reads the state files it is appending to): ids/ gets
+        # every acceptance (trivial docs included — their later re-sends
+        # must drop); bands/ gets the pre-exploded probe rows (posexplode
+        # of an empty band array yields nothing, so trivial docs never
+        # enter the probe side).
+        new_state.select(
+            "doc_id",
+            F.lit(-1 if batch_id is None else int(batch_id))
+            .cast("long")
+            .alias("batch_seq"),
+        ).write.mode("append").parquet(self._ids_path)
+        self._explode_bands(new_state, "doc_id", "sig").write.mode(
+            "append"
+        ).parquet(self._bands_path)
 
         # Materialize the output so it neither lazily re-reads the state
         # files (a later compact_state renames them away) nor recomputes
@@ -380,23 +605,48 @@ class IncrementalNearDeduper:
         return out.localCheckpoint(eager=True)
 
     def seen_count(self) -> int:
-        seen = _read_state(self.spark, self.state_path)
-        return 0 if seen is None else seen.select("doc_id").distinct().count()
+        ids = self._ids()
+        return 0 if ids is None else ids.select("doc_id").distinct().count()
 
-    def compact_state(self, target_file_mb: int = 128) -> int:
+    def compact_state(
+        self,
+        target_file_mb: int = 128,
+        force: bool = False,
+        stream_heartbeat_max_age_s: float = 600.0,
+    ) -> int:
         """Same maintenance pass as IncrementalDeduper.compact_state —
         one parquet directory per processed batch otherwise accumulates
-        forever. Signature rows are deduplicated by full row (a doc_id
-        appears at most once per append, and replays append nothing, so
-        distinct only drops crash artifacts). mergeSchema on: the state
-        schema evolved across versions and a single-footer read could
-        silently strip the newer replay-metadata columns (r6 review)."""
+        forever, per state component (ids/ and bands/). Rows are
+        deduplicated by full row (a doc_id appears at most once per
+        append, and replays append nothing, so distinct only drops crash
+        artifacts). bands/ is re-CLUSTERED on bkey while rewriting
+        (range-partition + sort, sources/files.compact_parquet
+        cluster_cols): each rewritten file then covers a disjoint bkey
+        range, restoring zone-map locality for the probe scan. Refuses
+        to run while a stream heartbeat on this state dir is fresh
+        (near_dedup_sink heartbeats every micro-batch) unless ``force``
+        — the write-then-swap would otherwise race in-flight
+        process_batch reads (r6 review). Returns the total output file
+        count across both components."""
         from streamy_db_spark.sources.files import compact_parquet
 
-        return compact_parquet(
-            self.spark,
-            self.state_path,
-            target_file_mb,
-            dedupe_rows=True,
-            merge_schema=True,
+        _guard_compact_vs_stream(
+            self.spark, self.state_path, force, stream_heartbeat_max_age_s
         )
+        self._migrate_legacy_state()
+        total = 0
+        for path, cluster in (
+            (self._ids_path, None),
+            (self._bands_path, ["bkey"]),
+        ):
+            if _read_state(self.spark, path) is None:
+                continue
+            total += compact_parquet(
+                self.spark,
+                path,
+                target_file_mb,
+                cluster_cols=cluster,
+                dedupe_rows=True,
+                merge_schema=True,
+            )
+        return total

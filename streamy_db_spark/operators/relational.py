@@ -282,8 +282,11 @@ def dedup_events_hourly(events: DataFrame) -> DataFrame:
     """Exact dedup on (user, type, hour window). Hour bucketing uses
     integer div, not float: ns longs exceed double's 2^53 exactness, so
     a float-div bucket double-rounds UP for timestamps within ~256 ns
-    below an hour boundary — one bucket off vs the oracle's integer
-    floor-div (r6 verdict; same discipline as q_sessionize above).
+    below an hour boundary — one bucket off vs the oracle's truncating
+    integer division (r6 verdict; same discipline as q_sessionize
+    above). Spark ``div`` and DuckDB ``//`` both truncate toward zero —
+    identical on these non-negative ts_ns, and NOT a floor for negative
+    inputs (r7 advice).
     Boundary behavior is pinned by
     tests/test_oracle_queries.py::test_dedup_events_hour_boundary."""
     return events.select(

@@ -108,7 +108,10 @@ def near_dedup_sink(
     Spark state store on purpose: the same parquet signatures serve
     batch backfill (IncrementalNearDeduper directly) and the live
     stream, so both admit identical sets."""
-    from streamy_db_spark.operators.incremental import IncrementalNearDeduper
+    from streamy_db_spark.operators.incremental import (
+        IncrementalNearDeduper,
+        touch_stream_heartbeat,
+    )
 
     deduper = IncrementalNearDeduper(
         spark, state_path, id_col=id_col, sig_threshold=sig_threshold
@@ -116,6 +119,10 @@ def near_dedup_sink(
     write = idempotent_parquet_sink(out_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # Heartbeat first: marks the state dir stream-owned so a
+        # concurrent compact_state refuses to swap files out from under
+        # this batch's reads (incremental._guard_compact_vs_stream).
+        touch_stream_heartbeat(spark, state_path)
         # batch_id disambiguates crash-replay (same id ⇒ re-emit the
         # original output, sink overwrites with identical content) from
         # an upstream re-send in a LATER batch (dropped, never

@@ -238,14 +238,21 @@ def test_read_parquet_if_exists_marker_only_dir(spark, tmp_path_factory):
 
 
 def test_read_parquet_if_exists_corrupt_still_raises(spark, tmp_path_factory):
-    # the None classification must not swallow genuinely broken data:
-    # a directory with an unreadable .parquet file still propagates
+    # the None classification must not swallow genuinely broken data: a
+    # directory with an unreadable .parquet file must raise from the
+    # read call itself — NOT return None (which the caller would treat
+    # as first-run-empty, silently resetting dedup state). Only the
+    # read call sits inside pytest.raises so a wrong None can never
+    # satisfy the block via a secondary assertion error (r7 advice).
     import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
 
     d = tmp_path_factory.mktemp("corrupt") / "state"
     d.mkdir()
     (d / "part-00000.parquet").write_bytes(b"not a parquet footer")
-    with _pytest.raises(Exception):
-        df = files.read_parquet_if_exists(spark, str(d))
-        assert df is not None
-        df.collect()
+    # the corrupt footer surfaces from the schema-inference job as a
+    # Py4JJavaError (not AnalysisException — no analysis rule fires;
+    # the footer-read TASK fails), which is exactly what must NOT be
+    # classified into the None branch
+    with _pytest.raises(Py4JJavaError):
+        files.read_parquet_if_exists(spark, str(d))

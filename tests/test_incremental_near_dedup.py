@@ -163,8 +163,19 @@ def test_corrupt_state_raises(spark, tmp_path):
     p = tmp_path / "state"
     d = IncrementalNearDeduper(spark, str(p))
     d.process_batch(_docs(spark, B1))
-    for f in p.glob("*.parquet"):
-        f.write_bytes(b"garbage")
+    # corrupt BOTH v2 state components: membership (ids/) and the
+    # pre-exploded probe side (bands/). Corruption surfaces as an
+    # AnalysisException at schema time or a wrapped SparkException at
+    # footer-merge time depending on which file a task opens first; the
+    # behavior pinned is raise-vs-silently-treat-as-missing, so any
+    # exception class satisfies it (the missing-path case has its own
+    # tests in test_file_sources.py).
+    corrupted = 0
+    for sub in ("ids", "bands"):
+        for f in (p / sub).glob("*.parquet"):
+            f.write_bytes(b"garbage")
+            corrupted += 1
+    assert corrupted >= 2
     with pytest.raises(Exception):
         d.process_batch(_docs(spark, B2))
 
@@ -174,11 +185,11 @@ def test_compact_state_preserves_near_dedup_verdicts(spark, tmp_path):
     d = IncrementalNearDeduper(spark, str(p))
     d.process_batch(_docs(spark, B1))
     d.process_batch(_docs(spark, B2))
-    before_files = len(list(p.glob("*.parquet")))
+    before_files = len(list(p.rglob("*.parquet")))
     seen_before = d.seen_count()
 
     n = d.compact_state()
-    assert len(list(p.glob("*.parquet"))) == n <= before_files
+    assert len(list(p.rglob("*.parquet"))) == n <= before_files
     assert d.seen_count() == seen_before
 
     # post-compaction verdicts unchanged: near-dup of an accepted doc
@@ -235,3 +246,209 @@ def test_near_output_survives_state_compaction(spark, tmp_path):
     out = d.process_batch(_docs(spark, B1), batch_id=0)  # replay path
     d.compact_state()
     assert {r.doc_id for r in out.collect()} == {1, 2, 4}
+
+
+def test_probe_join_no_exchange_on_state_side(spark, tmp_path):
+    """THE r6/r7 scale gate: the batch↔state candidate probe must read
+    the pre-exploded bands/ state and hash-probe it against a BROADCAST
+    batch — no shuffle (Exchange hashpartitioning) anywhere in the probe
+    stage, so state traffic per micro-batch is a scan, never an
+    exchange."""
+    from streamy_db_spark.plans.inspect import executed_plan
+
+    d = IncrementalNearDeduper(spark, str(tmp_path / "state"))
+    d.process_batch(_docs(spark, B1), batch_id=0)
+    sigs = d._sig_table(_docs(spark, B2)).localCheckpoint(eager=True)
+    probe = d._probe_join(sigs, n_batch_docs=3)
+    assert probe is not None
+    plan = executed_plan(probe)
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    # and the state side arrives pre-exploded: no Generate (posexplode)
+    # may touch the bands/ scan — only the batch side explodes
+    state_scans = plan.count("Scan parquet")
+    assert state_scans >= 1
+
+
+def test_probe_falls_back_to_shuffle_join_above_broadcast_cap(spark, tmp_path):
+    """Batches above broadcast_batch_max_docs (backfill shape) take the
+    shuffle join — same verdicts, different physical plan."""
+    from streamy_db_spark.plans.inspect import executed_plan
+
+    d = IncrementalNearDeduper(
+        spark, str(tmp_path / "state"), broadcast_batch_max_docs=0
+    )
+    first = {
+        r.doc_id for r in d.process_batch(_docs(spark, B1), batch_id=0).collect()
+    }
+    assert first == {1, 2, 4}
+    sigs = d._sig_table(_docs(spark, B2)).localCheckpoint(eager=True)
+    # at test scale Spark would auto-broadcast either side; disable that
+    # so the plan shows what the fallback does at REAL backfill scale
+    # (no hint → shuffle join), while the hinted path below must
+    # broadcast regardless of the threshold
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = executed_plan(d._probe_join(sigs, n_batch_docs=3))
+        assert "Exchange hashpartitioning" in plan  # documented fallback
+        hinted = executed_plan(
+            IncrementalNearDeduper(spark, d.state_path)._probe_join(
+                sigs, n_batch_docs=3
+            )
+        )
+        assert "BroadcastHashJoin" in hinted  # hint overrides threshold
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    out = {
+        r.doc_id for r in d.process_batch(_docs(spark, B2), batch_id=1).collect()
+    }
+    assert out == {11}  # cross-batch near-dup of 1 still rejected
+
+
+def test_transitively_blocked_doc_admitted_on_resend(spark, tmp_path):
+    """Rejection is NOT transitively stable (r7 review, docstring
+    contract): chain A–B–C where B near-dups A and C near-dups B but
+    NOT A. Batch 1 accepts A; batch 2 rejects both B (edge to accepted
+    A) and C (same contaminated component via B). A later re-send of C
+    ALONE is ADMITTED — C's only blocker B never entered state."""
+    # Fixture found by exact offline search over the md5 signature math:
+    # at sig_threshold=0.9 (>= 15/16 matching slots) each single-word
+    # edit flips exactly ONE signature slot, in different slots, so
+    # A~B (15/16) and B~C (15/16) edge while A~C (14/16) does not. A
+    # looser threshold cannot exhibit the chain at all: minhash
+    # agreement is near-metric, so two half-similar hops force the A-C
+    # edge — non-transitivity lives just inside a tight threshold.
+    a_id, b_id, c_id = 1, 2, 3
+    words = [f"base{i:02d}" for i in range(30)]
+    A = " ".join(words)
+    bw = list(words)
+    bw[3] = "sub3v7"
+    B = " ".join(bw)
+    cw = list(bw)
+    cw[8] = "sub8v23"
+    C = " ".join(cw)
+    d = IncrementalNearDeduper(spark, str(tmp_path / "state"), sig_threshold=0.9)
+
+    # fixture precondition: edges A–B and B–C exist, A–C does not,
+    # under the operator's OWN predicate
+    edge_set = _edge_set(spark, [(a_id, A), (b_id, B), (c_id, C)], d)
+    assert (a_id, b_id) in edge_set, "fixture: A-B edge required"
+    assert (b_id, c_id) in edge_set, "fixture: B-C edge required"
+    assert (a_id, c_id) not in edge_set, "fixture: no A-C edge allowed"
+
+    got0 = {
+        r.doc_id
+        for r in d.process_batch(_docs(spark, [(a_id, A)]), batch_id=0).collect()
+    }
+    assert got0 == {a_id}
+    got1 = {
+        r.doc_id
+        for r in d.process_batch(
+            _docs(spark, [(b_id, B), (c_id, C)]), batch_id=1
+        ).collect()
+    }
+    assert got1 == set()  # B blocked by A; C contaminated via B
+    got2 = {
+        r.doc_id
+        for r in d.process_batch(_docs(spark, [(c_id, C)]), batch_id=2).collect()
+    }
+    assert got2 == {c_id}  # transitively-blocked doc admits on re-send
+
+
+def test_legacy_flat_state_migrates_to_v2(spark, tmp_path):
+    """A ≤r7 flat state dir (doc_id, sig, bands, batch_seq rows at the
+    root) migrates once into ids/ + pre-exploded bands/ with identical
+    verdicts, and the legacy root files are removed."""
+    from pyspark.sql import functions as F
+    from streamy_db_spark.operators.minhash import band_hashes, with_shingles
+    from streamy_db_spark.operators.minhash import minhash_signature
+
+    p = tmp_path / "state"
+    # write a v1-format state for accepted docs {1: BASE, 2: ALT} plus a
+    # trivial doc 4, exactly as r7 process_batch would have
+    docs = _docs(spark, [(1, BASE), (2, ALT)])
+    sigs = (
+        with_shingles(docs)
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", minhash_signature(F.col("shingles")).alias("sig"))
+        .withColumn("bands", band_hashes(F.col("sig")))
+    )
+    legacy = sigs.unionByName(
+        spark.createDataFrame([(4,)], "doc_id long").select(
+            "doc_id",
+            F.lit(None).cast("array<long>").alias("sig"),
+            F.array().cast("array<string>").alias("bands"),
+        )
+    ).withColumn("batch_seq", F.lit(0).cast("long"))
+    legacy.write.mode("overwrite").parquet(str(p))
+    assert list(p.glob("*.parquet"))  # flat files present pre-migration
+
+    d = IncrementalNearDeduper(spark, str(p))
+    assert d.seen_count() == 3  # triggers migration
+    assert not list(p.glob("*.parquet"))  # root files gone
+    assert (p / "ids").is_dir() and (p / "bands").is_dir()
+
+    # verdicts over migrated state: near-dup of accepted 1 rejected,
+    # re-send of trivial 4 dropped, novel content admitted
+    out = {
+        r.doc_id
+        for r in d.process_batch(
+            _docs(
+                spark,
+                [(10, BASE.replace("quick", "swift")), (4, "too short"), (11, THIRD)],
+            ),
+            batch_id=1,
+        ).collect()
+    }
+    assert out == {11}
+
+
+def test_compact_state_refuses_under_live_stream_heartbeat(spark, tmp_path):
+    """The r6 compact-vs-live-stream race is guarded: a fresh stream
+    heartbeat makes compact_state raise; force=True or a stale
+    heartbeat lets it run."""
+    import os
+    import pytest
+    from streamy_db_spark.operators.incremental import (
+        IncrementalDeduper,
+        touch_stream_heartbeat,
+    )
+
+    p = tmp_path / "state"
+    d = IncrementalNearDeduper(spark, str(p))
+    d.process_batch(_docs(spark, B1), batch_id=0)
+    touch_stream_heartbeat(spark, str(p))
+    with pytest.raises(RuntimeError, match="compact_state refused"):
+        d.compact_state()
+    assert d.compact_state(force=True) > 0  # operator override
+
+    # stale heartbeat (backdated mtime) no longer blocks
+    touch_stream_heartbeat(spark, str(p))
+    hb = p / "_stream_heartbeat"
+    old = hb.stat().st_mtime - 3600
+    os.utime(hb, (old, old))
+    assert d.compact_state() > 0
+
+    # the exact-dedup twin takes the same guard
+    pe = tmp_path / "estate"
+    de = IncrementalDeduper(spark, str(pe))
+    de.process_batch(_docs(spark, [(1, BASE)]))
+    touch_stream_heartbeat(spark, str(pe))
+    with pytest.raises(RuntimeError, match="compact_state refused"):
+        de.compact_state()
+    assert de.compact_state(force=True) > 0
+
+
+def test_near_dedup_sink_touches_heartbeat(spark, tmp_path):
+    """near_dedup_sink heartbeats the state dir on every micro-batch, so
+    a concurrent compact_state refuses while the stream is live."""
+    import pytest
+    from streamy_db_spark.streaming.sinks import near_dedup_sink
+
+    state = tmp_path / "state"
+    process = near_dedup_sink(spark, str(state), str(tmp_path / "out"))
+    process(_docs(spark, B1), 0)
+    assert (state / "_stream_heartbeat").exists()
+    with pytest.raises(RuntimeError, match="compact_state refused"):
+        IncrementalNearDeduper(spark, str(state)).compact_state()
