@@ -3,8 +3,12 @@
 
 Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, plus the batch
-transaction-protocol replay at 10k and 100k transactions (the engine's
-headline capability), and prints ONE JSON line:
+transaction-protocol replay at 10k/100k/1M transactions (the engine's
+headline capability), the STREAMING replay at 10k (file-coupled loop,
+RocksDB state store), the end-to-end corpus build
+(pipeline.build_corpus), and a per-query DuckDB timing of the same
+oracle SQL (informational side-by-side column), and prints ONE JSON
+line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
@@ -98,8 +102,17 @@ BUDGETS = {
     "q_window_events": 1.0,
     "q_window_funcs": 0.5,
     "protocol_replay_10k": 14.0,
-    "protocol_replay_100k": 60.0,
-    "protocol_replay_1m": 220.0,  # ~2x its first (r6) measurement: 106.5 s
+    # Replay budgets re-pinned r8 to ~2x the best driver-recorded clean
+    # run (r7: 23.9 s / 66.8 s) — the old 60/220 values would have
+    # passed a genuine 2.5-3x regression (r6/r7 verdict item).
+    "protocol_replay_100k": 50.0,
+    "protocol_replay_1m": 140.0,
+    # Streaming replay (file-coupled loop, RocksDB provider): first
+    # measurement r8: 166.8 s / 60 txn/s for 10k txns.
+    "protocol_stream_10k": 340.0,
+    # End-to-end corpus build at sf0.1 (pipeline.build_corpus): first
+    # warm measurement r8: 24.7 s.
+    "corpus_build": 60.0,
     "q_minhash_lsh_pairs_capped": 10.0,  # shares the q_minhash_lsh_pairs pipeline shape
     "q_pack_sequences": 2.0,
     "q_profile_orders": 3.0,  # 4 exact count_distincts => Expand x5; measured 1.5 s
@@ -113,6 +126,7 @@ def budget_breaches(
     budgets: dict[str, float],
     min_ratios: int = 8,
     max_slowdown: float = 3.0,
+    scale_floor: float = 1.0,
 ) -> tuple[float, dict[str, dict[str, float]]]:
     """(machine_slowdown, breaches) for a set of measured timings.
 
@@ -125,9 +139,12 @@ def budget_breaches(
     budget_q ~= 2 x t_q(baseline), so on a uniformly s-times-slower
     machine the median of sec/budget is s/2; scaling every budget by
     max(1, 2*median) restores the intended "2x slower than baseline,
-    machine-relative" meaning. The 1.0-floor budgets of sub-second
-    queries bias the median LOW, so the scale under-corrects —
-    conservative direction.
+    machine-relative" meaning. Queries whose budget sits AT the 1.0 s
+    floor (``scale_floor``) are excluded from the median: their budget
+    is scheduler-noise headroom, not 2x a baseline, so their ratios
+    systematically bias the estimate low and the scale under-corrects
+    under real uniform noise (r7 verdict item 2). They remain subject
+    to the breach check itself.
 
     Guard rails (r5 advice): the scale only kicks in with at least
     ``min_ratios`` checked queries — with very few, one slow query
@@ -137,7 +154,9 @@ def budget_breaches(
     unbounded machine noise. Bursty (non-uniform) noise that the median
     cannot see is handled one level up by retry_breaches()."""
     ratios = sorted(
-        sec / budgets[name] for name, sec in checked.items() if name in budgets
+        sec / budgets[name]
+        for name, sec in checked.items()
+        if name in budgets and budgets[name] > scale_floor
     )
     slowdown = 1.0
     if len(ratios) >= min_ratios:
@@ -205,6 +224,46 @@ def retry_breaches(
             timings[name] = min(timings[name], t_retry)
 
 
+def _cache_rewarms(spark, sf_dir: str) -> dict:
+    """Retry basis for cache-sharing queries (r7 verdict item 2, r6
+    advice). In the standard sorted() run order each of these is FIRST
+    timed with a DEFINED cache state: q_dedup_groups pays the
+    sketch→pairs pipeline cold (alphabetically-first consumer),
+    q_minhash_lsh_pairs reads the verified pair set warm, and
+    q_minhash_lsh_pairs_capped pays only the capped candidate pass over
+    a warm sketch. A breach retry purges the memo caches (a cache-hit
+    retry would void the gate), which silently flipped the warm-based
+    queries to COLD — a pure-noise breach then re-paid pipeline work its
+    budget never included and could sustain a false rc!=0. Fix: after
+    the purge, re-warm each query's declared basis UNTIMED (this map),
+    then time the query. q_dedup_groups is deliberately absent — its
+    basis IS cold, so purge-only is the faithful retry."""
+    from streamy_db_spark.operators import minhash
+
+    return {
+        "q_minhash_lsh_pairs": lambda: minhash.minhash_near_dup_pairs_cached(
+            spark, sf_dir
+        ),
+        "q_minhash_lsh_pairs_capped": lambda: minhash.sketch_table_cached(
+            spark, sf_dir
+        ),
+    }
+
+
+def timed_retry_with_basis(purge, rewarm, timed_run) -> float:
+    """One budget-gate retry on a reproduced cache basis: ``purge()``
+    (always — a cache-hit retry clears any breach and voids the gate),
+    then ``rewarm()`` UNTIMED when the query's first-pass basis was
+    warm, then time ``timed_run()`` alone. Factored out of rerun() so
+    tests can pin the order and the timing boundary without Spark."""
+    purge()
+    if rewarm is not None:
+        rewarm()
+    t0 = time.perf_counter()
+    timed_run()
+    return time.perf_counter() - t0
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     name = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -242,11 +301,135 @@ def bench_protocol_replay(spark, mix: str, warm: bool) -> tuple[float, float, di
     return dt, n / dt, stats
 
 
+def bench_protocol_stream(spark, mix: str) -> tuple[float, float, dict]:
+    """STREAMING engine throughput (r7 verdict item 3: the streaming
+    path had correctness tests but no recorded number). Runs the
+    file-coupled replay loop — the same harness the oracle-parity /
+    kill-restart tests drive — with availableNow rounds under the
+    RocksDB state store provider, end to end through the externalized
+    feedback loop. Timing includes the per-round query start/stop
+    overhead on purpose: that IS the cost profile of checkpointed
+    availableNow rounds (a continuously-running trigger would amortize
+    it; the loop is the replayable form). Returns (seconds,
+    txns_per_sec, stats)."""
+    import shutil
+    import tempfile
+
+    from streamy_db_spark import fixtures
+    from streamy_db_spark.streaming.replay_loop import (
+        run_streaming_replay,
+        with_rocksdb,
+    )
+
+    txns = fixtures.generate(mix)
+    n = len({t["transaction_id"] for t in txns})
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    stats: dict = {}
+    try:
+        t0 = time.perf_counter()
+        with with_rocksdb(spark):
+            verdicts = run_streaming_replay(
+                spark, txns, tmp, watermark_delay="1 hour", stats=stats
+            )
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert len(verdicts) == n, f"stream dropped transactions: {len(verdicts)}/{n}"
+    return dt, n / dt, stats
+
+
+def bench_corpus_build(spark) -> tuple[float, dict]:
+    """End-to-end corpus build wall time at the bench SF (r7 verdict
+    item 5): profile → exact dedup → near-dup keepers → decontaminate →
+    repetition filter → mixture rebalance → split → shuffle → pack →
+    clustered write → compaction, via pipeline.build_corpus. The
+    mixture token budget is set so the rebalance actually subsamples at
+    sf0.1 (a budget above the corpus volume keeps everything and the
+    stage proves nothing). Returns (seconds, stage row counts)."""
+    import shutil
+    import tempfile
+
+    from streamy_db_spark.pipeline import build_corpus
+
+    tmp = tempfile.mkdtemp(prefix="bench_corpus_")
+    try:
+        t0 = time.perf_counter()
+        stats = build_corpus(
+            spark,
+            SF_DIR,
+            os.path.join(tmp, "corpus"),
+            mixture_total_tokens=100_000,
+        )
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dt, stats
+
+
+def duckdb_oracle_seconds(per_query_timeout_s: float = 60.0) -> dict[str, float]:
+    """Per-query DuckDB wall time for every oracle SQL on the same
+    parquet — the side-by-side single-node engine comparison BASELINE.md
+    §2 commits to (r7 verdict item 6). Informational column only: it
+    never gates (DuckDB here is a reference point, not a budget).
+    Queries past ``per_query_timeout_s`` are interrupted and recorded as
+    absent (DuckDB's recursive-CTE dedup oracle can run for minutes at
+    sf0.1 — an unbounded comparison column must not blow the bench's
+    wall-clock). Returns {} if anything prevents the sweep (the bench
+    record must not die for the comparison column)."""
+    import threading
+
+    import __spark_entry__ as entry_mod
+
+    try:
+        import duckdb
+
+        from streamy_db_spark.sources.tables import TABLE_NAMES
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+        # long queries pop a progress bar on the terminal — noise that
+        # must not interleave with the bench's one-JSON-line stdout
+        con.execute("SET enable_progress_bar=false")
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            )
+        out: dict[str, float] = {}
+        for name, sql in sorted(entry_mod.oracle_sql().items()):
+            watchdog = threading.Timer(per_query_timeout_s, con.interrupt)
+            watchdog.start()
+            try:
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                out[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                print(
+                    f"bench: duckdb {name} skipped "
+                    f"(>{per_query_timeout_s:.0f}s or error): {exc}",
+                    file=sys.stderr,
+                )
+            finally:
+                watchdog.cancel()
+        return out
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: duckdb sweep skipped: {exc}", file=sys.stderr)
+        return {}
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from streamy_db_spark.session import get_spark
 
     spark = get_spark("bench")
+    t_start = time.perf_counter()
+
+    def phase(msg: str) -> None:
+        # stderr breadcrumbs so a wedged or slow bench shows WHERE the
+        # wall-clock went (the JSON contract owns stdout)
+        print(
+            f"bench: [{time.perf_counter() - t_start:7.1f}s] {msg}",
+            file=sys.stderr,
+        )
 
     # Warm the JVM + scan paths once so per-query numbers measure the
     # queries, not first-job class-loading (~5 s on the first parquet
@@ -301,6 +484,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    phase("warmups done; starting query sweep")
 
     for name, fn in sorted(entry_mod.queries().items()):
         # Per-query fault isolation: one failing query must not kill the
@@ -321,6 +505,7 @@ def main() -> None:
     # BASELINE.md silently absorbs ~13 s of brand-new work as a
     # "regression". It is still recorded (and budget-checked) via the
     # dedicated top-level fields.
+    phase("query sweep done; starting protocol replays")
     replay_extra: dict[str, object] = {}
     txn_rate = 0.0
     for label, mix, warm, in_total in (
@@ -345,6 +530,36 @@ def main() -> None:
             errors[label] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {label} FAILED: {errors[label]}", file=sys.stderr)
 
+    # Streaming-engine throughput (r7 verdict item 3) — extra field,
+    # not part of the headline total (same basis rule as the 100k/1m
+    # replays).
+    try:
+        s_sec, s_rate, s_stats = bench_protocol_stream(spark, "scale_bench")
+        replay_extra["protocol_stream_10k_seconds"] = round(s_sec, 3)
+        replay_extra["stream_txn_per_sec"] = round(s_rate, 1)
+        replay_extra["stream_rounds"] = s_stats.get("rounds")
+    except Exception as exc:  # noqa: BLE001
+        errors["protocol_stream_10k"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(
+            f"bench: protocol_stream_10k FAILED: "
+            f"{errors['protocol_stream_10k']}",
+            file=sys.stderr,
+        )
+
+    phase("streaming done; starting corpus build")
+    # End-to-end corpus build (r7 verdict item 5) — extra field.
+    try:
+        c_sec, c_stats = bench_corpus_build(spark)
+        replay_extra["corpus_build_seconds"] = round(c_sec, 3)
+        replay_extra["corpus_build_stages"] = c_stats
+    except Exception as exc:  # noqa: BLE001
+        errors["corpus_build"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(
+            f"bench: corpus_build FAILED: {errors['corpus_build']}",
+            file=sys.stderr,
+        )
+
+    phase("corpus build done; gating budgets")
     # Budgets only bind on the standard bench configuration.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     breaches = {}
@@ -355,6 +570,12 @@ def main() -> None:
         for label in ("protocol_replay_100k", "protocol_replay_1m"):
             if f"{label}_seconds" in replay_extra:
                 checked[label] = replay_extra[f"{label}_seconds"]
+        if "protocol_stream_10k_seconds" in replay_extra:
+            checked["protocol_stream_10k"] = replay_extra[
+                "protocol_stream_10k_seconds"
+            ]
+        if "corpus_build_seconds" in replay_extra:
+            checked["corpus_build"] = replay_extra["corpus_build_seconds"]
 
         qfns = entry_mod.queries()
         retry_rates: dict[str, float] = {}
@@ -372,33 +593,36 @@ def main() -> None:
                     sec, rate, _ = bench_protocol_replay(spark, mix, warm=False)
                     retry_rates[name] = rate
                     return sec
+                if name == "protocol_stream_10k":
+                    sec, rate, _ = bench_protocol_stream(spark, "scale_bench")
+                    retry_rates[name] = rate
+                    return sec
+                if name == "corpus_build":
+                    sec, _ = bench_corpus_build(spark)
+                    return sec
                 if name not in qfns:
                     return None
-                # Purge per-corpus memo caches first: a retry that reads
-                # the localCheckpointed pair/sketch/centroid stages back
-                # would measure a cache hit, clearing ANY breach in the
-                # pipeline those budgets were pinned against — the gate
-                # would be structurally void for the dedup/ANN family.
-                try:
+
+                # Purge per-corpus memo caches, then reproduce the
+                # query's first-pass cache basis (see _cache_rewarms) —
+                # a cache-hit retry would clear ANY pipeline breach and
+                # void the gate; a cold retry of a warm-based query
+                # re-pays work its budget never included. If the purge
+                # or rewarm raises, the outer except declines the retry
+                # (FAIL SAFE: the first timing and its breach stand —
+                # r6 review: warn-and-measure would quietly void the
+                # gate).
+                def purge() -> None:
                     from streamy_db_spark.operators import minhash, similarity
 
                     minhash.clear_corpus_caches(spark, SF_DIR)
                     similarity._IVF_CENTROID_CACHE.clear()
-                except Exception as exc:  # noqa: BLE001
-                    # FAIL SAFE: a cache-hit retry would clear any
-                    # genuine pipeline regression, so if the purge
-                    # cannot be guaranteed, decline the retry — the
-                    # first timing (and its breach) stands (r6 review:
-                    # warn-and-measure would quietly void the gate).
-                    print(
-                        f"bench: cache purge failed, declining retry of "
-                        f"{name}: {exc}",
-                        file=sys.stderr,
-                    )
-                    return None
-                t0 = time.perf_counter()
-                qfns[name](spark, SF_DIR).count()
-                return time.perf_counter() - t0
+
+                return timed_retry_with_basis(
+                    purge,
+                    _cache_rewarms(spark, SF_DIR).get(name),
+                    lambda: qfns[name](spark, SF_DIR).count(),
+                )
             except Exception as exc:  # noqa: BLE001 - retry must not kill the record
                 print(f"bench: retry of {name} FAILED: {exc}", file=sys.stderr)
                 return None
@@ -411,12 +635,22 @@ def main() -> None:
         for name in retried:
             if name in timings:
                 timings[name] = checked[name]
-        for label in ("protocol_replay_100k", "protocol_replay_1m"):
+        for label in (
+            "protocol_replay_100k",
+            "protocol_replay_1m",
+            "protocol_stream_10k",
+        ):
             if label in retried:
                 replay_extra[f"{label}_seconds"] = checked[label]
+        if "corpus_build" in retried:
+            replay_extra["corpus_build_seconds"] = checked["corpus_build"]
         for name, rate in retry_rates.items():
             if name in retried and checked[name] == retried[name]["retry"]:
-                key = f"{name.split('_')[-1]}_txn_per_sec"
+                key = (
+                    "stream_txn_per_sec"
+                    if name == "protocol_stream_10k"
+                    else f"{name.split('_')[-1]}_txn_per_sec"
+                )
                 replay_extra[key] = round(rate, 1)
                 if name == "protocol_replay_10k":
                     txn_rate = rate
@@ -428,6 +662,13 @@ def main() -> None:
                 f"machine slowdown {slowdown}; persisted across a retry)",
                 file=sys.stderr,
             )
+
+    # Side-by-side DuckDB column (BASELINE.md §2 commitment): the same
+    # oracle SQL on the same parquet, timed per query. Informational —
+    # never gates, never enters the headline total.
+    phase("budget gate done; starting duckdb side-by-side sweep")
+    duckdb_sec = duckdb_oracle_seconds()
+    phase("duckdb sweep done")
 
     # A partial total reads as a speedup — invalidate the headline when
     # any query failed so round-over-round comparison can't use it.
@@ -442,6 +683,8 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 "protocol_txn_per_sec": round(txn_rate, 1),
                 **replay_extra,
+                "duckdb_seconds": duckdb_sec,
+                "duckdb_total_seconds": round(sum(duckdb_sec.values()), 3),
                 "machine_slowdown": slowdown,
                 "budget_breaches": breaches,
                 "retried": retried,

@@ -1,0 +1,238 @@
+"""File-coupled streaming replay loop — the tested stand-in for the
+reference's Kafka topology (SURVEY.md §3.1: no broker in this
+container, so parquet directories stand in for the four topics; the
+operator topology — key stage, txn stage, feedback derivation — is
+identical to streaming/engine_stream's Kafka wiring in
+sources/kafka.py).
+
+Lives in the library (not tests/) because it is BOTH the correctness
+harness (tests/test_engine_stream.py drives oracle-parity, kill-restart
+and redelivery scenarios through it) and the streaming THROUGHPUT bench
+surface (bench.py protocol_stream_10k runs it under the RocksDB state
+store provider) — the r7 verdict's "streaming engine has correctness
+tests but zero recorded throughput" gap.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from streamy_db_spark import fixtures
+from streamy_db_spark.streaming import engine_stream as es
+
+
+def write_heartbeat(spark, requests_dir: str, n: int) -> None:
+    """One KEY_MSG heartbeat row (kind 3 — ignored by the processor) with
+    a fresh event time: advances the global watermark so timers fire."""
+    now = datetime.now(timezone.utc)
+    row = [(now, int(now.timestamp() * 1000), -1, -1, 3, "__hb__", "__hb__", None, None)]
+    spark.createDataFrame(row, es.KEY_MSG).coalesce(1).write.mode("append").parquet(
+        os.path.join(requests_dir, f"hb_{n}")
+    )
+
+
+def run_streaming_replay(
+    spark,
+    txns,
+    tmp,
+    max_rounds=30,
+    duplicate_feedback=False,
+    interrupt_rounds=frozenset(),
+    return_dirs=False,
+    watermark_delay="0 seconds",
+    stats=None,
+):
+    """``interrupt_rounds``: in those loop rounds the key stage is KILLED
+    mid-run — the source is throttled to one file per micro-batch so the
+    sink has committed a partial round's output when stop() lands, and
+    the next round restarts from the same checkpoint (the crash-recovery
+    scenario; reference flink/StreamyDb.scala:180-181 checkpointing).
+
+    ``watermark_delay`` MUST cover the fixture's event-time span whenever
+    ingestion is multi-batch (interrupt rounds throttle to 1 file/batch):
+    with a 0-second delay, the first committed batch advances the
+    watermark to its own max event time and every older row in the
+    REMAINING request files is silently dropped as late (observed: batch
+    0 = one part file → watermark jumps to the fixture's :17 mark → ~85%
+    of the workload discarded; the loop then wedges with verdicts stuck
+    in ``early``). The single-batch tests get away with 0 because all
+    requests enter in one batch, before any watermark advance. This is
+    the same sizing rule production needs for out-of-order sources —
+    engine_stream._admit's docstring says exactly this."""
+    d = {n: os.path.join(tmp, n) for n in
+         ("input", "feedback", "read_results", "results", "ckpt")}
+    os.makedirs(d["feedback"], exist_ok=True)
+    os.makedirs(d["read_results"], exist_ok=True)
+    os.makedirs(d["results"], exist_ok=True)
+
+    txn_df = fixtures.to_dataframe(spark, txns)
+    txn_df.write.mode("overwrite").parquet(d["input"])
+    n_txns = txn_df.select("transaction_id").distinct().count()
+
+    # Heartbeat "partition" dir structure: requests + heartbeats co-located.
+    requests_dir = os.path.join(tmp, "requests")
+    es.derive_key_messages(spark.read.parquet(d["input"])).write.mode(
+        "overwrite"
+    ).parquet(requests_dir)
+
+    schema_results = es.TXN_RESULT_OUT
+
+    def run_once(df_stream, out_dir, ckpt_name):
+        q = (
+            df_stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(d["ckpt"], ckpt_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive, "query did not finish in time"
+        exc = q.exception()
+        assert exc is None, f"query failed: {exc}"
+
+    def run_and_kill(df_stream, out_dir, ckpt_name):
+        """Start, wait for ≥1 committed micro-batch, then stop() mid-run:
+        the checkpoint ends up between batches of one logical round —
+        committed sink output for a prefix, pending source files for the
+        rest."""
+        import time as _t
+
+        q = (
+            df_stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(d["ckpt"], ckpt_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = _t.time() + 60
+        while _t.time() < deadline and q.isActive and q.lastProgress is None:
+            _t.sleep(0.2)
+        q.stop()
+        q.awaitTermination(60)
+
+    for rnd in range(max_rounds):
+        write_heartbeat(spark, requests_dir, rnd)
+
+        # Q1 — key stage: requests+heartbeats ∪ feedback → S1+S2.
+        throttle = {"maxFilesPerTrigger": "1"} if rnd in interrupt_rounds else {}
+        reqs = spark.readStream.schema(es.KEY_MSG).option(
+            "recursiveFileLookup", "true"
+        ).options(**throttle).parquet(requests_dir)
+        fb = spark.readStream.schema(es.KEY_MSG).parquet(d["feedback"])
+        if rnd in interrupt_rounds:
+            run_and_kill(
+                es.key_stage(reqs.unionByName(fb), watermark=watermark_delay),
+                d["read_results"],
+                "key_stage",
+            )
+            # Crash landed mid-round; the NEXT round restarts the query
+            # from the same checkpoint and finishes the remaining files.
+            continue
+        run_once(
+            es.key_stage(reqs.unionByName(fb), watermark=watermark_delay),
+            d["read_results"],
+            "key_stage",
+        )
+
+        # Q2 — txn stage: bodies ∪ read-results → S3.
+        bodies = es.derive_txn_bodies(
+            spark.readStream.schema(fixtures.schemas.TRANSACTION_LOG).parquet(
+                d["input"]
+            )
+        )
+        reads = es.read_results_as_txn_msgs(
+            spark.readStream.schema(es.READ_RESULT_OUT).parquet(d["read_results"])
+        )
+        run_once(es.txn_stage(bodies.unionByName(reads)), d["results"], "txn_stage")
+
+        # Q3 — feedback derivation (stateless D5).
+        res_stream = spark.readStream.schema(schema_results).parquet(d["results"])
+        run_once(es.derive_feedback(res_stream), d["feedback"], "feedback")
+
+        try:
+            n_done = (
+                spark.read.schema(schema_results)
+                .parquet(d["results"])
+                .select("transaction_id")
+                .distinct()
+                .count()
+            )
+        except Exception:
+            n_done = 0
+        if n_done >= n_txns:
+            if stats is not None:
+                # rounds = feedback-loop iterations until every txn had a
+                # verdict (the streaming analogue of the batch replay's
+                # wavefront count) — recorded by bench.py
+                stats["rounds"] = rnd + 1
+            break
+
+    if duplicate_feedback:
+        # At-least-once delivery: redeliver EVERY commit notification,
+        # then run the two stateful stages once more. The S3 'done' gate
+        # must swallow the duplicates — no new result rows may appear
+        # (output-level exactly-once from at-least-once input, the
+        # property the reference relies on; SURVEY §2.3 exactly-once note).
+        import shutil
+
+        for f in os.listdir(d["feedback"]):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(d["feedback"], f),
+                    os.path.join(d["feedback"], f"dup_{f}"),
+                )
+        write_heartbeat(spark, requests_dir, 10_000)
+        reqs = spark.readStream.schema(es.KEY_MSG).option(
+            "recursiveFileLookup", "true"
+        ).parquet(requests_dir)
+        fb = spark.readStream.schema(es.KEY_MSG).parquet(d["feedback"])
+        run_once(es.key_stage(reqs.unionByName(fb)), d["read_results"], "key_stage")
+        bodies = es.derive_txn_bodies(
+            spark.readStream.schema(fixtures.schemas.TRANSACTION_LOG).parquet(
+                d["input"]
+            )
+        )
+        reads = es.read_results_as_txn_msgs(
+            spark.readStream.schema(es.READ_RESULT_OUT).parquet(d["read_results"])
+        )
+        run_once(es.txn_stage(bodies.unionByName(reads)), d["results"], "txn_stage")
+
+    results_df = spark.read.schema(schema_results).parquet(d["results"]).select(
+        "transaction_id", "succeeded"
+    )
+    results = results_df.collect()
+    # one verdict per transaction, ever — even under redelivery
+    assert len(results) == results_df.select("transaction_id").distinct().count()
+    verdicts = {r["transaction_id"]: r["succeeded"] for r in results}
+    if return_dirs:
+        return verdicts, d, requests_dir
+    return verdicts
+
+
+def with_rocksdb(spark):
+    """Context manager: RocksDB state store provider for queries started
+    inside (picked up per-query from the session conf at stream start)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        key = "spark.sql.streaming.stateStore.providerClass"
+        try:
+            prev = spark.conf.get(key)
+        except Exception:
+            prev = None
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        )
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return cm()

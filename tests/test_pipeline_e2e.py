@@ -156,3 +156,35 @@ def test_full_corpus_build(spark, tmp_path_factory):
         mixed.select(F.sum(F.size(tokens(F.col("text")))).alias("n")).collect()[0].n
     )
     assert packed_mix.agg(F.sum("n_toks").alias("n")).collect()[0].n == tok_mix
+
+
+def test_build_corpus_one_call(spark, tmp_path_factory):
+    """pipeline.build_corpus — the one-call form bench.py times as
+    corpus_build_seconds — must reproduce the stage row accounting of
+    the hand-composed chain above: monotone non-increasing through the
+    filters, a binding mixture budget, and a landed shard set equal to
+    the train split."""
+    from streamy_db_spark.pipeline import build_corpus
+
+    out = str(tmp_path_factory.mktemp("bc") / "corpus")
+    s = build_corpus(spark, SF, out, mixture_total_tokens=10_000)
+    assert (
+        s["rows_raw"]
+        >= s["rows_exact_dedup"]
+        >= s["rows_near_dedup"]
+        >= s["rows_decontaminated"]
+        >= s["rows_quality_kept"]
+        >= s["rows_mixture"]
+        >= s["rows_train"]
+    )
+    assert s["rows_mixture"] < s["rows_quality_kept"]  # budget binds
+    assert s["rows_shuffled"] == s["rows_train"] == s["rows_landed"]
+    assert s["rows_packed"] > 0 and s["train_tokens"] > 0
+    assert s["files_compacted"] >= 1
+
+    # the landed layout is the training read order: shard + pos present,
+    # pos dense per shard
+    landed = spark.read.parquet(out)
+    assert {"shard", "pos"} <= set(landed.columns)
+    one = landed.filter(F.col("shard") == 0).select("pos").collect()
+    assert sorted(r.pos for r in one) == list(range(len(one)))
