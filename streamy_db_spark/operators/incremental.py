@@ -339,6 +339,7 @@ class IncrementalNearDeduper:
         self.broadcast_batch_max_docs = broadcast_batch_max_docs
         self._ids_path = state_path.rstrip("/") + "/ids"
         self._bands_path = state_path.rstrip("/") + "/bands"
+        self._legacy_checked = False
 
     def _ids(self) -> DataFrame | None:
         self._migrate_legacy_state()
@@ -358,12 +359,20 @@ class IncrementalNearDeduper:
         legacy files, and a crash mid-delete skips the rewrite (marker
         present) and only finishes the deletes — no partial-legacy
         re-migration can ever drop rows. Classic sessions only (Hadoop
-        FS listing); Spark Connect sessions predate no v1 state."""
+        FS listing); Spark Connect sessions predate no v1 state. The
+        probe memoizes per instance: legacy files can only exist BEFORE
+        this instance's first state access (every writer since v2
+        writes subdirs), so one root listing per deduper suffices."""
+        if self._legacy_checked:
+            return
         fs, mk = _state_fs(self.spark, self.state_path)
         if fs is None:
             return
         root = mk(self.state_path)
         if not fs.exists(root):
+            # nothing written yet — but a LATER first write is still v2,
+            # so the memoized verdict stands
+            self._legacy_checked = True
             return
         legacy = [
             st.getPath()
@@ -371,6 +380,7 @@ class IncrementalNearDeduper:
             if st.isFile() and st.getPath().getName().endswith(".parquet")
         ]
         if not legacy:
+            self._legacy_checked = True
             return
         marker = mk(self.state_path.rstrip("/") + "/_migrated")
         if not fs.exists(marker):
@@ -397,6 +407,8 @@ class IncrementalNearDeduper:
             if st.isFile() and (name.endswith(".parquet") or name == "_SUCCESS"):
                 fs.delete(st.getPath(), False)
         fs.delete(marker, False)
+        self._legacy_checked = True  # only after a COMPLETE migration —
+        # a failure above leaves the flag unset so the next access retries
 
     def _sig_table(self, docs: DataFrame) -> DataFrame:
         from streamy_db_spark.operators.minhash import (

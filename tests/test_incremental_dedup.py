@@ -152,3 +152,27 @@ def test_output_survives_state_compaction(spark, tmp_path):
     out = d.process_batch(_docs(spark, B1))  # replay: depends on state read
     d.compact_state()
     assert {r.doc_id for r in out.collect()} == {1, 2}
+
+
+def test_empty_batch_is_noop(spark, tmp_path):
+    """Empty micro-batch: empty output, state unchanged, later batches
+    unaffected (same contract as the near-dup twin)."""
+    from streamy_db_spark.operators.incremental import IncrementalDeduper
+
+    d = IncrementalDeduper(spark, str(tmp_path / "state"))
+    docs = spark.createDataFrame(
+        [(1, "some document text here")], "doc_id long, text string"
+    )
+    assert d.process_batch(docs, batch_id=0).count() == 1
+    before = d.seen_count()
+    empty = docs.limit(0)
+    assert d.process_batch(empty, batch_id=1).count() == 0
+    assert d.seen_count() == before
+    out = d.process_batch(
+        spark.createDataFrame(
+            [(1, "some document text here"), (2, "brand new content")],
+            "doc_id long, text string",
+        ),
+        batch_id=2,
+    )
+    assert {r.doc_id for r in out.collect()} == {2}

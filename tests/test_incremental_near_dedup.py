@@ -452,3 +452,23 @@ def test_near_dedup_sink_touches_heartbeat(spark, tmp_path):
     assert (state / "_stream_heartbeat").exists()
     with pytest.raises(RuntimeError, match="compact_state refused"):
         IncrementalNearDeduper(spark, str(state)).compact_state()
+
+
+def test_empty_batch_is_noop(spark, tmp_path):
+    """Streaming sources deliver EMPTY micro-batches (trigger fires, no
+    new files); the gate must treat them as no-ops — empty output, state
+    unchanged, later batches unaffected."""
+    d = IncrementalNearDeduper(spark, str(tmp_path / "state"))
+    first = {
+        r.doc_id for r in d.process_batch(_docs(spark, B1), batch_id=0).collect()
+    }
+    assert first == {1, 2, 4}
+    before = d.seen_count()
+    empty = _docs(spark, []).limit(0)
+    out = d.process_batch(empty, batch_id=1)
+    assert out.count() == 0
+    assert d.seen_count() == before
+    nxt = {
+        r.doc_id for r in d.process_batch(_docs(spark, B2), batch_id=2).collect()
+    }
+    assert nxt == {11}
