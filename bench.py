@@ -297,7 +297,8 @@ def bench_protocol_replay(spark, mix: str, warm: bool) -> tuple[float, float, di
     n_res = results.count()
     state.count()
     dt = time.perf_counter() - t0
-    assert n_res == n, f"replay dropped transactions: {n_res}/{n}"
+    if n_res != n:  # explicit raise: survives python -O (r8 review)
+        raise RuntimeError(f"replay dropped transactions: {n_res}/{n}")
     return dt, n / dt, stats
 
 
@@ -334,7 +335,10 @@ def bench_protocol_stream(spark, mix: str) -> tuple[float, float, dict]:
         dt = time.perf_counter() - t0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    assert len(verdicts) == n, f"stream dropped transactions: {len(verdicts)}/{n}"
+    if len(verdicts) != n:  # explicit raise: survives python -O
+        raise RuntimeError(
+            f"stream dropped transactions: {len(verdicts)}/{n}"
+        )
     return dt, n / dt, stats
 
 
@@ -366,20 +370,27 @@ def bench_corpus_build(spark) -> tuple[float, dict]:
     return dt, stats
 
 
-def duckdb_oracle_seconds(per_query_timeout_s: float = 60.0) -> dict[str, float]:
-    """Per-query DuckDB wall time for every oracle SQL on the same
-    parquet — the side-by-side single-node engine comparison BASELINE.md
-    §2 commits to (r7 verdict item 6). Informational column only: it
-    never gates (DuckDB here is a reference point, not a budget).
-    Queries past ``per_query_timeout_s`` are interrupted and recorded as
-    absent (DuckDB's recursive-CTE dedup oracle can run for minutes at
-    sf0.1 — an unbounded comparison column must not blow the bench's
-    wall-clock). Returns {} if anything prevents the sweep (the bench
+def duckdb_oracle_seconds(
+    per_query_timeout_s: float = 60.0,
+) -> tuple[dict[str, float], list[str]]:
+    """(per-query DuckDB wall times, skipped query names) for every
+    oracle SQL on the same parquet — the side-by-side single-node engine
+    comparison BASELINE.md §2 commits to (r7 verdict item 6).
+    Informational column only: it never gates (DuckDB here is a
+    reference point, not a budget). Queries past ``per_query_timeout_s``
+    are interrupted and listed in ``skipped`` (DuckDB's recursive-CTE
+    dedup oracle can run for minutes at sf0.1 — an unbounded comparison
+    column must not blow the bench's wall-clock); the skipped list is
+    recorded in the JSON so a partial DuckDB total can never silently
+    read as a speedup against a round where everything completed (r8
+    review — the same partial-total rule the Spark headline follows).
+    Returns ({}, all names) if anything prevents the sweep (the bench
     record must not die for the comparison column)."""
     import threading
 
     import __spark_entry__ as entry_mod
 
+    sqls = sorted(entry_mod.oracle_sql().items())
     try:
         import duckdb
 
@@ -395,14 +406,32 @@ def duckdb_oracle_seconds(per_query_timeout_s: float = 60.0) -> dict[str, float]
                 f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
             )
         out: dict[str, float] = {}
-        for name, sql in sorted(entry_mod.oracle_sql().items()):
-            watchdog = threading.Timer(per_query_timeout_s, con.interrupt)
+        skipped: list[str] = []
+        for name, sql in sqls:
+            # Watchdog discipline (r8 review): the timer callback checks
+            # a per-query done-flag under a lock before interrupting, so
+            # a timer that fires just after fetchall() returns cannot
+            # interrupt the idle connection and abort the NEXT query.
+            done = threading.Event()
+            lock = threading.Lock()
+
+            def maybe_interrupt(done=done, lock=lock):
+                with lock:
+                    if not done.is_set():
+                        con.interrupt()
+
+            watchdog = threading.Timer(per_query_timeout_s, maybe_interrupt)
             watchdog.start()
             try:
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
+                with lock:
+                    done.set()
                 out[name] = round(time.perf_counter() - t0, 3)
             except Exception as exc:  # noqa: BLE001
+                with lock:
+                    done.set()
+                skipped.append(name)
                 print(
                     f"bench: duckdb {name} skipped "
                     f"(>{per_query_timeout_s:.0f}s or error): {exc}",
@@ -410,10 +439,10 @@ def duckdb_oracle_seconds(per_query_timeout_s: float = 60.0) -> dict[str, float]
                 )
             finally:
                 watchdog.cancel()
-        return out
+        return out, skipped
     except Exception as exc:  # noqa: BLE001
         print(f"bench: duckdb sweep skipped: {exc}", file=sys.stderr)
-        return {}
+        return {}, [name for name, _ in sqls]
 
 
 def main() -> None:
@@ -667,7 +696,7 @@ def main() -> None:
     # oracle SQL on the same parquet, timed per query. Informational —
     # never gates, never enters the headline total.
     phase("budget gate done; starting duckdb side-by-side sweep")
-    duckdb_sec = duckdb_oracle_seconds()
+    duckdb_sec, duckdb_skipped = duckdb_oracle_seconds()
     phase("duckdb sweep done")
 
     # A partial total reads as a speedup — invalidate the headline when
@@ -684,6 +713,7 @@ def main() -> None:
                 "protocol_txn_per_sec": round(txn_rate, 1),
                 **replay_extra,
                 "duckdb_seconds": duckdb_sec,
+                "duckdb_skipped": duckdb_skipped,
                 "duckdb_total_seconds": round(sum(duckdb_sec.values()), 3),
                 "machine_slowdown": slowdown,
                 "budget_breaches": breaches,

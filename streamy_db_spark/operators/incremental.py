@@ -40,17 +40,14 @@ STREAM_HEARTBEAT = "_stream_heartbeat"
 
 
 def _state_fs(spark: SparkSession, path: str):
-    """(fs, Path-factory) for ``path`` via the Hadoop FileSystem API, or
-    (None, None) under Spark Connect (no JVM handle). Heartbeat guards
-    and legacy migration are classic-session features — the same gate
-    compact_parquet already has."""
-    try:
-        jvm = spark._jvm
-        mk = jvm.org.apache.hadoop.fs.Path
-        fs = mk(path).getFileSystem(spark._jsc.hadoopConfiguration())
-        return fs, mk
-    except Exception:
-        return None, None
+    """(fs, Path-factory) for ``path``, or (None, None) under Spark
+    Connect. Thin delegate to sources/files.hadoop_fs — heartbeat
+    guards and legacy migration are classic-session features, the same
+    gate compact_parquet has, and the Connect-detection logic must live
+    in exactly one place (r8 review)."""
+    from streamy_db_spark.sources.files import hadoop_fs
+
+    return hadoop_fs(spark, path)
 
 
 def touch_stream_heartbeat(spark: SparkSession, state_path: str) -> None:
@@ -69,6 +66,45 @@ def touch_stream_heartbeat(spark: SparkSession, state_path: str) -> None:
     out = fs.create(p, True)
     out.write(bytearray(str(int(time.time())), "ascii"))
     out.close()
+
+
+class stream_heartbeat_keeper:
+    """Context manager: re-touch the stream heartbeat every
+    ``interval_s`` from a daemon thread while the body runs. Without it
+    the guard's freshness window is only as good as the heartbeat
+    CADENCE — a micro-batch that runs longer than
+    ``stream_heartbeat_max_age_s`` would let a concurrent compact_state
+    pass the age check and swap files under the in-flight batch (r8
+    review). With the keeper, heartbeat staleness while a batch is
+    processing is bounded by ``interval_s`` regardless of batch
+    duration. Exceptions in the touch are swallowed (a transient FS
+    blip must not kill the batch; the NEXT touch refreshes)."""
+
+    def __init__(self, spark: SparkSession, state_path: str, interval_s: float = 60.0):
+        self.spark = spark
+        self.state_path = state_path
+        self.interval_s = interval_s
+
+    def __enter__(self):
+        import threading
+
+        self._stop = threading.Event()
+
+        def beat() -> None:
+            while not self._stop.wait(self.interval_s):
+                try:
+                    touch_stream_heartbeat(self.spark, self.state_path)
+                except Exception:  # noqa: BLE001 - next beat retries
+                    pass
+
+        touch_stream_heartbeat(self.spark, self.state_path)
+        self._thread = threading.Thread(target=beat, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
 
 
 def stream_heartbeat_age_s(spark: SparkSession, state_path: str) -> float | None:
@@ -173,6 +209,12 @@ class IncrementalDeduper:
         scan runs once."""
         if batch_id is not None and batch_id < 0:
             raise ValueError(f"batch_id must be >= 0, got {batch_id}")
+        if docs.isEmpty():
+            # empty trigger: nothing to admit, nothing to append — skip
+            # the fingerprint scan and the state append, which would
+            # otherwise leave one empty commit file per empty
+            # micro-batch (r8 review)
+            return docs.localCheckpoint(eager=True)
         fp = fingerprint_documents(dedupe_exact(docs, self.id_col))
         seen = self._seen()
         if seen is None:
@@ -201,13 +243,19 @@ class IncrementalDeduper:
         # not keep a lazy dependency on the state files (a later
         # compact_state renames them away).
         tagged = tagged.localCheckpoint(eager=True)
-        tagged.filter(F.col("__novel")).select(
-            "fingerprint",
-            F.col(self.id_col).alias("accepted_id"),
-            F.lit(-1 if batch_id is None else int(batch_id))
-            .cast("long")
-            .alias("batch_seq"),
-        ).write.mode("append").parquet(self.state_path)
+        novel_rows = tagged.filter(F.col("__novel"))
+        # skip the append entirely when nothing was admitted (all-replay
+        # or all-duplicate batches): an empty append still commits an
+        # empty file to the state dir on every such batch (r8 review);
+        # the isEmpty probe is one tiny job over the checkpointed frame
+        if not novel_rows.isEmpty():
+            novel_rows.select(
+                "fingerprint",
+                F.col(self.id_col).alias("accepted_id"),
+                F.lit(-1 if batch_id is None else int(batch_id))
+                .cast("long")
+                .alias("batch_seq"),
+            ).write.mode("append").parquet(self.state_path)
         return tagged.drop("fingerprint", "__novel")
 
     def seen_count(self) -> int:
@@ -362,7 +410,16 @@ class IncrementalNearDeduper:
         FS listing); Spark Connect sessions predate no v1 state. The
         probe memoizes per instance: legacy files can only exist BEFORE
         this instance's first state access (every writer since v2
-        writes subdirs), so one root listing per deduper suffices."""
+        writes subdirs), so one root listing per deduper suffices.
+
+        Deployment constraint (documented, not detectable): retire every
+        v1 writer BEFORE any v2 reader touches the state. A v1 writer
+        that appends flat files AFTER v2 state exists would trigger a
+        fresh migration whose OVERWRITE discards the v2 appends — the
+        overwrite is what makes crash-recovery idempotent (no v2 append
+        can exist mid-migration from this codebase, because appends only
+        run after migration completes), so mixed-version concurrent
+        writers are out of contract."""
         if self._legacy_checked:
             return
         fs, mk = _state_fs(self.spark, self.state_path)
@@ -379,10 +436,18 @@ class IncrementalNearDeduper:
             for st in fs.listStatus(root)
             if st.isFile() and st.getPath().getName().endswith(".parquet")
         ]
+        marker = mk(self.state_path.rstrip("/") + "/_migrated")
         if not legacy:
+            # a marker with no legacy files = a migration that crashed
+            # between its last file delete and the marker delete. It
+            # must not outlive this moment: if flat-state files ever
+            # land here again (old-version writer, backup restore), a
+            # stale marker would make the next migration DELETE them
+            # without rewriting — silent state loss (r8 review).
+            if fs.exists(marker):
+                fs.delete(marker, False)
             self._legacy_checked = True
             return
-        marker = mk(self.state_path.rstrip("/") + "/_migrated")
         if not fs.exists(marker):
             old = self.spark.read.option("mergeSchema", "true").parquet(
                 *[p.toString() for p in legacy]
@@ -546,6 +611,15 @@ class IncrementalNearDeduper:
                 rep_ids = seen_ids
             replayed = docs.join(rep_ids, self.id_col)
             docs = docs.join(seen_ids, self.id_col, "left_anti")
+        # Empty effective batch (empty trigger, or every row a
+        # replay/re-send): nothing can be admitted and nothing may
+        # append — skip the signature/probe/components pipeline and both
+        # state appends (each would otherwise leave an empty commit file
+        # per empty trigger — small-file growth compact_state then pays
+        # for; r8 review). The limit(1) probe is one tiny job.
+        if docs.isEmpty():
+            out = replayed if replayed is not None else docs
+            return out.localCheckpoint(eager=True)
         sigs = self._sig_table(docs).localCheckpoint(eager=True)
         n_batch = sigs.count()  # checkpointed: the count is a cheap scan
 
@@ -591,20 +665,36 @@ class IncrementalNearDeduper:
             )
         ).localCheckpoint(eager=True)
         # Two appends from the ONE checkpointed frame (so neither write
-        # lazily re-reads the state files it is appending to): ids/ gets
-        # every acceptance (trivial docs included — their later re-sends
-        # must drop); bands/ gets the pre-exploded probe rows (posexplode
-        # of an empty band array yields nothing, so trivial docs never
-        # enter the probe side).
-        new_state.select(
-            "doc_id",
-            F.lit(-1 if batch_id is None else int(batch_id))
-            .cast("long")
-            .alias("batch_seq"),
-        ).write.mode("append").parquet(self._ids_path)
-        self._explode_bands(new_state, "doc_id", "sig").write.mode(
-            "append"
-        ).parquet(self._bands_path)
+        # lazily re-reads the state files it is appending to). ORDER IS
+        # LOAD-BEARING (r8 review): bands/ commits BEFORE ids/. The two
+        # appends are not atomic together; ids/ membership is what
+        # classifies a future arrival of these docs, so it must land
+        # LAST. A crash after bands/ but before ids/ leaves orphan band
+        # rows for docs not yet in membership — benign: the replayed
+        # batch recomputes the same accepted set (deterministic), its
+        # probe edges against its own orphan rows are either self-pairs
+        # (filtered id_a != id_b) or duplicates of in-batch edges, and
+        # the duplicate band rows are exact-row dups that compact_state
+        # drops. The REVERSE order would be a durability hole: ids/
+        # committed without bands/ makes the replay classify the docs as
+        # already-accepted (re-emit, append nothing), so their band rows
+        # would NEVER be written and future near-dups of them would be
+        # admitted forever.
+        if not new_state.isEmpty():  # all-rejected batches append nothing
+            self._explode_bands(new_state, "doc_id", "sig").write.mode(
+                "append"
+            ).parquet(self._bands_path)
+            # ids/ gets every acceptance (trivial docs included — their
+            # later re-sends must drop); bands/ above holds the
+            # pre-exploded probe rows (posexplode of an empty band array
+            # yields nothing, so trivial docs never enter the probe
+            # side).
+            new_state.select(
+                "doc_id",
+                F.lit(-1 if batch_id is None else int(batch_id))
+                .cast("long")
+                .alias("batch_seq"),
+            ).write.mode("append").parquet(self._ids_path)
 
         # Materialize the output so it neither lazily re-reads the state
         # files (a later compact_state renames them away) nor recomputes

@@ -39,10 +39,13 @@ def build_corpus(
     materialize_stages: bool = True,
 ) -> dict[str, int]:
     """Run the full corpus build on ``<sf_dir>/documents.parquet`` and
-    land the packed train split at ``out_dir`` (clustered, compacted).
-    Returns per-stage row counts (each count is also the action that
-    materializes that stage — the returned dict doubles as the bench's
-    work receipt).
+    land TWO artifacts: the shuffled doc-level train split at
+    ``out_dir`` (clustered on (shard, pos) — the training read order —
+    then compacted) and the packed fixed-token spans at
+    ``<out_dir>.packed`` (the sequence-level view a packing-based
+    loader consumes; already per-shard, landed as-is). Returns per-stage
+    row counts (each count is also the action that materializes that
+    stage — the returned dict doubles as the bench's work receipt).
 
     ``mixture_weights`` defaults to equal weights over the sources
     present (computed from the profile pass's source cardinality — one
@@ -134,8 +137,13 @@ def build_corpus(
     # 6. deterministic shuffle into shards, pack into fixed token spans
     shuffled = shuffle_corpus(train, n_shards=n_shards)
     stats["rows_shuffled"] = shuffled.count()
-    packed = pack_sequences(train, seq_tokens=seq_tokens)
-    stats["rows_packed"] = packed.count()
+    # pack and LAND in one pass (counting then discarding would compute
+    # the packing twice and make the landed artifact a fiction)
+    packed_path = out_dir.rstrip("/") + ".packed"
+    pack_sequences(train, seq_tokens=seq_tokens).write.mode(
+        "overwrite"
+    ).parquet(packed_path)
+    stats["rows_packed"] = spark.read.parquet(packed_path).count()
     stats["train_tokens"] = (
         train.select(F.sum(F.size(tokens(F.col("text")))).alias("n"))
         .collect()[0]
@@ -143,8 +151,9 @@ def build_corpus(
         or 0
     )
 
-    # 7. land the shuffled train split clustered on (shard, pos) — the
-    # exact read order training jobs consume — then compact
+    # 7. land the shuffled doc split clustered on (shard, pos) — the
+    # exact read order training jobs consume — then compact (the packed
+    # spans landed at <out_dir>.packed in stage 6, r8 review)
     files.write_clustered(shuffled, out_dir, cluster_cols=["shard", "pos"])
     stats["files_compacted"] = files.compact_parquet(
         spark, out_dir, target_file_mb=128, cluster_cols=["shard", "pos"]

@@ -70,6 +70,23 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
 
 
+def hadoop_fs(spark: SparkSession, path: str):
+    """(filesystem, Path-factory) for ``path`` via the Hadoop FileSystem
+    API, or (None, None) under Spark Connect (no JVM handle). The ONE
+    place the classic-vs-Connect FS acquisition lives — every
+    state/sink/compaction site that needs file-level operations
+    (existence probes, renames, heartbeat mtimes) goes through here so
+    Connect detection and FS configuration can never drift between
+    copies (r8 review: three hand-rolled copies existed)."""
+    try:
+        jvm = spark._jvm
+        mk = jvm.org.apache.hadoop.fs.Path
+        fs = mk(path).getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs, mk
+    except Exception:
+        return None, None
+
+
 def is_missing_path_error(exc: Exception) -> bool:
     """True when an AnalysisException means 'nothing has ever been
     written here' — missing path, or a directory with no readable files
@@ -103,11 +120,8 @@ def read_parquet_if_exists(
             "mergeSchema", str(merge_schema).lower()
         ).parquet(path)
 
-    try:
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    except Exception:  # Spark Connect session: classify by error instead
+    fs, mk = hadoop_fs(spark, path)
+    if fs is None:  # Spark Connect session: classify by error instead
         try:
             df = _do_read()
             df.schema  # force analysis so missing paths surface HERE
@@ -116,6 +130,7 @@ def read_parquet_if_exists(
             if is_missing_path_error(exc):
                 return None
             raise
+    hpath = mk(path)
     if not fs.exists(hpath):
         return None
     if fs.getFileStatus(hpath).isDirectory() and len(fs.listStatus(hpath)) == 0:
@@ -217,21 +232,19 @@ def compact_parquet(
     lost and a rerun self-heals. NOT safe under concurrent writers to
     ``path`` — that coordination is what table formats (Delta/Iceberg)
     add."""
-    try:
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    except Exception as exc:
+    fs, mk = hadoop_fs(spark, path)
+    if fs is None:
         raise NotImplementedError(
             "compact_parquet drives Hadoop FileSystem renames and needs a "
             "classic (JVM-attached) SparkSession; Spark Connect sessions "
             "cannot run it — compact from a classic session instead"
-        ) from exc
+        )
+    hpath = mk(path)
 
     # Crash recovery: a previous run that died between its two swap
     # renames left the original at <path>.__old__ and nothing at <path>.
     # Restore it first; a fresh .__compact__ rewrite follows as normal.
-    crashed_old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__old__")
+    crashed_old = mk(path.rstrip("/") + ".__old__")
     if not fs.exists(hpath) and fs.exists(crashed_old):
         if not fs.rename(crashed_old, hpath):
             raise IOError(
@@ -248,7 +261,7 @@ def compact_parquet(
         # place to drop them
         df = df.distinct()
     tmp = path.rstrip("/") + ".__compact__"
-    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    tmp_path = mk(tmp)
     fs.delete(tmp_path, True)  # clear a stale temp from a crashed run
     if cluster_cols:
         df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
@@ -258,7 +271,7 @@ def compact_parquet(
         df.repartition(n_files).write.mode("overwrite").parquet(tmp)
 
     old = path.rstrip("/") + ".__old__"
-    old_path = jvm.org.apache.hadoop.fs.Path(old)
+    old_path = mk(old)
     fs.delete(old_path, True)
     if not fs.rename(hpath, old_path):
         raise IOError(f"compact_parquet: cannot move {path} aside")

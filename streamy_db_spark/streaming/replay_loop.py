@@ -87,9 +87,14 @@ def run_streaming_replay(
             .start()
         )
         q.awaitTermination(120)
-        assert not q.isActive, "query did not finish in time"
+        # explicit raises, not asserts: this is LIBRARY failure
+        # detection (bench.py records throughput through it) and must
+        # survive python -O, where asserts are stripped (r8 review)
+        if q.isActive:
+            raise RuntimeError("streaming query did not finish in time")
         exc = q.exception()
-        assert exc is None, f"query failed: {exc}"
+        if exc is not None:
+            raise RuntimeError(f"streaming query failed: {exc}")
 
     def run_and_kill(df_stream, out_dir, ckpt_name):
         """Start, wait for ≥1 committed micro-batch, then stop() mid-run:
@@ -203,7 +208,13 @@ def run_streaming_replay(
     )
     results = results_df.collect()
     # one verdict per transaction, ever — even under redelivery
-    assert len(results) == results_df.select("transaction_id").distinct().count()
+    # (explicit raise: survives python -O, unlike assert — r8 review)
+    n_distinct = results_df.select("transaction_id").distinct().count()
+    if len(results) != n_distinct:
+        raise RuntimeError(
+            f"duplicate verdicts: {len(results)} rows for "
+            f"{n_distinct} transactions"
+        )
     verdicts = {r["transaction_id"]: r["succeeded"] for r in results}
     if return_dirs:
         return verdicts, d, requests_dir

@@ -64,11 +64,10 @@ def read_sink(
             f"{out_dir}/batch=*"
         ).drop("batch")
 
-    try:
-        jvm = spark._jvm
-        gpath = jvm.org.apache.hadoop.fs.Path(out_dir.rstrip("/") + "/batch=*")
-        fs = gpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    except Exception:  # Spark Connect session
+    from streamy_db_spark.sources.files import hadoop_fs
+
+    fs, mk = hadoop_fs(spark, out_dir)
+    if fs is None:  # Spark Connect session
         from streamy_db_spark.sources.files import is_missing_path_error
 
         try:
@@ -79,7 +78,7 @@ def read_sink(
             if is_missing_path_error(exc):
                 return _empty()
             raise
-    committed = fs.globStatus(gpath)
+    committed = fs.globStatus(mk(out_dir.rstrip("/") + "/batch=*"))
     if committed is None or len(committed) == 0:
         return _empty()
     return _read()
@@ -110,7 +109,7 @@ def near_dedup_sink(
     stream, so both admit identical sets."""
     from streamy_db_spark.operators.incremental import (
         IncrementalNearDeduper,
-        touch_stream_heartbeat,
+        stream_heartbeat_keeper,
     )
 
     deduper = IncrementalNearDeduper(
@@ -119,14 +118,17 @@ def near_dedup_sink(
     write = idempotent_parquet_sink(out_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # Heartbeat first: marks the state dir stream-owned so a
-        # concurrent compact_state refuses to swap files out from under
-        # this batch's reads (incremental._guard_compact_vs_stream).
-        touch_stream_heartbeat(spark, state_path)
-        # batch_id disambiguates crash-replay (same id ⇒ re-emit the
-        # original output, sink overwrites with identical content) from
-        # an upstream re-send in a LATER batch (dropped, never
-        # duplicated into a new batch directory).
-        write(deduper.process_batch(batch_df, batch_id=batch_id), batch_id)
+        # The keeper marks the state dir stream-owned for the WHOLE
+        # batch (touch at entry + a re-touch every 60 s from a daemon
+        # thread) so a concurrent compact_state refuses to swap files
+        # under this batch's reads however long the batch runs
+        # (incremental._guard_compact_vs_stream; r8 review — a single
+        # entry touch left batches longer than the guard's max age
+        # exposed). batch_id disambiguates crash-replay (same id ⇒
+        # re-emit the original output, sink overwrites with identical
+        # content) from an upstream re-send in a LATER batch (dropped,
+        # never duplicated into a new batch directory).
+        with stream_heartbeat_keeper(spark, state_path):
+            write(deduper.process_batch(batch_df, batch_id=batch_id), batch_id)
 
     return process

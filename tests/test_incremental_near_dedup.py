@@ -472,3 +472,80 @@ def test_empty_batch_is_noop(spark, tmp_path):
         r.doc_id for r in d.process_batch(_docs(spark, B2), batch_id=2).collect()
     }
     assert nxt == {11}
+
+
+def test_orphan_bands_from_crash_between_appends_are_benign(spark, tmp_path):
+    """Durability contract of the v2 append ORDER (bands/ before ids/):
+    a crash between the two appends leaves orphan band rows for docs not
+    yet in membership. The replayed batch must reproduce the original
+    verdicts (the orphans only duplicate its own in-batch evidence), and
+    the following batch must be unaffected."""
+    import shutil
+
+    src = tmp_path / "completed"
+    d0 = IncrementalNearDeduper(spark, str(src))
+    first = {
+        r.doc_id for r in d0.process_batch(_docs(spark, B1), batch_id=0).collect()
+    }
+    assert first == {1, 2, 4}
+
+    # post-crash state: bands/ committed, ids/ never landed
+    crashed = tmp_path / "crashed"
+    crashed.mkdir()
+    shutil.copytree(src / "bands", crashed / "bands")
+
+    d = IncrementalNearDeduper(spark, str(crashed))
+    replay = {
+        r.doc_id for r in d.process_batch(_docs(spark, B1), batch_id=0).collect()
+    }
+    assert replay == first  # same verdicts as the crash-free run
+    assert d.seen_count() == 3  # 1, 2 and trivial 4 — no phantom members
+    nxt = {
+        r.doc_id for r in d.process_batch(_docs(spark, B2), batch_id=1).collect()
+    }
+    assert nxt == {11}  # duplicate orphan rows don't distort batch 2
+    # compaction drops the exact-duplicate orphan band rows
+    d.compact_state()
+    nxt2 = {
+        r.doc_id for r in d.process_batch(_docs(spark, B3), batch_id=2).collect()
+    }
+    assert nxt2 == {21}
+
+
+def test_stale_migration_marker_is_cleaned(spark, tmp_path):
+    """A _migrated marker that outlived its migration (crash between the
+    last legacy-file delete and the marker delete) must be removed on
+    the next access — a stale marker would otherwise let a future
+    migration DELETE legacy files without rewriting them (r8 review)."""
+    p = tmp_path / "state"
+    d = IncrementalNearDeduper(spark, str(p))
+    d.process_batch(_docs(spark, B1), batch_id=0)
+    (p / "_migrated").touch()  # simulate the crashed-delete leftover
+    d2 = IncrementalNearDeduper(spark, str(p))  # fresh instance: no memo
+    assert d2.seen_count() == 3
+    assert not (p / "_migrated").exists()
+
+
+def test_heartbeat_keeper_refreshes_during_long_batch(spark, tmp_path):
+    """stream_heartbeat_keeper re-touches the heartbeat while the body
+    runs, so compact_state stays blocked however long a micro-batch
+    takes (r8 review: a single entry touch left long batches exposed)."""
+    import os
+    import time as _t
+
+    from streamy_db_spark.operators.incremental import stream_heartbeat_keeper
+
+    p = tmp_path / "state"
+    p.mkdir()
+    hb = p / "_stream_heartbeat"
+    with stream_heartbeat_keeper(spark, str(p), interval_s=0.2):
+        assert hb.exists()
+        old = hb.stat().st_mtime - 3600
+        os.utime(hb, (old, old))  # simulate staleness mid-batch
+        _t.sleep(0.6)  # > interval: the keeper must have re-touched
+        assert hb.stat().st_mtime > old + 3000
+    # after exit the keeper stops: a backdated heartbeat stays stale
+    old = hb.stat().st_mtime - 3600
+    os.utime(hb, (old, old))
+    _t.sleep(0.5)
+    assert abs(hb.stat().st_mtime - old) < 1.0

@@ -188,3 +188,15 @@ def test_build_corpus_one_call(spark, tmp_path_factory):
     assert {"shard", "pos"} <= set(landed.columns)
     one = landed.filter(F.col("shard") == 0).select("pos").collect()
     assert sorted(r.pos for r in one) == list(range(len(one)))
+
+
+def test_build_corpus_lands_packed_spans(spark, tmp_path_factory):
+    """The packed fixed-token spans land at <out_dir>.packed (r8 review:
+    they used to be computed for a row count and discarded)."""
+    from streamy_db_spark.pipeline import build_corpus
+
+    out = str(tmp_path_factory.mktemp("bc2") / "corpus")
+    s = build_corpus(spark, SF, out, mixture_total_tokens=10_000)
+    packed = spark.read.parquet(out + ".packed")
+    assert packed.count() == s["rows_packed"] > 0
+    assert "n_toks" in packed.columns
