@@ -107,9 +107,12 @@ BUDGETS = {
     # passed a genuine 2.5-3x regression (r6/r7 verdict item).
     "protocol_replay_100k": 50.0,
     "protocol_replay_1m": 140.0,
-    # Streaming replay (file-coupled loop, RocksDB provider): first
-    # measurement r8: 166.8 s / 60 txn/s for 10k txns.
-    "protocol_stream_10k": 340.0,
+    # Streaming replay (file-coupled loop, RocksDB provider): r8
+    # measurements 155.6-237.5 s for 10k txns (the ~39 checkpointed
+    # availableNow start/stop cycles dominate and are
+    # scheduler-sensitive, so the run-to-run band is wide); budget = 2x
+    # the slow end of the band.
+    "protocol_stream_10k": 480.0,
     # End-to-end corpus build at sf0.1 (pipeline.build_corpus): first
     # warm measurement r8: 24.7 s.
     "corpus_build": 60.0,
