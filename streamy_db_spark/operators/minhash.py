@@ -11,11 +11,15 @@ shingle/tokenize step uses constructs DuckDB evaluates bit-identically
 (regexp_split, list_transform, list_min), so all queries sit under the
 driver's strong value-hash gate — no rows-only escapes.
 
-MinHash family trick: double hashing (Kirsch–Mitzenmacher) — ONE md5
-per shingle, split into two 48-bit integer halves (h1, h2);
-hash_i = h1 + i*h2. The hex→int conversion is portable (Spark
-``conv(x,16,10)`` ≡ DuckDB ``('0x'||x)::BIGINT`` — verified equal), and
-one md5 replaces the k per-seed digests of the naive scheme.
+MinHash family trick: ONE md5 per shingle, split into two 32-bit words
+(w1, w2); hash_i = (A_i*w1 + B_i*w2 + C_i) mod 2^32 with fixed per-slot
+constants (``_SLOT_ABC``) — the power-of-two wrap gives each slot an
+independent shingle ranking (the r8 fix; the earlier wrap-free
+h1 + i*h2 left slots correlated and agreement was not a Jaccard
+estimate — see minhash_signature's docstring for the measurements).
+The hex→int conversion is portable (Spark ``conv(x,16,10)`` ≡ DuckDB
+``('0x'||x)::BIGINT`` — verified equal), and one md5 replaces the k
+per-seed digests of the naive scheme.
 """
 
 from __future__ import annotations
@@ -67,43 +71,99 @@ def shingles(text: Column, w: int = SHINGLE_W) -> Column:
 
 
 # Sentinel "infinity" for the signature fold (any real hash value is
-# < 2^52, see overflow note in minhash_signature).
+# < 2^32, see overflow note in minhash_signature).
 _SIG_INF = 1 << 62
+
+# Per-slot multiplicative-hash constants (A_i, B_i, C_i): A/B are odd
+# 29-bit, C is 32-bit, all derived deterministically as
+# md5(f"minhash-slot-{i}") hex slices (A = hex[0:8] % 2^29 | 1,
+# B = hex[8:16] % 2^29 | 1, C = hex[16:24]) and hardcoded so the DuckDB
+# oracle mirrors them as literals. See minhash_signature for why the
+# slots need independent scrambling.
+_SLOT_ABC = [
+    (276618745, 166959213, 316977833),
+    (204844219, 509653903, 4088432660),
+    (487687911, 475037471, 1760034913),
+    (167723189, 236805311, 809765378),
+    (523305307, 286434797, 1352386162),
+    (150453591, 321547717, 2247332929),
+    (288985381, 362303557, 2695801051),
+    (322133405, 207788373, 3069677178),
+    (310171789, 444372759, 3697268152),
+    (77871863, 237913449, 344688484),
+    (410936263, 274954403, 745868309),
+    (472032325, 460614301, 1642782650),
+    (270449409, 135748971, 1587118088),
+    (170323381, 516470431, 3616546159),
+    (73950239, 475260253, 2740184297),
+    (529847729, 255302831, 3102590468),
+]
+_SLOT_MOD = 1 << 32
 
 
 def minhash_signature(sh: Column, k: int = MINHASH_K) -> Column:
-    """k-element signature via double hashing (Kirsch–Mitzenmacher):
-    hash_i(s) = h1(s) + i*h2(s), where h1/h2 are the two 48-bit halves of
-    ONE md5 per shingle. sig[i] = min over shingles of hash_i.
+    """k-element signature: hash_i(s) = (A_i*w1(s) + B_i*w2(s) + C_i)
+    mod 2^32, where w1/w2 are the two leading 32-bit words of ONE md5
+    per shingle and (A_i, B_i, C_i) are the fixed per-slot constants in
+    ``_SLOT_ABC``. sig[i] = min over shingles of hash_i.
+
+    Why the mod-2^32 wrap is LOAD-BEARING (r8 fix): the previous scheme
+    hash_i = h1 + i*h2 (no modulo) left every slot's ORDERING dominated
+    by whichever shingle had small (h1, h2) — the slots were heavily
+    correlated, so signature agreement was NOT a Jaccard estimate:
+    measured on the sf0.01 documents corpus, 78% of band candidates
+    with agreement ≥ 0.5 had TRUE Jaccard < 0.5 (some at J=0.01 with
+    agreement 0.94), which made the signature-only incremental
+    near-dedup gate reject ~58% of a corpus whose real near-dup rate
+    was ~5%. With per-slot multiplicative scrambling (odd multiplier,
+    power-of-two wrap — the standard 2-universal-style family) each
+    slot ranks shingles independently, agreement/16 is the unbiased
+    MinHash estimate of J, and the same corpus measures
+    candidates(est ≥ 0.5) ≈ pairs(J ≥ 0.5).
 
     One md5 per shingle instead of k — the earlier per-seed scheme
     (md5('<i>|'||s) × 16) made hashing 16× the work and dominated the
     sketch stage (measured ~7 s of q_dedup_groups' 8.6 s at sf0.1).
-    The whole signature is ONE aggregate fold: the per-shingle (h1, h2)
+    The whole signature is ONE aggregate fold: the per-shingle (w1, w2)
     array is the fold input, so it evaluates once — Catalyst does no CSE
     across k separate array_min aggregate expressions (same pitfall as
-    the r3 simhash fix). Overflow-safe: h1,h2 < 2^48, i < k=16 →
-    hash_i < 2^52, well inside int64.
+    the r3 simhash fix). Overflow-safe under ANSI: A,B < 2^29 and
+    w1,w2 < 2^32 → A*w1 + B*w2 + C < 2^62, inside int64; the % keeps
+    every slot value < 2^32.
 
     Empty shingle set → all-sentinel signature (callers filter
     size(shingles) > 0 upstream)."""
+    if k > len(_SLOT_ABC):
+        raise ValueError(f"k={k} exceeds the {len(_SLOT_ABC)} slot constants")
+    a_arr = F.array(*[F.lit(a) for a, _, _ in _SLOT_ABC[:k]])
+    b_arr = F.array(*[F.lit(b) for _, b, _ in _SLOT_ABC[:k]])
+    c_arr = F.array(*[F.lit(c) for _, _, c in _SLOT_ABC[:k]])
     # Two-level transform: the inner map materializes ONE md5 string
-    # per shingle; the outer map slices it into the two halves. A single
+    # per shingle; the outer map slices it into the two words. A single
     # struct(conv(md5..), conv(md5..)) lambda would md5 every shingle
     # TWICE — no CSE inside higher-order lambdas (measured ~25% of the
     # whole pair pipeline at sf0.1).
     hs = F.transform(
         F.transform(sh, _md5),
         lambda d: F.struct(
-            F.conv(F.substring(d, 1, 12), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(d, 13, 12), 16, 10).cast("long").alias("h2"),
+            F.conv(F.substring(d, 1, 8), 16, 10).cast("long").alias("w1"),
+            F.conv(F.substring(d, 9, 8), 16, 10).cast("long").alias("w2"),
         ),
     )
     return F.aggregate(
         hs,
         F.array_repeat(F.lit(_SIG_INF), k),
         lambda acc, h: F.transform(
-            acc, lambda m, j: F.least(m, h["h1"] + j.cast("long") * h["h2"])
+            acc,
+            lambda m, j: F.least(
+                m,
+                (
+                    F.element_at(a_arr, j + 1) * h["w1"]
+                    + F.element_at(b_arr, j + 1) * h["w2"]
+                    + F.element_at(c_arr, j + 1)
+                )
+                % F.lit(_SLOT_MOD),
+            ),
         ),
     )
 
@@ -463,8 +523,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Driver-registered cap small enough that real sf0.01 buckets exceed it,
 # so the CORRECTNESS record exercises the star-degradation path itself
-# (r5 verdict item 3) — production corpora use HOT_BUCKET_CAP.
-_CAPPED_Q_BUCKET_SIZE = 3
+# (r5 verdict item 3) — production corpora use HOT_BUCKET_CAP. Lowered
+# 3 → 2 with the r8 signature decorrelation: the correlated slots used
+# to manufacture false buckets of size 4+; honest signatures top out at
+# size-3 buckets at sf0.01 (4 of them — enough for the star path to
+# fire on, guarded by test_capped_query_cap_actually_fires).
+_CAPPED_Q_BUCKET_SIZE = 2
 
 
 def q_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,13 +788,17 @@ _SQL_SHINGLES = f"""
          ELSE []::VARCHAR[] END
 """
 
-# Double-hashing signature (must mirror minhash_signature exactly):
-# h1/h2 = the two 48-bit halves of one md5 per shingle, hash_i = h1 + i*h2.
+# Per-slot multiplicative-hash signature (must mirror minhash_signature
+# exactly): w1/w2 = the two leading 32-bit words of one md5 per shingle,
+# hash_i = (A_i*w1 + B_i*w2 + C_i) % 2^32 with the hardcoded _SLOT_ABC
+# constants. Both engines do the arithmetic in non-negative BIGINT, so
+# % agrees.
 _SQL_SIG_ELEMS = ", ".join(
     "list_min(list_transform(shingles, s ->"
-    " ('0x' || substring(md5(s), 1, 12))::BIGINT"
-    f" + {i} * ('0x' || substring(md5(s), 13, 12))::BIGINT))"
-    for i in range(MINHASH_K)
+    f" ({a} * ('0x' || substring(md5(s), 1, 8))::BIGINT"
+    f" + {b} * ('0x' || substring(md5(s), 9, 8))::BIGINT"
+    f" + {c}) % {_SLOT_MOD}))"
+    for a, b, c in _SLOT_ABC[:MINHASH_K]
 )
 
 _SQL_BANDS = ", ".join(

@@ -323,10 +323,10 @@ def test_transitively_blocked_doc_admitted_on_resend(spark, tmp_path):
     words = [f"base{i:02d}" for i in range(30)]
     A = " ".join(words)
     bw = list(words)
-    bw[3] = "sub3v7"
+    bw[3] = "sub3v10"
     B = " ".join(bw)
     cw = list(bw)
-    cw[8] = "sub8v23"
+    cw[11] = "sub11v2"
     C = " ".join(cw)
     d = IncrementalNearDeduper(spark, str(tmp_path / "state"), sig_threshold=0.9)
 

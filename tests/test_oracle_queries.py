@@ -317,7 +317,11 @@ def test_lsh_hot_bucket_cap(spark):
     rows = [(i, boiler) for i in range(n_copies)]
     rows += [(1000 + i, t) for i, t in enumerate(distinct)]
     # One genuine near-dup pair among the distinct docs (small-bucket path).
-    rows.append((2000, distinct[0] + " with a tiny suffix"))
+    # suffix chosen so the pair band-collides under the r8 decorrelated
+    # signature (J=0.83, 15/16 slots match — verified offline with the
+    # exact md5 slot math; the old 4-word suffix left J=0.71 whose band
+    # collision was a coin flip the correlated slots happened to win)
+    rows.append((2000, distinct[0] + " tiny suffix"))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
     bands = minhash.minhash_bands(docs)
@@ -342,8 +346,9 @@ def test_capped_query_cap_actually_fires(spark, sf_oracle):
     """q_minhash_lsh_pairs_capped's driver slot proves the PRODUCTION
     star-degradation path only if the cap fires on the real sf data —
     guard that _CAPPED_Q_BUCKET_SIZE stays below the largest natural
-    bucket so the slot's hash evidence is non-vacuous (measured at
-    sf0.01: 8 buckets of size 4 > cap 3; candidates 136 → 126)."""
+    bucket so the slot's hash evidence is non-vacuous (r8 decorrelated
+    signatures: largest natural sf0.01 bucket is 3, four of them, so
+    the cap sits at 2)."""
     from streamy_db_spark.operators import minhash
     from streamy_db_spark.sources.tables import load_table
 
