@@ -387,61 +387,86 @@ def duckdb_oracle_seconds(
     recorded in the JSON so a partial DuckDB total can never silently
     read as a speedup against a round where everything completed (r8
     review — the same partial-total rule the Spark headline follows).
-    Returns ({}, all names) if anything prevents the sweep (the bench
-    record must not die for the comparison column)."""
+
+    Timeout discipline (r8 second review): each query runs on a worker
+    thread; the main thread join(timeout)s and interrupts only while
+    the worker is provably still alive — and after ANY interrupt call
+    the connection is REBUILT, because a residual interrupt flag (the
+    worker finishing in the instant between the liveness check and the
+    interrupt) would otherwise abort the NEXT query and mis-record it
+    as skipped. Never raises: a failure anywhere (including loading the
+    oracle registry itself) returns what completed so far plus a
+    skipped marker — the bench record must not die for the comparison
+    column."""
     import threading
 
-    import __spark_entry__ as entry_mod
+    try:
+        import __spark_entry__ as entry_mod
 
-    sqls = sorted(entry_mod.oracle_sql().items())
+        sqls = sorted(entry_mod.oracle_sql().items())
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: duckdb sweep skipped (oracle registry): {exc}",
+              file=sys.stderr)
+        return {}, ["__oracle_registry__"]
+
     try:
         import duckdb
 
         from streamy_db_spark.sources.tables import TABLE_NAMES
 
-        con = duckdb.connect()
-        con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
-        # long queries pop a progress bar on the terminal — noise that
-        # must not interleave with the bench's one-JSON-line stdout
-        con.execute("SET enable_progress_bar=false")
-        for t in TABLE_NAMES:
+        def connect():
+            con = duckdb.connect()
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+                f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}"
             )
+            # long queries pop a progress bar on the terminal — noise
+            # that must not interleave with the one-JSON-line stdout
+            con.execute("SET enable_progress_bar=false")
+            for t in TABLE_NAMES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+                )
+            return con
+
+        con = connect()
         out: dict[str, float] = {}
         skipped: list[str] = []
         for name, sql in sqls:
-            # Watchdog discipline (r8 review): the timer callback checks
-            # a per-query done-flag under a lock before interrupting, so
-            # a timer that fires just after fetchall() returns cannot
-            # interrupt the idle connection and abort the NEXT query.
-            done = threading.Event()
-            lock = threading.Lock()
+            result: dict = {}
 
-            def maybe_interrupt(done=done, lock=lock):
-                with lock:
-                    if not done.is_set():
-                        con.interrupt()
+            def work(con=con, sql=sql, result=result):
+                try:
+                    con.execute(sql).fetchall()
+                    result["ok"] = True
+                except Exception as exc:  # noqa: BLE001
+                    result["err"] = exc
 
-            watchdog = threading.Timer(per_query_timeout_s, maybe_interrupt)
-            watchdog.start()
-            try:
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                with lock:
-                    done.set()
-                out[name] = round(time.perf_counter() - t0, 3)
-            except Exception as exc:  # noqa: BLE001
-                with lock:
-                    done.set()
+            t0 = time.perf_counter()
+            worker = threading.Thread(target=work, daemon=True)
+            worker.start()
+            worker.join(per_query_timeout_s)
+            interrupted = False
+            if worker.is_alive():
+                interrupted = True
+                con.interrupt()
+                worker.join(30)
+            dt = time.perf_counter() - t0
+            if result.get("ok") and not interrupted:
+                out[name] = round(dt, 3)
+            else:
                 skipped.append(name)
-                print(
-                    f"bench: duckdb {name} skipped "
-                    f"(>{per_query_timeout_s:.0f}s or error): {exc}",
-                    file=sys.stderr,
+                reason = result.get(
+                    "err", f"interrupted after {per_query_timeout_s:.0f}s"
                 )
-            finally:
-                watchdog.cancel()
+                print(f"bench: duckdb {name} skipped: {reason}",
+                      file=sys.stderr)
+            if interrupted:
+                # a residual interrupt flag poisons the next execute
+                try:
+                    con.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                con = connect()
         return out, skipped
     except Exception as exc:  # noqa: BLE001
         print(f"bench: duckdb sweep skipped: {exc}", file=sys.stderr)

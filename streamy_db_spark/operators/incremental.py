@@ -610,13 +610,23 @@ class IncrementalNearDeduper:
             else:
                 rep_ids = seen_ids
             replayed = docs.join(rep_ids, self.id_col)
-            docs = docs.join(seen_ids, self.id_col, "left_anti")
+            # Checkpoint the membership anti-join ONCE: three downstream
+            # consumers read `docs` (the sig table, the trivial-id
+            # anti-join, the output join) and would each lazily
+            # re-execute the state-sized seen_ids distinct + anti-join
+            # otherwise — and the emptiness probe below must not become
+            # an extra O(state) job per micro-batch (r8 second review;
+            # the v2 redesign's whole point is probe traffic O(batch)).
+            docs = docs.join(
+                seen_ids, self.id_col, "left_anti"
+            ).localCheckpoint(eager=True)
         # Empty effective batch (empty trigger, or every row a
         # replay/re-send): nothing can be admitted and nothing may
         # append — skip the signature/probe/components pipeline and both
         # state appends (each would otherwise leave an empty commit file
         # per empty trigger — small-file growth compact_state then pays
-        # for; r8 review). The limit(1) probe is one tiny job.
+        # for; r8 review). With state, the probe reads the checkpointed
+        # anti-join; without, it is a take(1) on the raw batch.
         if docs.isEmpty():
             out = replayed if replayed is not None else docs
             return out.localCheckpoint(eager=True)
@@ -681,9 +691,14 @@ class IncrementalNearDeduper:
         # would NEVER be written and future near-dups of them would be
         # admitted forever.
         if not new_state.isEmpty():  # all-rejected batches append nothing
-            self._explode_bands(new_state, "doc_id", "sig").write.mode(
-                "append"
-            ).parquet(self._bands_path)
+            exploded = self._explode_bands(new_state, "doc_id", "sig")
+            # trivial-only batches (every acceptance a no-shingle doc)
+            # explode to ZERO band rows — skip the bands/ append too, or
+            # each such trigger still commits an empty file there (r8
+            # second review); the probe is batch-sized over the
+            # checkpointed frame
+            if not exploded.isEmpty():
+                exploded.write.mode("append").parquet(self._bands_path)
             # ids/ gets every acceptance (trivial docs included — their
             # later re-sends must drop); bands/ above holds the
             # pre-exploded probe rows (posexplode of an empty band array

@@ -549,3 +549,30 @@ def test_heartbeat_keeper_refreshes_during_long_batch(spark, tmp_path):
     os.utime(hb, (old, old))
     _t.sleep(0.5)
     assert abs(hb.stat().st_mtime - old) < 1.0
+
+
+def test_trivial_only_batch_appends_no_bands_commit(spark, tmp_path):
+    """A batch whose acceptances are ALL no-shingle docs must not commit
+    an empty file to bands/ (r8 second review — trivial docs explode to
+    zero band rows, so the append was pure small-file growth); ids/
+    still records them so re-sends drop."""
+    p = tmp_path / "state"
+    d = IncrementalNearDeduper(spark, str(p))
+    out = {
+        r.doc_id
+        for r in d.process_batch(
+            _docs(spark, [(1, "too short"), (2, "also short")]), batch_id=0
+        ).collect()
+    }
+    assert out == {1, 2}
+    assert not (p / "bands").exists() or not list(
+        (p / "bands").glob("*.parquet")
+    )
+    assert list((p / "ids").glob("*.parquet"))
+    nxt = {
+        r.doc_id
+        for r in d.process_batch(
+            _docs(spark, [(1, "too short"), (3, THIRD)]), batch_id=1
+        ).collect()
+    }
+    assert nxt == {3}  # trivial re-send dropped, novel shingled doc admits
