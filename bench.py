@@ -409,6 +409,8 @@ def duckdb_oracle_seconds(
               file=sys.stderr)
         return {}, ["__oracle_registry__"]
 
+    out: dict[str, float] = {}
+    skipped: list[str] = []
     try:
         import duckdb
 
@@ -429,8 +431,6 @@ def duckdb_oracle_seconds(
             return con
 
         con = connect()
-        out: dict[str, float] = {}
-        skipped: list[str] = []
         for name, sql in sqls:
             result: dict = {}
 
@@ -448,7 +448,11 @@ def duckdb_oracle_seconds(
             interrupted = False
             if worker.is_alive():
                 interrupted = True
-                con.interrupt()
+                try:
+                    con.interrupt()
+                except Exception as exc:  # noqa: BLE001
+                    print(f"bench: duckdb interrupt failed: {exc}",
+                          file=sys.stderr)
                 worker.join(30)
             dt = time.perf_counter() - t0
             if result.get("ok") and not interrupted:
@@ -461,16 +465,35 @@ def duckdb_oracle_seconds(
                 print(f"bench: duckdb {name} skipped: {reason}",
                       file=sys.stderr)
             if interrupted:
-                # a residual interrupt flag poisons the next execute
-                try:
-                    con.close()
-                except Exception:  # noqa: BLE001
-                    pass
+                # A residual interrupt flag poisons the next execute, so
+                # the connection is replaced. close() only when the
+                # worker actually died: on a query that ignored the
+                # interrupt, close() would BLOCK on the connection's
+                # internal lock until the query finishes — unbounded —
+                # so a still-alive worker's connection is ABANDONED to
+                # its daemon thread instead (it dies with the process;
+                # the sweep moves on, r8 third review).
+                if not worker.is_alive():
+                    try:
+                        con.close()
+                    except Exception:  # noqa: BLE001
+                        pass
+                else:
+                    print(
+                        f"bench: duckdb {name} ignored interrupt for 30s; "
+                        "abandoning its connection",
+                        file=sys.stderr,
+                    )
                 con = connect()
         return out, skipped
     except Exception as exc:  # noqa: BLE001
-        print(f"bench: duckdb sweep skipped: {exc}", file=sys.stderr)
-        return {}, [name for name, _ in sqls]
+        # Keep what completed (r8 third review: a mid-sweep failure used
+        # to discard the finished timings) and mark everything not yet
+        # timed as skipped so the partial total stays auditable.
+        print(f"bench: duckdb sweep aborted: {exc}", file=sys.stderr)
+        done = set(out) | set(skipped)
+        skipped.extend(name for name, _ in sqls if name not in done)
+        return out, skipped
 
 
 def main() -> None:
