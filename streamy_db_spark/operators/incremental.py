@@ -107,9 +107,41 @@ class stream_heartbeat_keeper:
         self._thread.join(timeout=5)
 
 
+def _fs_now_ms(fs, mk, dir_path: str) -> int | None:
+    """The FILESYSTEM's clock, read as the mtime of a transient probe
+    file created (and immediately deleted) inside ``dir_path``. On
+    remote filesystems (HDFS namenode, object stores) the server stamps
+    mtimes with ITS clock, not the driver's — comparing a heartbeat
+    mtime against driver ``time.time()`` measures clock skew as age
+    (skew one way makes a live stream look stale; the other blocks
+    compaction indefinitely — r8 advice). A probe written through the
+    same filesystem gets the same clock as the heartbeat writer, so the
+    difference is a true age. None when the probe cannot be created
+    (caller falls back to the driver clock)."""
+    import uuid
+
+    probe = mk(dir_path.rstrip("/") + "/_hb_probe_" + uuid.uuid4().hex)
+    try:
+        fs.create(probe, True).close()
+        return fs.getFileStatus(probe).getModificationTime()
+    except Exception:  # noqa: BLE001 - degraded mode, not an error
+        return None
+    finally:
+        try:
+            fs.delete(probe, False)
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def stream_heartbeat_age_s(spark: SparkSession, state_path: str) -> float | None:
     """Seconds since the last stream heartbeat on ``state_path``, or None
-    when no heartbeat exists (never streamed, or Spark Connect)."""
+    when no heartbeat exists (never streamed, or Spark Connect). 'Now'
+    comes from the filesystem's own clock (``_fs_now_ms`` probe file)
+    so heartbeat-writer and age-reader use the SAME clock even when the
+    filesystem is remote; the driver wall clock is only the fallback
+    when the probe cannot be written (e.g. read-only mount), where the
+    documented assumption is driver/filesystem skew well under the
+    compact guard's ``max_age_s``."""
     fs, mk = _state_fs(spark, state_path)
     if fs is None:
         return None
@@ -117,7 +149,10 @@ def stream_heartbeat_age_s(spark: SparkSession, state_path: str) -> float | None
     if not fs.exists(p):
         return None
     mtime_ms = fs.getFileStatus(p).getModificationTime()
-    return max(0.0, time.time() - mtime_ms / 1000.0)
+    now_ms = _fs_now_ms(fs, mk, state_path)
+    if now_ms is None:
+        now_ms = int(time.time() * 1000)
+    return max(0.0, (now_ms - mtime_ms) / 1000.0)
 
 
 def _guard_compact_vs_stream(
@@ -406,11 +441,12 @@ class IncrementalNearDeduper:
         a crash mid-write re-runs the full rewrite from the intact
         legacy files, and a crash mid-delete skips the rewrite (marker
         present) and only finishes the deletes — no partial-legacy
-        re-migration can ever drop rows. Classic sessions only (Hadoop
-        FS listing); Spark Connect sessions predate no v1 state. The
-        probe memoizes per instance: legacy files can only exist BEFORE
-        this instance's first state access (every writer since v2
-        writes subdirs), so one root listing per deduper suffices.
+        re-migration can ever drop rows. The migration itself is
+        classic-session-only (Hadoop FS listing + renames); Connect
+        sessions DETECT legacy state and refuse (below). The probe
+        memoizes per instance: legacy files can only exist BEFORE this
+        instance's first state access (every writer since v2 writes
+        subdirs), so one root listing per deduper suffices.
 
         Deployment constraint (documented, not detectable): retire every
         v1 writer BEFORE any v2 reader touches the state. A v1 writer
@@ -419,12 +455,48 @@ class IncrementalNearDeduper:
         overwrite is what makes crash-recovery idempotent (no v2 append
         can exist mid-migration from this codebase, because appends only
         run after migration completes), so mixed-version concurrent
-        writers are out of contract."""
+        writers are out of contract.
+
+        Spark Connect sessions cannot MIGRATE (no Hadoop FS handle for
+        the rename/delete protocol) but they can — and must — DETECT
+        legacy state: v1 ``process_batch`` fully supported Connect, so a
+        flat v1 state dir written by a Connect deployment is a
+        legitimate artifact, and silently proceeding as if state were
+        empty would re-admit previously-accepted near-duplicates while
+        appending v2 subdirs next to the un-migrated flat files (a later
+        classic-session migration would then OVERWRITE those appends
+        away — r8 advice). Detection is a glob read of ``*.parquet`` at
+        the state ROOT (matches only flat legacy files, never the v2
+        subdirs); any hit raises with instructions to migrate from a
+        classic session first."""
         if self._legacy_checked:
             return
         fs, mk = _state_fs(self.spark, self.state_path)
         if fs is None:
-            return
+            from pyspark.errors import AnalysisException
+
+            from streamy_db_spark.sources.files import is_missing_path_error
+
+            glob = self.state_path.rstrip("/") + "/*.parquet"
+            try:
+                self.spark.read.parquet(glob).schema  # force analysis
+            except AnalysisException as exc:
+                if is_missing_path_error(exc):
+                    # no flat files at the root: state is absent or
+                    # already v2 — same memoization contract as the
+                    # classic branch (every writer since v2 writes
+                    # subdirs, so legacy can only predate first access)
+                    self._legacy_checked = True
+                    return
+                raise
+            raise RuntimeError(
+                f"legacy (v1 flat) near-dedup state detected at "
+                f"{self.state_path}: this Spark Connect session cannot "
+                "run the v1->v2 migration (no filesystem handle for its "
+                "crash-safe rename protocol). Run any state access from "
+                "a classic (JVM-attached) session once to migrate, then "
+                "retry here."
+            )
         root = mk(self.state_path)
         if not fs.exists(root):
             # nothing written yet — but a LATER first write is still v2,

@@ -84,13 +84,90 @@ def read_sink(
     return _read()
 
 
+class _NearDedupSink:
+    """The callable ``near_dedup_sink`` returns: a ``foreachBatch``
+    function that ALSO owns the stream-lifetime heartbeat. The guard in
+    incremental._guard_compact_vs_stream reasons 'a fresh heartbeat
+    means a live stream owns this state dir' — so the heartbeat must be
+    fresh for the STREAM's lifetime, not just while a micro-batch body
+    is executing: with only per-batch keepers, a stream whose trigger
+    interval exceeds the guard's max age looks dead between triggers,
+    and a compaction started there can be mid write-then-swap when the
+    next batch fires (r8 advice — silent dedup-state loss). The
+    lifetime keeper starts at construction and runs until ``close()``
+    (or context-manager exit); until then, ``compact_state`` on this
+    state dir refuses without ``force=True`` — which is exactly the
+    ownership semantics the guard promises. Stop the query, then
+    ``close()`` the sink, then compact."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        out_dir: str,
+        id_col: str = "doc_id",
+        sig_threshold: float = 0.5,
+        lifetime_heartbeat: bool = True,
+        heartbeat_interval_s: float = 60.0,
+    ):
+        from streamy_db_spark.operators.incremental import (
+            IncrementalNearDeduper,
+            stream_heartbeat_keeper,
+        )
+
+        self._spark = spark
+        self._state_path = state_path
+        self._deduper = IncrementalNearDeduper(
+            spark, state_path, id_col=id_col, sig_threshold=sig_threshold
+        )
+        self._write = idempotent_parquet_sink(out_dir)
+        self._keeper_cls = stream_heartbeat_keeper
+        self._hb_interval_s = heartbeat_interval_s
+        self._lifetime_keeper = None
+        if lifetime_heartbeat:
+            self._lifetime_keeper = stream_heartbeat_keeper(
+                spark, state_path, interval_s=heartbeat_interval_s
+            ).__enter__()
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # batch_id disambiguates crash-replay (same id ⇒ re-emit the
+        # original output, sink overwrites with identical content) from
+        # an upstream re-send in a LATER batch (dropped, never
+        # duplicated into a new batch directory). The per-batch keeper
+        # is kept even under the lifetime keeper as defense in depth
+        # for lifetime_heartbeat=False callers (it bounds heartbeat
+        # staleness DURING a long batch to the keeper interval).
+        with self._keeper_cls(
+            self._spark, self._state_path, interval_s=self._hb_interval_s
+        ):
+            self._write(
+                self._deduper.process_batch(batch_df, batch_id=batch_id),
+                batch_id,
+            )
+
+    def close(self) -> None:
+        """Release stream ownership: stop the lifetime heartbeat so a
+        (sufficiently aged-out) compact_state can run. Idempotent."""
+        if self._lifetime_keeper is not None:
+            self._lifetime_keeper.__exit__(None, None, None)
+            self._lifetime_keeper = None
+
+    def __enter__(self) -> "_NearDedupSink":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def near_dedup_sink(
     spark: SparkSession,
     state_path: str,
     out_dir: str,
     id_col: str = "doc_id",
     sig_threshold: float = 0.5,
-) -> Callable[[DataFrame, int], None]:
+    lifetime_heartbeat: bool = True,
+    heartbeat_interval_s: float = 60.0,
+) -> _NearDedupSink:
     """Streaming near-dup admission as a ``foreachBatch`` function — the
     Structured Streaming twin of
     operators/incremental.IncrementalNearDeduper, completing the
@@ -106,29 +183,21 @@ def near_dedup_sink(
     content — no loss, no duplication. The state lives outside the
     Spark state store on purpose: the same parquet signatures serve
     batch backfill (IncrementalNearDeduper directly) and the live
-    stream, so both admit identical sets."""
-    from streamy_db_spark.operators.incremental import (
-        IncrementalNearDeduper,
-        stream_heartbeat_keeper,
+    stream, so both admit identical sets.
+
+    The returned object is callable (pass it to ``foreachBatch``) and
+    owns a STREAM-LIFETIME heartbeat on the state dir (see
+    _NearDedupSink): construction marks the state stream-owned;
+    ``close()`` — or using the sink as a context manager — releases it.
+    ``lifetime_heartbeat=False`` reverts to per-batch-only heartbeats,
+    which is only safe when the trigger interval is well under the
+    compact guard's ``stream_heartbeat_max_age_s`` (600 s default)."""
+    return _NearDedupSink(
+        spark,
+        state_path,
+        out_dir,
+        id_col=id_col,
+        sig_threshold=sig_threshold,
+        lifetime_heartbeat=lifetime_heartbeat,
+        heartbeat_interval_s=heartbeat_interval_s,
     )
-
-    deduper = IncrementalNearDeduper(
-        spark, state_path, id_col=id_col, sig_threshold=sig_threshold
-    )
-    write = idempotent_parquet_sink(out_dir)
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        # The keeper marks the state dir stream-owned for the WHOLE
-        # batch (touch at entry + a re-touch every 60 s from a daemon
-        # thread) so a concurrent compact_state refuses to swap files
-        # under this batch's reads however long the batch runs
-        # (incremental._guard_compact_vs_stream; r8 review — a single
-        # entry touch left batches longer than the guard's max age
-        # exposed). batch_id disambiguates crash-replay (same id ⇒
-        # re-emit the original output, sink overwrites with identical
-        # content) from an upstream re-send in a LATER batch (dropped,
-        # never duplicated into a new batch directory).
-        with stream_heartbeat_keeper(spark, state_path):
-            write(deduper.process_batch(batch_df, batch_id=batch_id), batch_id)
-
-    return process

@@ -576,3 +576,135 @@ def test_trivial_only_batch_appends_no_bands_commit(spark, tmp_path):
         ).collect()
     }
     assert nxt == {3}  # trivial re-send dropped, novel shingled doc admits
+
+
+def _write_legacy_flat_state(spark, p):
+    """A ≤r7 flat (v1) state dir for accepted docs {1: BASE, 2: ALT},
+    exactly as r7 process_batch would have written it."""
+    from streamy_db_spark.operators.minhash import (
+        band_hashes,
+        minhash_signature,
+        with_shingles,
+    )
+
+    docs = _docs(spark, [(1, BASE), (2, ALT)])
+    sigs = (
+        with_shingles(docs)
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", minhash_signature(F.col("shingles")).alias("sig"))
+        .withColumn("bands", band_hashes(F.col("sig")))
+        .withColumn("batch_seq", F.lit(0).cast("long"))
+    )
+    sigs.write.mode("overwrite").parquet(str(p))
+
+
+def test_connect_session_refuses_legacy_flat_state(spark, tmp_path, monkeypatch):
+    """Under Spark Connect (no Hadoop FS handle) a v1 flat state dir
+    must RAISE, not read as empty: v1 fully supported Connect, so such
+    state is a legitimate deployment artifact, and proceeding as if the
+    corpus were never seen would re-admit near-duplicates and strand v2
+    appends for a later migration's OVERWRITE to discard (r8 advice)."""
+    import pytest
+
+    from streamy_db_spark.operators import incremental
+
+    p = tmp_path / "state"
+    _write_legacy_flat_state(spark, p)
+
+    monkeypatch.setattr(incremental, "_state_fs", lambda s, pth: (None, None))
+    d = IncrementalNearDeduper(spark, str(p))
+    with pytest.raises(RuntimeError, match="classic"):
+        d.process_batch(_docs(spark, B2), batch_id=1)
+    # state untouched: no v2 subdirs were created next to the flat files
+    assert not (p / "ids").exists() and not (p / "bands").exists()
+    assert list(p.glob("*.parquet"))
+
+
+def test_connect_session_proceeds_on_v2_or_empty_state(spark, tmp_path, monkeypatch):
+    """The Connect legacy probe must not false-positive: v2 state (subdirs
+    only) and never-written state both proceed normally."""
+    from streamy_db_spark.operators import incremental
+
+    # build v2 state with a classic session first
+    p = tmp_path / "state"
+    d0 = IncrementalNearDeduper(spark, str(p))
+    assert {
+        r.doc_id for r in d0.process_batch(_docs(spark, B1), batch_id=0).collect()
+    } == {1, 2, 4}
+
+    monkeypatch.setattr(incremental, "_state_fs", lambda s, pth: (None, None))
+    d = IncrementalNearDeduper(spark, str(p))
+    out = {r.doc_id for r in d.process_batch(_docs(spark, B2), batch_id=1).collect()}
+    assert out == {11}  # same verdict as a classic session would give
+
+    d_empty = IncrementalNearDeduper(spark, str(tmp_path / "fresh"))
+    out0 = {
+        r.doc_id
+        for r in d_empty.process_batch(_docs(spark, B3), batch_id=0).collect()
+    }
+    assert out0 == {20, 21}
+
+
+def test_heartbeat_age_uses_filesystem_clock(spark, tmp_path, monkeypatch):
+    """stream_heartbeat_age_s derives 'now' from the filesystem's own
+    clock (probe-file mtime), so driver-vs-filesystem clock skew cannot
+    make a live stream look stale (r8 advice): with the driver clock
+    skewed two hours ahead, a just-touched heartbeat still reads ~0s."""
+    import time as real_time
+
+    from streamy_db_spark.operators import incremental
+
+    p = tmp_path / "state"
+    p.mkdir()
+    incremental.touch_stream_heartbeat(spark, str(p))
+
+    class _SkewedTime:
+        @staticmethod
+        def time() -> float:
+            return real_time.time() + 7200.0
+
+    monkeypatch.setattr(incremental, "time", _SkewedTime)
+    age = incremental.stream_heartbeat_age_s(spark, str(p))
+    assert age is not None and age < 60.0  # FS clock, not the skewed driver
+    # the probe file must not linger in the state dir
+    assert not list(p.glob("_hb_probe_*"))
+
+
+def test_sink_lifetime_heartbeat_owns_state_between_triggers(spark, tmp_path):
+    """The near_dedup_sink heartbeat must be fresh for the STREAM's
+    lifetime, not just while a micro-batch body runs: between triggers a
+    compact_state must still refuse, and close() releases ownership (r8
+    advice — a trigger interval longer than the guard's max age
+    otherwise opens the compact-vs-stream race)."""
+    import os
+    import time as _t
+
+    import pytest
+
+    state = tmp_path / "state"
+    from streamy_db_spark.streaming.sinks import near_dedup_sink
+
+    sink = near_dedup_sink(
+        spark, str(state), str(tmp_path / "out"), heartbeat_interval_s=0.2
+    )
+    try:
+        hb = state / "_stream_heartbeat"
+        assert hb.exists()  # ownership starts at construction
+        sink(_docs(spark, B1), 0)
+        # simulate a long idle gap between triggers: backdate the
+        # heartbeat and verify the lifetime keeper re-touches it with NO
+        # batch running
+        old = hb.stat().st_mtime - 3600
+        os.utime(hb, (old, old))
+        _t.sleep(0.6)
+        assert hb.stat().st_mtime > old + 3000
+        with pytest.raises(RuntimeError, match="compact_state refused"):
+            IncrementalNearDeduper(spark, str(state)).compact_state()
+    finally:
+        sink.close()
+    # after close() the heartbeat goes stale and compaction may proceed
+    hb = state / "_stream_heartbeat"
+    old = hb.stat().st_mtime - 3600
+    os.utime(hb, (old, old))
+    _t.sleep(0.5)  # a still-running keeper would re-touch within 0.2s
+    assert IncrementalNearDeduper(spark, str(state)).compact_state() > 0
