@@ -376,6 +376,12 @@ class IncrementalNearDeduper:
       PRE-EXPLODED (bkey = "<band>:<band_hash>", one row per band per
       accepted doc) so no per-batch posexplode of the corpus state ever
       runs again. ``compact_state`` re-clusters it on bkey.
+    - ``<state>/bands_index`` — (file, min_bkey, max_bkey): sidecar
+      written by ``compact_state`` (r9); the probe prunes bands/ files
+      whose bkey range holds none of the batch's band keys, so files
+      READ per micro-batch scale with the batch's bucket coverage, not
+      accepted-state size (``_bands_state_for_probe``). Advisory only:
+      a missing/stale index degrades to the full scan.
 
     Scale shape of the probe: the batch side (micro-batch-sized by
     construction) is BROADCAST into a hash join whose streamed side is
@@ -410,6 +416,7 @@ class IncrementalNearDeduper:
         id_col: str = "doc_id",
         sig_threshold: float = 0.5,
         broadcast_batch_max_docs: int = 200_000,
+        prune_max_docs: int = 50_000,
     ):
         self.spark = spark
         self.state_path = state_path
@@ -420,8 +427,20 @@ class IncrementalNearDeduper:
         # ~140 MB — micro-batches are far below it, giant backfill
         # batches fall back to the shuffle join.
         self.broadcast_batch_max_docs = broadcast_batch_max_docs
+        # File-level probe pruning is attempted for batches up to this
+        # size (collecting ≤ 4×N distinct bkeys to the driver, ~35 B
+        # each — 50k docs ⇒ ≤7 MB). Above it the batch's band coverage
+        # saturates every file range anyway (uniform md5 keys), so the
+        # collect would be pure overhead. 0 disables pruning.
+        self.prune_max_docs = prune_max_docs
+        #: Scan accounting of the LAST probe (None when the last probe
+        #: did not attempt pruning): {"files_total", "files_read",
+        #: "files_pruned"} — the observable tests/test_probe_pruning.py
+        #: gates on.
+        self.last_probe_scan: dict | None = None
         self._ids_path = state_path.rstrip("/") + "/ids"
         self._bands_path = state_path.rstrip("/") + "/bands"
+        self._index_path = state_path.rstrip("/") + "/bands_index"
         self._legacy_checked = False
 
     def _ids(self) -> DataFrame | None:
@@ -610,6 +629,119 @@ class IncrementalNearDeduper:
             la.join(rb, "bkey").filter(F.col("id_a") != F.col("id_b"))
         )
 
+    def _bands_state_for_probe(
+        self, sigs: DataFrame, n_batch_docs: int
+    ) -> DataFrame | None:
+        """The bands/ scan for this batch's probe, FILE-PRUNED when the
+        compaction-time range index allows it (r8 verdict item 1: the v2
+        probe shuffles nothing but still READ all of bands/ every
+        micro-batch — at 1B accepted docs a multi-TB sequential read per
+        batch). compact_state re-clusters bands/ on bkey, so each
+        compacted file covers a DISJOINT bkey range; it then persists
+        those per-file (min_bkey, max_bkey) ranges to bands_index/. The
+        probe collects the batch's distinct bkeys (bounded:
+        ≤ 4 × ``prune_max_docs`` ~35 B strings) and keeps only the files
+        whose range contains at least one of them — files read scale
+        with the batch's bucket coverage, not accepted-state size.
+
+        Never loses candidates, only over-reads, by construction:
+
+        - files NOT in the index (appends since the last compaction, or
+          a crash between the compaction swap and the index write that
+          left the index referencing vanished names) are ALWAYS read;
+        - an indexed file's [min, max] brackets every bkey it contains
+          (computed by scanning the file itself), so range-miss ⇒ no
+          row in that file can join this batch;
+        - no index, oversized batch (``prune_max_docs``), or a Spark
+          Connect session (no FS listing) ⇒ the full-directory scan,
+          exactly the pre-r9 behavior.
+
+        Returns None when pruning PROVES zero overlap (no file can hold
+        a batch bkey) — semantically identical to 'no banded state'.
+        ``last_probe_scan`` records the file accounting whenever
+        pruning was attempted."""
+        self.last_probe_scan = None
+        full = self._state_bands()
+        if full is None:
+            return None
+        if not (0 < n_batch_docs <= self.prune_max_docs):
+            return full
+        fs, mk = _state_fs(self.spark, self._bands_path)
+        if fs is None:
+            return full
+        index = _read_state(self.spark, self._index_path)
+        if index is None:
+            return full
+        try:
+            listing = fs.listStatus(mk(self._bands_path))
+        except Exception:  # noqa: BLE001 - degraded mode: full scan
+            return full
+        files = [
+            st.getPath()
+            for st in listing
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        ]
+        ranges = {
+            r["file"]: (r["min_bkey"], r["max_bkey"]) for r in index.collect()
+        }
+        import bisect
+
+        bkeys = sorted(
+            r["bkey"]
+            for r in self._explode_bands(sigs, "id_a", "sig_a")
+            .select("bkey")
+            .distinct()
+            .collect()
+        )
+        keep: list[str] = []
+        for p in files:
+            rng = ranges.get(p.getName())
+            if rng is None:
+                keep.append(p.toString())  # unindexed: must read
+                continue
+            lo, hi = rng
+            i = bisect.bisect_left(bkeys, lo)
+            if i < len(bkeys) and bkeys[i] <= hi:
+                keep.append(p.toString())
+        self.last_probe_scan = {
+            "files_total": len(files),
+            "files_read": len(keep),
+            "files_pruned": len(files) - len(keep),
+        }
+        if not keep:
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(*keep)
+
+    def _write_bands_index(self) -> None:
+        """Persist per-file (min_bkey, max_bkey) of the just-compacted
+        bands/ to bands_index/ — the sidecar ``_bands_state_for_probe``
+        prunes with. Written AFTER the compaction swap on purpose: a
+        crash in between leaves an index whose file names no longer
+        exist, which degrades to a full scan, never to a missed
+        candidate. The index is tiny (one row per state file) and the
+        scan to build it is free in context — compaction just rewrote
+        every row anyway."""
+        bands = _read_state(self.spark, self._bands_path)
+        fs, mk = _state_fs(self.spark, self.state_path)
+        if bands is None:
+            if fs is not None:  # drop a stale index alongside dead state
+                fs.delete(mk(self._index_path), True)
+            return
+        (
+            bands.groupBy(
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("file")
+            )
+            .agg(
+                F.min("bkey").alias("min_bkey"),
+                F.max("bkey").alias("max_bkey"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(self._index_path)
+        )
+
     def _probe_join(self, sigs: DataFrame, n_batch_docs: int) -> DataFrame | None:
         """The batch↔accepted-state candidate join — THE operation whose
         v1 shape was the 100×-scale killer (r6/r7 verdict: posexplode +
@@ -617,10 +749,14 @@ class IncrementalNearDeduper:
         pre-exploded from bands/ and is the STREAMED side of a broadcast
         hash join on bkey — scanned once, hash-probed map-side, never
         shuffled or sorted (plan-gated in
-        tests/test_incremental_near_dedup.py). Batches above
+        tests/test_incremental_near_dedup.py). r9: the state scan is
+        additionally FILE-PRUNED via the compaction-time bkey-range
+        index (``_bands_state_for_probe``), so the per-batch read is
+        proportional to the batch's bucket coverage too. Batches above
         ``broadcast_batch_max_docs`` fall back to a shuffle join. None
-        when no banded state exists yet."""
-        state = self._state_bands()
+        when no banded state exists yet (or pruning proves zero
+        overlap)."""
+        state = self._bands_state_for_probe(sigs, n_batch_docs)
         if state is None:
             return None
         bb = self._explode_bands(sigs, "id_a", "sig_a")
@@ -802,6 +938,7 @@ class IncrementalNearDeduper:
         target_file_mb: int = 128,
         force: bool = False,
         stream_heartbeat_max_age_s: float = 600.0,
+        bands_min_files: int = 1,
     ) -> int:
         """Same maintenance pass as IncrementalDeduper.compact_state —
         one parquet directory per processed batch otherwise accumulates
@@ -811,12 +948,19 @@ class IncrementalNearDeduper:
         artifacts). bands/ is re-CLUSTERED on bkey while rewriting
         (range-partition + sort, sources/files.compact_parquet
         cluster_cols): each rewritten file then covers a disjoint bkey
-        range, restoring zone-map locality for the probe scan. Refuses
-        to run while a stream heartbeat on this state dir is fresh
-        (near_dedup_sink heartbeats every micro-batch) unless ``force``
-        — the write-then-swap would otherwise race in-flight
-        process_batch reads (r6 review). Returns the total output file
-        count across both components."""
+        range — and the per-file ranges are persisted to bands_index/
+        (``_write_bands_index``) so the per-batch probe can skip files
+        whose range holds none of the batch's band keys (r8 verdict:
+        the probe otherwise reads ALL of bands/ every micro-batch).
+        ``bands_min_files`` floors the bands/ output file count below
+        the size-derived one — finer files = finer pruning granularity
+        (and the test observable); at production state sizes the
+        128 MB-target term dominates. Refuses to run while a stream
+        heartbeat on this state dir is fresh (near_dedup_sink
+        heartbeats every micro-batch) unless ``force`` — the
+        write-then-swap would otherwise race in-flight process_batch
+        reads (r6 review). Returns the total output file count across
+        both components."""
         from streamy_db_spark.sources.files import compact_parquet
 
         _guard_compact_vs_stream(
@@ -824,9 +968,9 @@ class IncrementalNearDeduper:
         )
         self._migrate_legacy_state()
         total = 0
-        for path, cluster in (
-            (self._ids_path, None),
-            (self._bands_path, ["bkey"]),
+        for path, cluster, min_files in (
+            (self._ids_path, None, 1),
+            (self._bands_path, ["bkey"], bands_min_files),
         ):
             if _read_state(self.spark, path) is None:
                 continue
@@ -837,5 +981,7 @@ class IncrementalNearDeduper:
                 cluster_cols=cluster,
                 dedupe_rows=True,
                 merge_schema=True,
+                min_files=min_files,
             )
+        self._write_bands_index()
         return total

@@ -215,6 +215,7 @@ def compact_parquet(
     cluster_cols: list[str] | None = None,
     dedupe_rows: bool = False,
     merge_schema: bool = False,
+    min_files: int = 1,
 ) -> int:
     """Rewrite a parquet directory into ~``target_file_mb`` files — the
     standard maintenance pass after streaming/incremental ingest leaves
@@ -250,8 +251,14 @@ def compact_parquet(
             raise IOError(
                 f"compact_parquet: cannot restore {path} from crashed swap"
             )
+    # ``min_files`` floors the output file count below the size-derived
+    # one — callers that rely on file-LEVEL pruning granularity (the
+    # near-dedup bands index) can keep files finer than target_file_mb
+    # would; at production state sizes the size term dominates anyway.
     total_bytes = fs.getContentSummary(hpath).getLength()
-    n_files = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
+    n_files = max(
+        min_files, 1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1
+    )
 
     df = spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
     if dedupe_rows:

@@ -189,7 +189,15 @@ def test_compact_state_preserves_near_dedup_verdicts(spark, tmp_path):
     seen_before = d.seen_count()
 
     n = d.compact_state()
-    assert len(list(p.rglob("*.parquet"))) == n <= before_files
+    # count the STATE components only — bands_index/ is a pruning
+    # sidecar compact_state also (re)writes, not compacted state
+    state_files = [
+        f
+        for sub in ("ids", "bands")
+        for f in (p / sub).rglob("*.parquet")
+    ]
+    assert len(state_files) == n <= before_files
+    assert (p / "bands_index").is_dir()  # the r9 probe-pruning sidecar
     assert d.seen_count() == seen_before
 
     # post-compaction verdicts unchanged: near-dup of an accepted doc

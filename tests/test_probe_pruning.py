@@ -1,0 +1,186 @@
+"""File-level pruning of the near-dedup probe's bands/ state scan (r8
+verdict item 1): compact_state persists per-file bkey ranges to
+bands_index/; the per-batch probe keeps only the files whose range can
+hold one of the batch's band keys, so files READ per micro-batch scale
+with the batch's bucket coverage, not accepted-state size. The gates
+here: pruning fires (files_read < files_total on a compacted
+multi-append state), verdicts are IDENTICAL to the unpruned scan, and a
+stale index (crash between compaction swap and index write) degrades to
+the full scan — never to a missed candidate. Plus the r8 verdict item 6
+forward-compat check: a FUTURE state column round-trips through probe +
+compact_state without stripping."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from streamy_db_spark.operators.incremental import IncrementalNearDeduper
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _corpus(n, start=0, tag="topic"):
+    """n mutually-distinct documents (no cross-doc near-dups)."""
+    return [
+        (
+            start + i,
+            f"document {tag} {i} covers subject {tag}{i} with tokens "
+            f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}",
+        )
+        for i in range(n)
+    ]
+
+
+def test_probe_prunes_files_and_matches_unpruned_verdicts(spark, tmp_path):
+    """On a compacted multi-file + fresh-append state, a small probe
+    batch reads a strict subset of bands/ files and returns exactly the
+    verdicts the full scan returns."""
+    state = tmp_path / "state"
+    d = IncrementalNearDeduper(spark, str(state))
+    base = _corpus(60)
+    assert d.process_batch(_docs(spark, base), batch_id=0).count() == 60
+    d.compact_state(bands_min_files=8, force=True)
+    assert (state / "bands_index").is_dir()
+
+    # multi-append: a post-compaction batch lands unindexed files
+    extra = _corpus(5, start=1000, tag="fresh")
+    assert d.process_batch(_docs(spark, extra), batch_id=1).count() == 5
+
+    # probe: exact-copy near-dups of one compacted-era and one
+    # append-era doc (new ids → they go through the banded probe, not
+    # membership) + one novel doc
+    probe = [
+        (5007, base[7][1]),
+        (5100, extra[2][1]),
+        (6000, "entirely novel content nothing shares these tokens at all"),
+    ]
+    out = {
+        r.doc_id for r in d.process_batch(_docs(spark, probe), batch_id=2).collect()
+    }
+    assert out == {6000}
+
+    scan = d.last_probe_scan
+    assert scan is not None, "pruning did not run on a prunable batch"
+    assert scan["files_total"] >= 6  # compaction actually made many files
+    assert scan["files_read"] < scan["files_total"]
+    assert scan["files_pruned"] >= 1
+
+    # parity: the SAME probe over a copy of the pre-probe state with
+    # pruning disabled gives identical verdicts (full-scan reference)
+    ref_state = tmp_path / "ref_state"
+    shutil.copytree(state, ref_state)
+    ref = IncrementalNearDeduper(spark, str(ref_state), prune_max_docs=0)
+    ref_out = {
+        r.doc_id
+        for r in ref.process_batch(_docs(spark, probe), batch_id=2).collect()
+    }
+    assert ref_out == out
+    assert ref.last_probe_scan is None  # pruning disabled ⇒ no accounting
+
+
+def test_stale_index_degrades_to_full_scan(spark, tmp_path):
+    """A crash between the compaction swap and the index write leaves an
+    index naming files that no longer exist. Every actual file is then
+    unindexed ⇒ all read (files_read == files_total), verdicts intact —
+    the failure mode is over-reading, never a missed candidate."""
+    state = tmp_path / "state"
+    d = IncrementalNearDeduper(spark, str(state))
+    base = _corpus(40)
+    d.process_batch(_docs(spark, base), batch_id=0).count()
+    d.compact_state(bands_min_files=6, force=True)
+
+    # simulate the crash: index rows point at names the swap replaced
+    idx_path = str(state / "bands_index")
+    stale = [
+        ("gone-" + r["file"], r["min_bkey"], r["max_bkey"])
+        for r in spark.read.parquet(idx_path).collect()
+    ]
+    spark.createDataFrame(
+        stale, "file string, min_bkey string, max_bkey string"
+    ).write.mode("overwrite").parquet(idx_path)
+
+    probe = [(5003, base[3][1]), (6000, "wholly new words beyond any overlap")]
+    out = {
+        r.doc_id for r in d.process_batch(_docs(spark, probe), batch_id=1).collect()
+    }
+    assert out == {6000}
+    scan = d.last_probe_scan
+    assert scan is not None
+    assert scan["files_read"] == scan["files_total"]  # degraded, not wrong
+    assert scan["files_pruned"] == 0
+
+
+def test_missing_index_and_oversized_batch_take_full_scan(spark, tmp_path):
+    """No bands_index (never compacted) or a batch above prune_max_docs:
+    the probe silently takes the full-directory scan — the exact pre-r9
+    behavior — and records no scan accounting."""
+    state = tmp_path / "state"
+    d = IncrementalNearDeduper(spark, str(state), prune_max_docs=2)
+    base = _corpus(10)
+    d.process_batch(_docs(spark, base), batch_id=0).count()
+
+    # never compacted ⇒ no index; batch of 3 > prune_max_docs=2 anyway
+    probe = _corpus(3, start=500, tag="other") + [(900, base[1][1])]
+    out = {
+        r.doc_id for r in d.process_batch(_docs(spark, probe), batch_id=1).collect()
+    }
+    assert out == {500, 501, 502}
+    assert d.last_probe_scan is None
+
+
+def test_future_state_columns_survive_probe_and_compaction(spark, tmp_path):
+    """r8 verdict item 6: a FUTURE column appended to ids/ and bands/
+    (simulating a v3 writer) must round-trip through process_batch and
+    compact_state without being stripped — the same mergeSchema
+    discipline that caught the r6 single-footer hole, now exercised
+    FORWARD."""
+    state = tmp_path / "state"
+    d = IncrementalNearDeduper(spark, str(state))
+    base = _corpus(8)
+    d.process_batch(_docs(spark, base), batch_id=0).count()
+
+    # v3-era appends carrying an extra column
+    spark.createDataFrame(
+        [(999_999, 7, "future-meta")],
+        "doc_id long, batch_seq long, v3_extra string",
+    ).write.mode("append").parquet(str(state / "ids"))
+    sig = list(range(16))
+    spark.createDataFrame(
+        [("0:ffffffffffffffffffffffffffffffff", 999_999, sig, "future-meta")],
+        "bkey string, doc_id long, sig array<long>, v3_extra string",
+    ).write.mode("append").parquet(str(state / "bands"))
+
+    # probe still works over the mixed-schema state, and the v3 row's
+    # membership is honored (a re-send of 999999 in a LATER batch drops)
+    out = {
+        r.doc_id
+        for r in d.process_batch(
+            _docs(
+                spark,
+                [(999_999, "whatever text"), (700, "genuinely new tokens here")],
+            ),
+            batch_id=1,
+        ).collect()
+    }
+    assert out == {700}
+
+    d.compact_state(force=True)
+    assert "v3_extra" in spark.read.option("mergeSchema", "true").parquet(
+        str(state / "ids")
+    ).columns
+    bands_cols = spark.read.option("mergeSchema", "true").parquet(
+        str(state / "bands")
+    ).columns
+    assert "v3_extra" in bands_cols
+    # the v3 rows themselves survived the rewrite
+    assert (
+        spark.read.option("mergeSchema", "true")
+        .parquet(str(state / "ids"))
+        .filter(F.col("v3_extra") == "future-meta")
+        .count()
+        == 1
+    )
