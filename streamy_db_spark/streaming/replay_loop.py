@@ -221,6 +221,166 @@ def run_streaming_replay(
     return verdicts
 
 
+def run_streaming_replay_continuous(
+    spark,
+    txns,
+    tmp,
+    timeout_s: float = 600.0,
+    trigger_interval: str = "500 milliseconds",
+    heartbeat_interval_s: float = 1.0,
+    watermark_delay: str = "1 hour",
+    stats: dict | None = None,
+):
+    """The same file-coupled topology as ``run_streaming_replay`` with
+    the three queries CONTINUOUSLY RUNNING (one ``start()`` each,
+    processingTime triggers) instead of one availableNow restart per
+    feedback round — the deployment shape of the reference's actual
+    pipeline (flink/StreamyDb.scala:239 blocking execute), and the form
+    that measures the ENGINE rather than the harness: the availableNow
+    loop pays ~3-4 s of query start/stop per round × 3 queries × ~13
+    rounds at 10k txns, which dominates its wall time (r8 verdict item
+    2). Feedback flows through the directories automatically — each
+    file source discovers the other queries' newly-committed files on
+    its next trigger — and a driver-side heartbeat thread appends a
+    fresh-event-time row every ``heartbeat_interval_s`` so watermarks
+    advance while idle (reference D14, core/HeartBeatGenerator.scala:40
+    does exactly this every 5 s).
+
+    Returns the same verdict map (and optional ``stats``:
+    rounds-equivalent micro-batch counts per query) so the serial
+    oracle can gate it like the availableNow form."""
+    import threading
+    import time as _t
+
+    d = {n: os.path.join(tmp, n) for n in
+         ("input", "feedback", "read_results", "results", "ckpt")}
+    os.makedirs(d["feedback"], exist_ok=True)
+    os.makedirs(d["read_results"], exist_ok=True)
+    os.makedirs(d["results"], exist_ok=True)
+
+    txn_df = fixtures.to_dataframe(spark, txns)
+    txn_df.write.mode("overwrite").parquet(d["input"])
+    n_txns = txn_df.select("transaction_id").distinct().count()
+
+    requests_dir = os.path.join(tmp, "requests")
+    es.derive_key_messages(spark.read.parquet(d["input"])).write.mode(
+        "overwrite"
+    ).parquet(requests_dir)
+
+    stop_hb = threading.Event()
+    hb_err: list[Exception] = []
+
+    def heartbeats() -> None:
+        n = 0
+        while not stop_hb.wait(heartbeat_interval_s):
+            try:
+                write_heartbeat(spark, requests_dir, n)
+                n += 1
+            except Exception as exc:  # noqa: BLE001 - surfaced after the loop
+                hb_err.append(exc)
+                return
+
+    write_heartbeat(spark, requests_dir, 99_999)  # one pre-start beat
+    hb_thread = threading.Thread(target=heartbeats, daemon=True)
+    hb_thread.start()
+
+    def start(df_stream, out_dir, ckpt_name):
+        return (
+            df_stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(d["ckpt"], ckpt_name))
+            .trigger(processingTime=trigger_interval)
+            .start()
+        )
+
+    queries = {}
+    try:
+        reqs = spark.readStream.schema(es.KEY_MSG).option(
+            "recursiveFileLookup", "true"
+        ).parquet(requests_dir)
+        fb = spark.readStream.schema(es.KEY_MSG).parquet(d["feedback"])
+        queries["key_stage"] = start(
+            es.key_stage(reqs.unionByName(fb), watermark=watermark_delay),
+            d["read_results"],
+            "key_stage",
+        )
+
+        bodies = es.derive_txn_bodies(
+            spark.readStream.schema(fixtures.schemas.TRANSACTION_LOG).parquet(
+                d["input"]
+            )
+        )
+        reads = es.read_results_as_txn_msgs(
+            spark.readStream.schema(es.READ_RESULT_OUT).parquet(d["read_results"])
+        )
+        queries["txn_stage"] = start(
+            es.txn_stage(bodies.unionByName(reads)), d["results"], "txn_stage"
+        )
+
+        res_stream = spark.readStream.schema(es.TXN_RESULT_OUT).parquet(
+            d["results"]
+        )
+        queries["feedback"] = start(
+            es.derive_feedback(res_stream), d["feedback"], "feedback"
+        )
+
+        deadline = _t.time() + timeout_s
+        n_done = 0
+        while _t.time() < deadline:
+            for name, q in queries.items():
+                exc = q.exception()
+                if exc is not None:
+                    raise RuntimeError(f"{name} query failed: {exc}")
+                if not q.isActive:
+                    raise RuntimeError(f"{name} query stopped unexpectedly")
+            if hb_err:
+                raise RuntimeError(f"heartbeat writer failed: {hb_err[0]}")
+            try:
+                n_done = (
+                    spark.read.schema(es.TXN_RESULT_OUT)
+                    .parquet(d["results"])
+                    .select("transaction_id")
+                    .distinct()
+                    .count()
+                )
+            except Exception:  # noqa: BLE001 - sink not committed yet
+                n_done = 0
+            if n_done >= n_txns:
+                break
+            _t.sleep(0.5)
+        else:
+            raise RuntimeError(
+                f"continuous replay timed out: {n_done}/{n_txns} verdicts "
+                f"after {timeout_s:.0f}s"
+            )
+        if stats is not None:
+            stats["batches"] = {
+                name: (q.lastProgress or {}).get("batchId")
+                for name, q in queries.items()
+            }
+    finally:
+        stop_hb.set()
+        for q in queries.values():
+            try:
+                q.stop()
+                q.awaitTermination(60)
+            except Exception:  # noqa: BLE001 - teardown best-effort
+                pass
+        hb_thread.join(timeout=10)
+
+    results_df = spark.read.schema(es.TXN_RESULT_OUT).parquet(d["results"]).select(
+        "transaction_id", "succeeded"
+    )
+    results = results_df.collect()
+    n_distinct = results_df.select("transaction_id").distinct().count()
+    if len(results) != n_distinct:
+        raise RuntimeError(
+            f"duplicate verdicts: {len(results)} rows for "
+            f"{n_distinct} transactions"
+        )
+    return {r["transaction_id"]: r["succeeded"] for r in results}
+
+
 def with_rocksdb(spark):
     """Context manager: RocksDB state store provider for queries started
     inside (picked up per-query from the session conf at stream start)."""

@@ -213,3 +213,26 @@ def test_streaming_state_drains_after_quiescence(spark, tmp_path):
         .collect()
     )
     assert txn_state == [], f"txn-stage state leaked: {txn_state}"
+
+
+def test_continuous_replay_matches_serial_oracle(spark, tmp_path):
+    """The CONTINUOUS form of the loop (one start per query,
+    processingTime triggers — the deployment shape bench.py records as
+    protocol_stream_10k_continuous) must produce the same verdicts as
+    the serial oracle: feedback flows through the directories with no
+    per-round query restarts, heartbeats advance the watermark from a
+    driver thread (reference D14 cadence)."""
+    from streamy_db_spark.streaming.replay_loop import (
+        run_streaming_replay_continuous,
+    )
+
+    txns = fixtures.generate("ref_smoke")
+    expected_results, _ = oracle.serial_replay(txns)
+    stats: dict = {}
+    got = run_streaming_replay_continuous(
+        spark, txns, str(tmp_path), timeout_s=300.0, stats=stats
+    )
+    assert got == expected_results
+    # all three queries actually cycled (continuous, not one-shot)
+    assert set(stats["batches"]) == {"key_stage", "txn_stage", "feedback"}
+    assert all(b is not None and b >= 1 for b in stats["batches"].values())
