@@ -50,7 +50,9 @@ def _state_fs(spark: SparkSession, path: str):
     return hadoop_fs(spark, path)
 
 
-def touch_stream_heartbeat(spark: SparkSession, state_path: str) -> None:
+def touch_stream_heartbeat(
+    spark: SparkSession, state_path: str, only_if_exists: bool = False
+) -> None:
     """Record 'a live stream owns this state dir right now'. Called by
     streaming/sinks.near_dedup_sink on EVERY micro-batch; compact_state
     refuses to run while the heartbeat is fresh (see
@@ -58,9 +60,14 @@ def touch_stream_heartbeat(spark: SparkSession, state_path: str) -> None:
     write-then-swap could rename state files out from under an in-flight
     ``process_batch``. The file's mtime IS the signal; the epoch-seconds
     content is for humans debugging a refused compaction. No-op under
-    Spark Connect, where compact_state cannot run anyway."""
+    Spark Connect, where compact_state cannot run anyway.
+    ``only_if_exists`` skips the touch when the state root is missing —
+    periodic keeper RE-touches use it so a background heartbeat can
+    never resurrect a state directory its owner deleted (r9 review)."""
     fs, mk = _state_fs(spark, state_path)
     if fs is None:
+        return
+    if only_if_exists and not fs.exists(mk(state_path)):
         return
     p = mk(state_path.rstrip("/") + "/" + STREAM_HEARTBEAT)
     out = fs.create(p, True)
@@ -93,7 +100,10 @@ class stream_heartbeat_keeper:
         def beat() -> None:
             while not self._stop.wait(self.interval_s):
                 try:
-                    touch_stream_heartbeat(self.spark, self.state_path)
+                    # re-touches never resurrect a deleted state dir
+                    touch_stream_heartbeat(
+                        self.spark, self.state_path, only_if_exists=True
+                    )
                 except Exception:  # noqa: BLE001 - next beat retries
                     pass
 
@@ -441,6 +451,8 @@ class IncrementalNearDeduper:
         self._ids_path = state_path.rstrip("/") + "/ids"
         self._bands_path = state_path.rstrip("/") + "/bands"
         self._index_path = state_path.rstrip("/") + "/bands_index"
+        # "unset" = not yet loaded; None = no usable index; dict = ranges
+        self._index_cache: dict[str, tuple[str, str]] | None | str = "unset"
         self._legacy_checked = False
 
     def _ids(self) -> DataFrame | None:
@@ -669,8 +681,8 @@ class IncrementalNearDeduper:
         fs, mk = _state_fs(self.spark, self._bands_path)
         if fs is None:
             return full
-        index = _read_state(self.spark, self._index_path)
-        if index is None:
+        ranges = self._index_ranges()
+        if ranges is None:
             return full
         try:
             listing = fs.listStatus(mk(self._bands_path))
@@ -681,9 +693,6 @@ class IncrementalNearDeduper:
             for st in listing
             if st.isFile() and st.getPath().getName().endswith(".parquet")
         ]
-        ranges = {
-            r["file"]: (r["min_bkey"], r["max_bkey"]) for r in index.collect()
-        }
         import bisect
 
         bkeys = sorted(
@@ -712,6 +721,37 @@ class IncrementalNearDeduper:
             return None
         return self.spark.read.option("mergeSchema", "true").parquet(*keep)
 
+    def _index_ranges(self) -> dict[str, tuple[str, str]] | None:
+        """The bands_index contents as {file basename: (min_bkey,
+        max_bkey)}, or None when unusable (absent, torn by a killed
+        compaction, unreadable) — the index is ADVISORY, so any failure
+        here must cost a full scan, never a failed micro-batch (review
+        finding: _read_state propagates non-missing-path errors by
+        design, which is right for real state and wrong for a sidecar).
+        Memoized per instance: the index only changes when THIS
+        instance's compact_state rewrites it (live-stream compaction by
+        another process is excluded by the heartbeat guard), and a
+        stale cache is safe anyway — old names drop out of the
+        directory listing and new files read as unindexed. Without the
+        memo every 500 ms-trigger micro-batch would pay a Spark read +
+        driver collect of the index (review finding)."""
+        if self._index_cache != "unset":
+            return self._index_cache
+        try:
+            index = _read_state(self.spark, self._index_path)
+            ranges = (
+                None
+                if index is None
+                else {
+                    r["file"]: (r["min_bkey"], r["max_bkey"])
+                    for r in index.collect()
+                }
+            )
+        except Exception:  # noqa: BLE001 - advisory sidecar: degrade
+            ranges = None
+        self._index_cache = ranges
+        return ranges
+
     def _write_bands_index(self) -> None:
         """Persist per-file (min_bkey, max_bkey) of the just-compacted
         bands/ to bands_index/ — the sidecar ``_bands_state_for_probe``
@@ -721,6 +761,7 @@ class IncrementalNearDeduper:
         candidate. The index is tiny (one row per state file) and the
         scan to build it is free in context — compaction just rewrote
         every row anyway."""
+        self._index_cache = "unset"  # whatever happens below changes it
         bands = _read_state(self.spark, self._bands_path)
         fs, mk = _state_fs(self.spark, self.state_path)
         if bands is None:

@@ -32,6 +32,78 @@ def write_heartbeat(spark, requests_dir: str, n: int) -> None:
     )
 
 
+def _loop_dirs(spark, txns, tmp):
+    """Shared topology setup for BOTH loop drivers (availableNow and
+    continuous — extracted so the bench surface and the correctness
+    harness can never drift, r9 review): the four 'topic' directories,
+    the materialized transaction log, and the derived request stream.
+    Returns (dirs, requests_dir, n_txns)."""
+    d = {n: os.path.join(tmp, n) for n in
+         ("input", "feedback", "read_results", "results", "ckpt")}
+    os.makedirs(d["feedback"], exist_ok=True)
+    os.makedirs(d["read_results"], exist_ok=True)
+    os.makedirs(d["results"], exist_ok=True)
+
+    txn_df = fixtures.to_dataframe(spark, txns)
+    txn_df.write.mode("overwrite").parquet(d["input"])
+    n_txns = txn_df.select("transaction_id").distinct().count()
+
+    # Heartbeat "partition" dir structure: requests + heartbeats co-located.
+    requests_dir = os.path.join(tmp, "requests")
+    es.derive_key_messages(spark.read.parquet(d["input"])).write.mode(
+        "overwrite"
+    ).parquet(requests_dir)
+    return d, requests_dir, n_txns
+
+
+def _key_stage_stream(spark, d, requests_dir, watermark_delay=None, throttle=None):
+    """Q1 — key stage: requests+heartbeats ∪ feedback → S1+S2."""
+    reqs = spark.readStream.schema(es.KEY_MSG).option(
+        "recursiveFileLookup", "true"
+    ).options(**(throttle or {})).parquet(requests_dir)
+    fb = spark.readStream.schema(es.KEY_MSG).parquet(d["feedback"])
+    merged = reqs.unionByName(fb)
+    if watermark_delay is None:
+        return es.key_stage(merged)
+    return es.key_stage(merged, watermark=watermark_delay)
+
+
+def _txn_stage_stream(spark, d):
+    """Q2 — txn stage: bodies ∪ read-results → S3."""
+    bodies = es.derive_txn_bodies(
+        spark.readStream.schema(fixtures.schemas.TRANSACTION_LOG).parquet(
+            d["input"]
+        )
+    )
+    reads = es.read_results_as_txn_msgs(
+        spark.readStream.schema(es.READ_RESULT_OUT).parquet(d["read_results"])
+    )
+    return es.txn_stage(bodies.unionByName(reads))
+
+
+def _feedback_stream(spark, d):
+    """Q3 — feedback derivation (stateless D5)."""
+    return es.derive_feedback(
+        spark.readStream.schema(es.TXN_RESULT_OUT).parquet(d["results"])
+    )
+
+
+def _collect_verdicts(spark, d):
+    """Final verdict map with the one-verdict-per-transaction invariant
+    (explicit raise: survives python -O, unlike assert — r8 review)."""
+    results_df = spark.read.schema(es.TXN_RESULT_OUT).parquet(d["results"]).select(
+        "transaction_id", "succeeded"
+    )
+    results = results_df.collect()
+    n_distinct = results_df.select("transaction_id").distinct().count()
+    if len(results) != n_distinct:
+        raise RuntimeError(
+            f"duplicate verdicts: {len(results)} rows for "
+            f"{n_distinct} transactions"
+        )
+    return {r["transaction_id"]: r["succeeded"] for r in results}
+
+
 def run_streaming_replay(
     spark,
     txns,
@@ -60,22 +132,7 @@ def run_streaming_replay(
     requests enter in one batch, before any watermark advance. This is
     the same sizing rule production needs for out-of-order sources —
     engine_stream._admit's docstring says exactly this."""
-    d = {n: os.path.join(tmp, n) for n in
-         ("input", "feedback", "read_results", "results", "ckpt")}
-    os.makedirs(d["feedback"], exist_ok=True)
-    os.makedirs(d["read_results"], exist_ok=True)
-    os.makedirs(d["results"], exist_ok=True)
-
-    txn_df = fixtures.to_dataframe(spark, txns)
-    txn_df.write.mode("overwrite").parquet(d["input"])
-    n_txns = txn_df.select("transaction_id").distinct().count()
-
-    # Heartbeat "partition" dir structure: requests + heartbeats co-located.
-    requests_dir = os.path.join(tmp, "requests")
-    es.derive_key_messages(spark.read.parquet(d["input"])).write.mode(
-        "overwrite"
-    ).parquet(requests_dir)
-
+    d, requests_dir, n_txns = _loop_dirs(spark, txns, tmp)
     schema_results = es.TXN_RESULT_OUT
 
     def run_once(df_stream, out_dir, ckpt_name):
@@ -119,41 +176,20 @@ def run_streaming_replay(
     for rnd in range(max_rounds):
         write_heartbeat(spark, requests_dir, rnd)
 
-        # Q1 — key stage: requests+heartbeats ∪ feedback → S1+S2.
-        throttle = {"maxFilesPerTrigger": "1"} if rnd in interrupt_rounds else {}
-        reqs = spark.readStream.schema(es.KEY_MSG).option(
-            "recursiveFileLookup", "true"
-        ).options(**throttle).parquet(requests_dir)
-        fb = spark.readStream.schema(es.KEY_MSG).parquet(d["feedback"])
+        throttle = (
+            {"maxFilesPerTrigger": "1"} if rnd in interrupt_rounds else None
+        )
+        key_df = _key_stage_stream(
+            spark, d, requests_dir, watermark_delay, throttle
+        )
         if rnd in interrupt_rounds:
-            run_and_kill(
-                es.key_stage(reqs.unionByName(fb), watermark=watermark_delay),
-                d["read_results"],
-                "key_stage",
-            )
+            run_and_kill(key_df, d["read_results"], "key_stage")
             # Crash landed mid-round; the NEXT round restarts the query
             # from the same checkpoint and finishes the remaining files.
             continue
-        run_once(
-            es.key_stage(reqs.unionByName(fb), watermark=watermark_delay),
-            d["read_results"],
-            "key_stage",
-        )
-
-        # Q2 — txn stage: bodies ∪ read-results → S3.
-        bodies = es.derive_txn_bodies(
-            spark.readStream.schema(fixtures.schemas.TRANSACTION_LOG).parquet(
-                d["input"]
-            )
-        )
-        reads = es.read_results_as_txn_msgs(
-            spark.readStream.schema(es.READ_RESULT_OUT).parquet(d["read_results"])
-        )
-        run_once(es.txn_stage(bodies.unionByName(reads)), d["results"], "txn_stage")
-
-        # Q3 — feedback derivation (stateless D5).
-        res_stream = spark.readStream.schema(schema_results).parquet(d["results"])
-        run_once(es.derive_feedback(res_stream), d["feedback"], "feedback")
+        run_once(key_df, d["read_results"], "key_stage")
+        run_once(_txn_stage_stream(spark, d), d["results"], "txn_stage")
+        run_once(_feedback_stream(spark, d), d["feedback"], "feedback")
 
         try:
             n_done = (
@@ -188,34 +224,18 @@ def run_streaming_replay(
                     os.path.join(d["feedback"], f"dup_{f}"),
                 )
         write_heartbeat(spark, requests_dir, 10_000)
-        reqs = spark.readStream.schema(es.KEY_MSG).option(
-            "recursiveFileLookup", "true"
-        ).parquet(requests_dir)
-        fb = spark.readStream.schema(es.KEY_MSG).parquet(d["feedback"])
-        run_once(es.key_stage(reqs.unionByName(fb)), d["read_results"], "key_stage")
-        bodies = es.derive_txn_bodies(
-            spark.readStream.schema(fixtures.schemas.TRANSACTION_LOG).parquet(
-                d["input"]
-            )
+        # default (0 s) watermark on purpose: all request files were
+        # already admitted in earlier rounds; this pass only drains the
+        # duplicated feedback
+        run_once(
+            _key_stage_stream(spark, d, requests_dir),
+            d["read_results"],
+            "key_stage",
         )
-        reads = es.read_results_as_txn_msgs(
-            spark.readStream.schema(es.READ_RESULT_OUT).parquet(d["read_results"])
-        )
-        run_once(es.txn_stage(bodies.unionByName(reads)), d["results"], "txn_stage")
+        run_once(_txn_stage_stream(spark, d), d["results"], "txn_stage")
 
-    results_df = spark.read.schema(schema_results).parquet(d["results"]).select(
-        "transaction_id", "succeeded"
-    )
-    results = results_df.collect()
     # one verdict per transaction, ever — even under redelivery
-    # (explicit raise: survives python -O, unlike assert — r8 review)
-    n_distinct = results_df.select("transaction_id").distinct().count()
-    if len(results) != n_distinct:
-        raise RuntimeError(
-            f"duplicate verdicts: {len(results)} rows for "
-            f"{n_distinct} transactions"
-        )
-    verdicts = {r["transaction_id"]: r["succeeded"] for r in results}
+    verdicts = _collect_verdicts(spark, d)
     if return_dirs:
         return verdicts, d, requests_dir
     return verdicts
@@ -252,20 +272,7 @@ def run_streaming_replay_continuous(
     import threading
     import time as _t
 
-    d = {n: os.path.join(tmp, n) for n in
-         ("input", "feedback", "read_results", "results", "ckpt")}
-    os.makedirs(d["feedback"], exist_ok=True)
-    os.makedirs(d["read_results"], exist_ok=True)
-    os.makedirs(d["results"], exist_ok=True)
-
-    txn_df = fixtures.to_dataframe(spark, txns)
-    txn_df.write.mode("overwrite").parquet(d["input"])
-    n_txns = txn_df.select("transaction_id").distinct().count()
-
-    requests_dir = os.path.join(tmp, "requests")
-    es.derive_key_messages(spark.read.parquet(d["input"])).write.mode(
-        "overwrite"
-    ).parquet(requests_dir)
+    d, requests_dir, n_txns = _loop_dirs(spark, txns, tmp)
 
     stop_hb = threading.Event()
     hb_err: list[Exception] = []
@@ -295,33 +302,16 @@ def run_streaming_replay_continuous(
 
     queries = {}
     try:
-        reqs = spark.readStream.schema(es.KEY_MSG).option(
-            "recursiveFileLookup", "true"
-        ).parquet(requests_dir)
-        fb = spark.readStream.schema(es.KEY_MSG).parquet(d["feedback"])
         queries["key_stage"] = start(
-            es.key_stage(reqs.unionByName(fb), watermark=watermark_delay),
+            _key_stage_stream(spark, d, requests_dir, watermark_delay),
             d["read_results"],
             "key_stage",
         )
-
-        bodies = es.derive_txn_bodies(
-            spark.readStream.schema(fixtures.schemas.TRANSACTION_LOG).parquet(
-                d["input"]
-            )
-        )
-        reads = es.read_results_as_txn_msgs(
-            spark.readStream.schema(es.READ_RESULT_OUT).parquet(d["read_results"])
-        )
         queries["txn_stage"] = start(
-            es.txn_stage(bodies.unionByName(reads)), d["results"], "txn_stage"
-        )
-
-        res_stream = spark.readStream.schema(es.TXN_RESULT_OUT).parquet(
-            d["results"]
+            _txn_stage_stream(spark, d), d["results"], "txn_stage"
         )
         queries["feedback"] = start(
-            es.derive_feedback(res_stream), d["feedback"], "feedback"
+            _feedback_stream(spark, d), d["feedback"], "feedback"
         )
 
         deadline = _t.time() + timeout_s
@@ -368,17 +358,7 @@ def run_streaming_replay_continuous(
                 pass
         hb_thread.join(timeout=10)
 
-    results_df = spark.read.schema(es.TXN_RESULT_OUT).parquet(d["results"]).select(
-        "transaction_id", "succeeded"
-    )
-    results = results_df.collect()
-    n_distinct = results_df.select("transaction_id").distinct().count()
-    if len(results) != n_distinct:
-        raise RuntimeError(
-            f"duplicate verdicts: {len(results)} rows for "
-            f"{n_distinct} transactions"
-        )
-    return {r["transaction_id"]: r["succeeded"] for r in results}
+    return _collect_verdicts(spark, d)
 
 
 def with_rocksdb(spark):

@@ -123,11 +123,23 @@ class _NearDedupSink:
         self._write = idempotent_parquet_sink(out_dir)
         self._keeper_cls = stream_heartbeat_keeper
         self._hb_interval_s = heartbeat_interval_s
-        self._lifetime_keeper = None
+        self._finalizer = None
         if lifetime_heartbeat:
-            self._lifetime_keeper = stream_heartbeat_keeper(
+            import weakref
+
+            keeper = stream_heartbeat_keeper(
                 spark, state_path, interval_s=heartbeat_interval_s
             ).__enter__()
+            # GC-coupled release (r9 review): the canonical inline usage
+            # writeStream.foreachBatch(near_dedup_sink(...)) retains no
+            # reference for close() — the query holds the sink while it
+            # runs, and once the query is stopped and released the
+            # finalizer stops the keeper, so an unclosed sink cannot
+            # block compact_state (or leak its thread) for the rest of
+            # the process. close() remains the deterministic release.
+            self._finalizer = weakref.finalize(
+                self, keeper.__exit__, None, None, None
+            )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # batch_id disambiguates crash-replay (same id ⇒ re-emit the
@@ -147,10 +159,11 @@ class _NearDedupSink:
 
     def close(self) -> None:
         """Release stream ownership: stop the lifetime heartbeat so a
-        (sufficiently aged-out) compact_state can run. Idempotent."""
-        if self._lifetime_keeper is not None:
-            self._lifetime_keeper.__exit__(None, None, None)
-            self._lifetime_keeper = None
+        (sufficiently aged-out) compact_state can run. Idempotent; also
+        invoked by GC via the weakref finalizer when the sink object is
+        released without an explicit close."""
+        if self._finalizer is not None:
+            self._finalizer()  # runs at most once; detaches itself
 
     def __enter__(self) -> "_NearDedupSink":
         return self

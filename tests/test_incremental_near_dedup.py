@@ -716,3 +716,49 @@ def test_sink_lifetime_heartbeat_owns_state_between_triggers(spark, tmp_path):
     os.utime(hb, (old, old))
     _t.sleep(0.5)  # a still-running keeper would re-touch within 0.2s
     assert IncrementalNearDeduper(spark, str(state)).compact_state() > 0
+
+
+def test_sink_lifetime_heartbeat_released_by_gc(spark, tmp_path):
+    """The canonical inline usage
+    writeStream.foreachBatch(near_dedup_sink(...)) retains no reference
+    for close(); when the sink object is released, the GC finalizer must
+    stop the lifetime keeper so compact_state is not blocked for the
+    rest of the process (r9 review)."""
+    import gc
+    import os
+    import time as _t
+
+    from streamy_db_spark.streaming.sinks import near_dedup_sink
+
+    state = tmp_path / "state"
+    sink = near_dedup_sink(
+        spark, str(state), str(tmp_path / "out"), heartbeat_interval_s=0.1
+    )
+    sink(_docs(spark, B1), 0)
+    hb = state / "_stream_heartbeat"
+    assert hb.exists()
+
+    del sink
+    gc.collect()
+    old = hb.stat().st_mtime - 3600
+    os.utime(hb, (old, old))
+    _t.sleep(0.4)  # a live keeper would re-touch within 0.1s
+    assert abs(hb.stat().st_mtime - old) < 1.0  # keeper is gone
+    assert IncrementalNearDeduper(spark, str(state)).compact_state() > 0
+
+
+def test_keeper_retouch_does_not_resurrect_deleted_state(spark, tmp_path):
+    """Periodic keeper RE-touches skip when the state root is missing,
+    so a background heartbeat can never recreate a state directory its
+    owner deleted (r9 review)."""
+    import shutil
+    import time as _t
+
+    from streamy_db_spark.operators.incremental import stream_heartbeat_keeper
+
+    p = tmp_path / "state"
+    with stream_heartbeat_keeper(spark, str(p), interval_s=0.1):
+        assert (p / "_stream_heartbeat").exists()
+        shutil.rmtree(p)
+        _t.sleep(0.4)  # several re-touch intervals
+        assert not p.exists()

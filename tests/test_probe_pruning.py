@@ -184,3 +184,52 @@ def test_future_state_columns_survive_probe_and_compaction(spark, tmp_path):
         .count()
         == 1
     )
+
+
+def test_corrupt_index_degrades_to_full_scan(spark, tmp_path):
+    """The index is ADVISORY: a torn/corrupt bands_index (e.g. a
+    compaction killed mid-index-write) must cost a full scan, never a
+    failed micro-batch (r9 review — _read_state propagates non-missing
+    errors by design, which is right for real state and wrong for a
+    sidecar)."""
+    state = tmp_path / "state"
+    d = IncrementalNearDeduper(spark, str(state))
+    base = _corpus(20)
+    d.process_batch(_docs(spark, base), batch_id=0).count()
+    d.compact_state(bands_min_files=4, force=True)
+
+    # torn write: replace the index with an unreadable parquet file
+    idx = state / "bands_index"
+    for f in idx.glob("*.parquet"):
+        f.write_bytes(b"not a parquet footer at all")
+
+    d2 = IncrementalNearDeduper(spark, str(state))  # fresh memo
+    probe = [(900, base[4][1]), (901, "fresh unseen tokens everywhere")]
+    out = {
+        r.doc_id
+        for r in d2.process_batch(_docs(spark, probe), batch_id=1).collect()
+    }
+    assert out == {901}
+    assert d2.last_probe_scan is None  # no usable index ⇒ plain full scan
+
+
+def test_index_memoized_per_instance_and_refreshed_by_compaction(
+    spark, tmp_path
+):
+    """The probe must not re-read the index every micro-batch (r9
+    review): the ranges load once per instance, and THIS instance's
+    compact_state invalidates the memo so the fresh index is picked up."""
+    state = tmp_path / "state"
+    d = IncrementalNearDeduper(spark, str(state))
+    d.process_batch(_docs(spark, _corpus(20)), batch_id=0).count()
+    d.compact_state(bands_min_files=4, force=True)
+
+    assert d._index_ranges() is not None
+    first = d._index_ranges()
+    assert d._index_ranges() is first  # memoized: same object back
+
+    d.process_batch(_docs(spark, _corpus(4, start=100, tag="x")), batch_id=1)
+    d.compact_state(bands_min_files=4, force=True)
+    second = d._index_ranges()
+    assert second is not first  # compaction invalidated the memo
+    assert set(second) != set(first)  # new file names indexed
