@@ -250,6 +250,17 @@ def replay(
     wavefront simply continues. At 100 TB the wavefront runs until the
     undecided residue genuinely fits ~500k rows — the chain tail whose
     per-link latency would otherwise dominate.
+
+    Single-JVM sizing note (measured r9, BASELINE.md §6): a 10M-txn
+    replay on local[32] needs ~64 GiB of driver heap (localCheckpoint
+    of 10M nested rows) AND GC-tolerant liveness settings — full-heap
+    pauses at that size exceed the DEFAULT executor-heartbeat tolerance
+    (10 s × 60) and the local executor self-terminates mid-stage
+    ('Exit as unable to send heartbeats'). Set
+    spark.executor.heartbeatInterval=60s, spark.network.timeout=800s
+    (and G1GC) for 10M+ single-JVM runs; on a real cluster the same
+    plan spreads the per-wave joins and the per-node heap never reaches
+    this regime.
     """
     spark = transactions.sparkSession
 
