@@ -342,6 +342,43 @@ class IncrementalDeduper:
         )
 
 
+def prune_band_files(
+    files: list[tuple[str, str]],
+    ranges: dict[str, tuple[str, str]],
+    sorted_bkeys: list[str],
+) -> list[str]:
+    """The pure pruning decision behind the near-dedup probe's
+    file-level state pruning (``_bands_state_for_probe``): which of the
+    actual bands/ ``files`` [(basename, full_path)] must be read for a
+    batch touching ``sorted_bkeys`` (ascending), given the
+    compaction-time per-file [min, max] ``ranges``.
+
+    Contract (hypothesis-tested in tests/test_probe_pruning.py):
+
+    - a file absent from ``ranges`` is ALWAYS kept (unindexed append or
+      stale index — must read);
+    - an indexed file is kept iff some batch bkey lies in its
+      [min, max] (binary search: first bkey ≥ min, then ≤ max?);
+    - therefore NO file that can contain a batch bkey is ever dropped —
+      pruning only over-reads, never misses candidates.
+
+    Driver-side O(F log B); both F (state files) and B (≤ 4 ×
+    prune_max_docs batch band keys) are bounded."""
+    import bisect
+
+    keep: list[str] = []
+    for name, path in files:
+        rng = ranges.get(name)
+        if rng is None:
+            keep.append(path)  # unindexed: must read
+            continue
+        lo, hi = rng
+        i = bisect.bisect_left(sorted_bkeys, lo)
+        if i < len(sorted_bkeys) and sorted_bkeys[i] <= hi:
+            keep.append(path)
+    return keep
+
+
 # --- incremental NEAR-dup dedup (batch-over-batch MinHash admission) ---------
 
 
@@ -689,12 +726,10 @@ class IncrementalNearDeduper:
         except Exception:  # noqa: BLE001 - degraded mode: full scan
             return full
         files = [
-            st.getPath()
+            (st.getPath().getName(), st.getPath().toString())
             for st in listing
             if st.isFile() and st.getPath().getName().endswith(".parquet")
         ]
-        import bisect
-
         bkeys = sorted(
             r["bkey"]
             for r in self._explode_bands(sigs, "id_a", "sig_a")
@@ -702,16 +737,7 @@ class IncrementalNearDeduper:
             .distinct()
             .collect()
         )
-        keep: list[str] = []
-        for p in files:
-            rng = ranges.get(p.getName())
-            if rng is None:
-                keep.append(p.toString())  # unindexed: must read
-                continue
-            lo, hi = rng
-            i = bisect.bisect_left(bkeys, lo)
-            if i < len(bkeys) and bkeys[i] <= hi:
-                keep.append(p.toString())
+        keep = prune_band_files(files, ranges, bkeys)
         self.last_probe_scan = {
             "files_total": len(files),
             "files_read": len(keep),

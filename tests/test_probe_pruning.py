@@ -233,3 +233,54 @@ def test_index_memoized_per_instance_and_refreshed_by_compaction(
     second = d._index_ranges()
     assert second is not first  # compaction invalidated the memo
     assert set(second) != set(first)  # new file names indexed
+
+
+def test_prune_decision_never_drops_a_containing_file():
+    """Property (hypothesis): prune_band_files keeps EVERY file whose
+    [min, max] range contains at least one batch bkey, and every
+    unindexed file — brute-force membership is the oracle. The pruning
+    may only over-read (files kept despite zero overlap are allowed by
+    the contract only for unindexed files; for indexed files the
+    binary-search decision must be EXACT both ways)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from streamy_db_spark.operators.incremental import prune_band_files
+
+    key = st.text(alphabet="0123456789abcdef:", min_size=1, max_size=8)
+
+    @st.composite
+    def scenario(draw):
+        n_files = draw(st.integers(0, 12))
+        files = []
+        ranges = {}
+        for i in range(n_files):
+            name = f"part-{i:05d}.parquet"
+            files.append((name, f"/state/bands/{name}"))
+            if draw(st.booleans()):  # some files stay unindexed
+                a, b = draw(key), draw(key)
+                ranges[name] = (min(a, b), max(a, b))
+        # index may also reference vanished files (stale entries)
+        for i in range(draw(st.integers(0, 3))):
+            a, b = draw(key), draw(key)
+            ranges[f"gone-{i}.parquet"] = (min(a, b), max(a, b))
+        bkeys = sorted(set(draw(st.lists(key, max_size=30))))
+        return files, ranges, bkeys
+
+    @settings(max_examples=300, deadline=None)
+    @given(scenario())
+    def check(s):
+        files, ranges, bkeys = s
+        kept = set(prune_band_files(files, ranges, bkeys))
+        for name, path in files:
+            rng = ranges.get(name)
+            if rng is None:
+                assert path in kept  # unindexed: always read
+            else:
+                lo, hi = rng
+                overlaps = any(lo <= k <= hi for k in bkeys)
+                assert (path in kept) == overlaps  # exact, both ways
+        # never keeps paths that don't exist
+        assert kept <= {p for _, p in files}
+
+    check()
