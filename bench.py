@@ -380,8 +380,12 @@ def bench_protocol_stream_continuous(spark, mix: str) -> tuple[float, float, dic
     try:
         t0 = time.perf_counter()
         with with_rocksdb(spark):
+            # hard timeout safely ABOVE the budget's worst effective
+            # bound (350 s budget x slowdown cap 3), so a noisy-VM run
+            # lands in the breach-and-retry gate like every other
+            # entry instead of dying here as an error (r9 review)
             verdicts = run_streaming_replay_continuous(
-                spark, txns, tmp, timeout_s=600.0, stats=stats
+                spark, txns, tmp, timeout_s=1200.0, stats=stats
             )
         dt = time.perf_counter() - t0
     finally:

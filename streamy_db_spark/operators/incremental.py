@@ -61,16 +61,37 @@ def touch_stream_heartbeat(
     ``process_batch``. The file's mtime IS the signal; the epoch-seconds
     content is for humans debugging a refused compaction. No-op under
     Spark Connect, where compact_state cannot run anyway.
-    ``only_if_exists`` skips the touch when the state root is missing —
-    periodic keeper RE-touches use it so a background heartbeat can
-    never resurrect a state directory its owner deleted (r9 review)."""
+    ``only_if_exists`` makes the touch refuse to create the state root
+    — periodic keeper RE-touches use it so a background heartbeat can
+    never resurrect a state directory its owner deleted (r9 review).
+    The refusal is ATOMIC where the filesystem supports
+    ``createNonRecursive`` (fails when the parent is missing — no
+    check-then-create window); filesystems without it fall back to an
+    exists-probe + create, whose microseconds-wide race worst-case is
+    an empty directory holding only a heartbeat file, never state."""
     fs, mk = _state_fs(spark, state_path)
     if fs is None:
         return
-    if only_if_exists and not fs.exists(mk(state_path)):
-        return
     p = mk(state_path.rstrip("/") + "/" + STREAM_HEARTBEAT)
-    out = fs.create(p, True)
+    if only_if_exists:
+        try:
+            out = fs.createNonRecursive(
+                p,
+                True,
+                4096,
+                fs.getDefaultReplication(p),
+                fs.getDefaultBlockSize(p),
+                None,
+            )
+        except Exception:  # noqa: BLE001
+            # parent missing (the refusal working) — or an FS without
+            # createNonRecursive, where the non-atomic probe is the
+            # documented fallback
+            if not fs.exists(mk(state_path)):
+                return
+            out = fs.create(p, True)
+    else:
+        out = fs.create(p, True)
     out.write(bytearray(str(int(time.time())), "ascii"))
     out.close()
 
@@ -340,6 +361,11 @@ class IncrementalDeduper:
             dedupe_rows=True,
             merge_schema=True,
         )
+
+
+#: Sentinel: the pruning attempt could not run (missing prerequisite) —
+#: distinct from None, which means 'no state / provably zero overlap'.
+_PRUNE_UNAVAILABLE = object()
 
 
 def prune_band_files(
@@ -708,28 +734,47 @@ class IncrementalNearDeduper:
         Returns None when pruning PROVES zero overlap (no file can hold
         a batch bkey) — semantically identical to 'no banded state'.
         ``last_probe_scan`` records the file accounting whenever
-        pruning was attempted."""
+        pruning was attempted.
+
+        When pruning succeeds, the full-directory DataFrame is NEVER
+        constructed: its mergeSchema analysis alone is a footer-merge
+        job over EVERY state file — per-batch metadata work that would
+        still scale with state size, partially defeating the pruning
+        (r9 review). Existence comes from the directory listing; the
+        fallback paths build the full scan lazily."""
         self.last_probe_scan = None
-        full = self._state_bands()
-        if full is None:
-            return None
-        if not (0 < n_batch_docs <= self.prune_max_docs):
-            return full
+        if 0 < n_batch_docs <= self.prune_max_docs:
+            pruned = self._try_pruned_bands(sigs)
+            if pruned is not _PRUNE_UNAVAILABLE:
+                return pruned
+        return self._state_bands()
+
+    def _try_pruned_bands(self, sigs: DataFrame):
+        """The pruning attempt of ``_bands_state_for_probe``: a pruned
+        DataFrame, None (no state / zero possible overlap), or the
+        ``_PRUNE_UNAVAILABLE`` sentinel when any prerequisite is
+        missing (Connect session, no usable index, listing failure) —
+        the caller then takes the full scan."""
+        self._migrate_legacy_state()
         fs, mk = _state_fs(self.spark, self._bands_path)
         if fs is None:
-            return full
+            return _PRUNE_UNAVAILABLE
         ranges = self._index_ranges()
         if ranges is None:
-            return full
+            return _PRUNE_UNAVAILABLE
         try:
+            if not fs.exists(mk(self._bands_path)):
+                return None  # no banded state has ever been written
             listing = fs.listStatus(mk(self._bands_path))
         except Exception:  # noqa: BLE001 - degraded mode: full scan
-            return full
+            return _PRUNE_UNAVAILABLE
         files = [
             (st.getPath().getName(), st.getPath().toString())
             for st in listing
             if st.isFile() and st.getPath().getName().endswith(".parquet")
         ]
+        if not files:
+            return None  # empty dir (e.g. _SUCCESS only): no state rows
         bkeys = sorted(
             r["bkey"]
             for r in self._explode_bands(sigs, "id_a", "sig_a")
@@ -868,6 +913,11 @@ class IncrementalNearDeduper:
         checkpoint must discard (or re-seed) the state dir too."""
         if batch_id is not None and batch_id < 0:
             raise ValueError(f"batch_id must be >= 0, got {batch_id}")
+        # reset the scan accounting HERE, not only inside the probe:
+        # early exits (empty trigger, all-replay batch) must not leave
+        # the PREVIOUS batch's file accounting attributed to a batch
+        # that read nothing (r9 review)
+        self.last_probe_scan = None
         from streamy_db_spark.operators.dedup import connected_components
 
         ids = self._ids()

@@ -98,7 +98,22 @@ class _NearDedupSink:
     (or context-manager exit); until then, ``compact_state`` on this
     state dir refuses without ``force=True`` — which is exactly the
     ownership semantics the guard promises. Stop the query, then
-    ``close()`` the sink, then compact."""
+    ``close()`` the sink, then compact.
+
+    IDLE AUTO-RELEASE: the canonical inline usage
+    ``writeStream.foreachBatch(near_dedup_sink(...))`` retains no
+    reference for close(), and py4j's callback registry PINS the
+    registered callable for the life of the driver (measured r9: the
+    sink is not collected even after query stop + explicit JVM and
+    Python GC), so a GC finalizer alone can never release ownership
+    there. Instead the lifetime keeper LAPSES after
+    ``idle_release_s`` without a micro-batch: it stops re-touching (so
+    the heartbeat ages out and compact_state unblocks ~max_age_s
+    later) and resumes automatically on the next batch. Streams whose
+    trigger interval exceeds ``idle_release_s`` (default 1 h) must
+    raise it — or keep the close() discipline, which releases
+    immediately. A weakref finalizer still stops the keeper thread on
+    the paths where the sink IS collectable (direct use, tests)."""
 
     def __init__(
         self,
@@ -109,10 +124,16 @@ class _NearDedupSink:
         sig_threshold: float = 0.5,
         lifetime_heartbeat: bool = True,
         heartbeat_interval_s: float = 60.0,
+        idle_release_s: float = 3600.0,
     ):
+        import threading
+        import time as _time
+        import weakref
+
         from streamy_db_spark.operators.incremental import (
             IncrementalNearDeduper,
             stream_heartbeat_keeper,
+            touch_stream_heartbeat,
         )
 
         self._spark = spark
@@ -123,23 +144,49 @@ class _NearDedupSink:
         self._write = idempotent_parquet_sink(out_dir)
         self._keeper_cls = stream_heartbeat_keeper
         self._hb_interval_s = heartbeat_interval_s
+        self._idle_release_s = idle_release_s
         self._finalizer = None
         if lifetime_heartbeat:
-            import weakref
+            touch_stream_heartbeat(spark, state_path)  # ownership starts NOW
+            self._monotonic = _time.monotonic
+            self._last_activity = self._monotonic()
+            stop = threading.Event()
+            self._stop_event = stop
 
-            keeper = stream_heartbeat_keeper(
-                spark, state_path, interval_s=heartbeat_interval_s
-            ).__enter__()
-            # GC-coupled release (r9 review): the canonical inline usage
-            # writeStream.foreachBatch(near_dedup_sink(...)) retains no
-            # reference for close() — the query holds the sink while it
-            # runs, and once the query is stopped and released the
-            # finalizer stops the keeper, so an unclosed sink cannot
-            # block compact_state (or leak its thread) for the rest of
-            # the process. close() remains the deterministic release.
-            self._finalizer = weakref.finalize(
-                self, keeper.__exit__, None, None, None
+            # plain function (not a method) so the thread and finalizer
+            # hold no reference back to self — self must stay collectable
+            def beat(
+                spark=spark,
+                state_path=state_path,
+                interval=heartbeat_interval_s,
+                idle=idle_release_s,
+                monotonic=_time.monotonic,
+                sink_ref=None,
+            ) -> None:
+                while not stop.wait(interval):
+                    ref = sink_ref() if sink_ref is not None else None
+                    if ref is None:
+                        return  # sink collected: finalizer also fires
+                    lapsed = monotonic() - ref._last_activity > idle
+                    # drop the strong ref BEFORE sleeping — a frame-held
+                    # reference across wait() would keep the sink alive
+                    # forever and defeat the finalizer (measured r9)
+                    ref = None
+                    if lapsed:
+                        continue  # resume on the next batch
+                    try:
+                        touch_stream_heartbeat(
+                            spark, state_path, only_if_exists=True
+                        )
+                    except Exception:  # noqa: BLE001 - next beat retries
+                        pass
+
+            sink_ref = weakref.ref(self)
+            thread = threading.Thread(
+                target=beat, kwargs={"sink_ref": sink_ref}, daemon=True
             )
+            thread.start()
+            self._finalizer = weakref.finalize(self, stop.set)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # batch_id disambiguates crash-replay (same id ⇒ re-emit the
@@ -148,7 +195,10 @@ class _NearDedupSink:
         # duplicated into a new batch directory). The per-batch keeper
         # is kept even under the lifetime keeper as defense in depth
         # for lifetime_heartbeat=False callers (it bounds heartbeat
-        # staleness DURING a long batch to the keeper interval).
+        # staleness DURING a long batch to the keeper interval) and it
+        # refreshes activity so a lapsed lifetime keeper resumes.
+        if self._finalizer is not None:
+            self._last_activity = self._monotonic()
         with self._keeper_cls(
             self._spark, self._state_path, interval_s=self._hb_interval_s
         ):
@@ -156,12 +206,14 @@ class _NearDedupSink:
                 self._deduper.process_batch(batch_df, batch_id=batch_id),
                 batch_id,
             )
+        if self._finalizer is not None:
+            self._last_activity = self._monotonic()
 
     def close(self) -> None:
         """Release stream ownership: stop the lifetime heartbeat so a
-        (sufficiently aged-out) compact_state can run. Idempotent; also
-        invoked by GC via the weakref finalizer when the sink object is
-        released without an explicit close."""
+        (sufficiently aged-out) compact_state can run. Idempotent; the
+        weakref finalizer calls the same stop when the sink object is
+        collectable and collected without an explicit close."""
         if self._finalizer is not None:
             self._finalizer()  # runs at most once; detaches itself
 
@@ -180,6 +232,7 @@ def near_dedup_sink(
     sig_threshold: float = 0.5,
     lifetime_heartbeat: bool = True,
     heartbeat_interval_s: float = 60.0,
+    idle_release_s: float = 3600.0,
 ) -> _NearDedupSink:
     """Streaming near-dup admission as a ``foreachBatch`` function — the
     Structured Streaming twin of
@@ -201,10 +254,16 @@ def near_dedup_sink(
     The returned object is callable (pass it to ``foreachBatch``) and
     owns a STREAM-LIFETIME heartbeat on the state dir (see
     _NearDedupSink): construction marks the state stream-owned;
-    ``close()`` — or using the sink as a context manager — releases it.
-    ``lifetime_heartbeat=False`` reverts to per-batch-only heartbeats,
-    which is only safe when the trigger interval is well under the
-    compact guard's ``stream_heartbeat_max_age_s`` (600 s default)."""
+    ``close()`` — or using the sink as a context manager — releases it
+    deterministically, and the keeper auto-lapses after
+    ``idle_release_s`` without a batch so an unreferenced sink from a
+    stopped stream cannot block compaction forever (py4j pins inline
+    foreachBatch callables, so GC release alone is not enough —
+    measured r9). Streams with trigger intervals above
+    ``idle_release_s`` must raise it. ``lifetime_heartbeat=False``
+    reverts to per-batch-only heartbeats, which is only safe when the
+    trigger interval is well under the compact guard's
+    ``stream_heartbeat_max_age_s`` (600 s default)."""
     return _NearDedupSink(
         spark,
         state_path,
@@ -213,4 +272,5 @@ def near_dedup_sink(
         sig_threshold=sig_threshold,
         lifetime_heartbeat=lifetime_heartbeat,
         heartbeat_interval_s=heartbeat_interval_s,
+        idle_release_s=idle_release_s,
     )

@@ -740,6 +740,11 @@ def test_sink_lifetime_heartbeat_released_by_gc(spark, tmp_path):
 
     del sink
     gc.collect()
+    # drain: a beat captured just before the del may still be mid-touch
+    # (py4j call in flight); give it a couple of intervals to land
+    # before backdating, or its write lands after the backdate and
+    # reads as a live keeper
+    _t.sleep(0.3)
     old = hb.stat().st_mtime - 3600
     os.utime(hb, (old, old))
     _t.sleep(0.4)  # a live keeper would re-touch within 0.1s
@@ -762,3 +767,46 @@ def test_keeper_retouch_does_not_resurrect_deleted_state(spark, tmp_path):
         shutil.rmtree(p)
         _t.sleep(0.4)  # several re-touch intervals
         assert not p.exists()
+
+
+def test_sink_lifetime_heartbeat_lapses_when_idle_and_resumes(spark, tmp_path):
+    """py4j pins inline foreachBatch callables (measured r9), so an
+    unreferenced sink can never rely on GC release: the lifetime keeper
+    must LAPSE after idle_release_s without a batch (heartbeat ages out,
+    compaction unblocks) and resume ownership on the next batch."""
+    import os
+    import time as _t
+
+    import pytest
+
+    from streamy_db_spark.streaming.sinks import near_dedup_sink
+
+    state = tmp_path / "state"
+    sink = near_dedup_sink(
+        spark,
+        str(state),
+        str(tmp_path / "out"),
+        heartbeat_interval_s=0.1,
+        idle_release_s=0.5,
+    )
+    try:
+        sink(_docs(spark, B1), 0)
+        hb = state / "_stream_heartbeat"
+        assert hb.exists()
+        _t.sleep(0.8)  # > idle_release_s: the keeper must lapse
+        old = hb.stat().st_mtime - 3600
+        os.utime(hb, (old, old))
+        _t.sleep(0.4)  # several beat intervals: no re-touch while lapsed
+        assert abs(hb.stat().st_mtime - old) < 1.0
+        assert IncrementalNearDeduper(spark, str(state)).compact_state() > 0
+
+        # the next batch refreshes activity: ownership resumes
+        sink(_docs(spark, B2), 1)
+        old = hb.stat().st_mtime - 3600
+        os.utime(hb, (old, old))
+        _t.sleep(0.4)
+        assert hb.stat().st_mtime > old + 3000  # keeper re-touching again
+        with pytest.raises(RuntimeError, match="compact_state refused"):
+            IncrementalNearDeduper(spark, str(state)).compact_state()
+    finally:
+        sink.close()
