@@ -22,14 +22,64 @@ from streamy_db_spark import fixtures
 from streamy_db_spark.streaming import engine_stream as es
 
 
+#: pyarrow mirror of engine_stream.KEY_MSG — heartbeats are written
+#: driver-side without a Spark job (see write_heartbeat).
+def _key_msg_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("ts", pa.timestamp("us", tz="UTC"), nullable=False),
+            pa.field("ts_ms", pa.int64(), nullable=False),
+            pa.field("kafka_partition", pa.int32(), nullable=False),
+            pa.field("kafka_offset", pa.int64(), nullable=False),
+            pa.field("kind", pa.int32(), nullable=False),
+            pa.field("transaction_id", pa.string(), nullable=False),
+            pa.field("key", pa.string(), nullable=False),
+            pa.field("succeeded", pa.bool_(), nullable=True),
+            pa.field("value", pa.string(), nullable=True),
+        ]
+    )
+
+
 def write_heartbeat(spark, requests_dir: str, n: int) -> None:
     """One KEY_MSG heartbeat row (kind 3 — ignored by the processor) with
-    a fresh event time: advances the global watermark so timers fire."""
+    a fresh event time: advances the global watermark so timers fire.
+
+    Written DRIVER-SIDE with pyarrow, not a Spark job: the original
+    ``createDataFrame().write`` form queued a full job behind the
+    streams' micro-batches — measured at a **7.5 s mean per beat** under
+    the continuous 10k replay (14 beats ≈ 106 s of scheduler contention
+    for one row each). A one-row parquet write is microseconds of local
+    I/O. Atomic for the file source: written to a dot-prefixed temp name
+    (hidden from Spark's file listing) then renamed into place, so a
+    trigger can never list a half-written file. ``spark`` is kept in the
+    signature for call-site compatibility (and future remote-FS use —
+    the file-coupled loop itself is the local stand-in for Kafka, so
+    local paths are inherent here)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     now = datetime.now(timezone.utc)
-    row = [(now, int(now.timestamp() * 1000), -1, -1, 3, "__hb__", "__hb__", None, None)]
-    spark.createDataFrame(row, es.KEY_MSG).coalesce(1).write.mode("append").parquet(
-        os.path.join(requests_dir, f"hb_{n}")
+    table = pa.table(
+        {
+            "ts": [now],
+            "ts_ms": [int(now.timestamp() * 1000)],
+            "kafka_partition": [-1],
+            "kafka_offset": [-1],
+            "kind": [3],
+            "transaction_id": ["__hb__"],
+            "key": ["__hb__"],
+            "succeeded": [None],
+            "value": [None],
+        },
+        schema=_key_msg_arrow_schema(),
     )
+    os.makedirs(requests_dir, exist_ok=True)
+    final = os.path.join(requests_dir, f"hb_{n}.parquet")
+    tmp = os.path.join(requests_dir, f".hb_{n}.parquet.tmp")
+    pq.write_table(table, tmp)
+    os.rename(tmp, final)
 
 
 def _loop_dirs(spark, txns, tmp):
@@ -114,6 +164,7 @@ def run_streaming_replay(
     return_dirs=False,
     watermark_delay="0 seconds",
     stats=None,
+    shuffle_partitions=None,
 ):
     """``interrupt_rounds``: in those loop rounds the key stage is KILLED
     mid-run — the source is throttled to one file per micro-batch so the
@@ -131,7 +182,31 @@ def run_streaming_replay(
     in ``early``). The single-batch tests get away with 0 because all
     requests enter in one batch, before any watermark advance. This is
     the same sizing rule production needs for out-of-order sources —
-    engine_stream._admit's docstring says exactly this."""
+    engine_stream._admit's docstring says exactly this.
+
+    ``shuffle_partitions``: same state-partition sizing knob as the
+    continuous runner (see run_streaming_replay_continuous) — applied
+    for the whole loop and restored on exit, so both loop forms can be
+    benched under identical state layouts and their delta isolates the
+    per-round query restart tax."""
+    prev_parts = None
+    if shuffle_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _run_streaming_replay_inner(
+            spark, txns, tmp, max_rounds, duplicate_feedback,
+            interrupt_rounds, return_dirs, watermark_delay, stats,
+        )
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _run_streaming_replay_inner(
+    spark, txns, tmp, max_rounds, duplicate_feedback, interrupt_rounds,
+    return_dirs, watermark_delay, stats,
+):
     d, requests_dir, n_txns = _loop_dirs(spark, txns, tmp)
     schema_results = es.TXN_RESULT_OUT
 
@@ -241,6 +316,24 @@ def run_streaming_replay(
     return verdicts
 
 
+def _raw_result_rows(results_dir: str) -> int:
+    """Driver-side row count of the results sink via parquet footers —
+    NO Spark job. The Spark-side ``distinct().count()`` poll this
+    replaces measured a **1.4 s mean × 62 polls ≈ 88 s** of scheduler
+    contention during the continuous 10k replay. Footer counts see
+    sink task files that the _spark_metadata log has not committed yet,
+    so this is a cheap NECESSARY signal only — callers must confirm
+    completion with a Spark-side read (which honors the commit log)
+    before declaring done. pyarrow's default ignore_prefixes skips
+    dot/underscore paths, so _spark_metadata itself is never read."""
+    import pyarrow.dataset as pa_ds
+
+    try:
+        return pa_ds.dataset(results_dir, format="parquet").count_rows()
+    except Exception:  # noqa: BLE001 - sink dir absent / no files yet
+        return 0
+
+
 def run_streaming_replay_continuous(
     spark,
     txns,
@@ -250,6 +343,7 @@ def run_streaming_replay_continuous(
     heartbeat_interval_s: float = 1.0,
     watermark_delay: str = "1 hour",
     stats: dict | None = None,
+    shuffle_partitions: int | None = None,
 ):
     """The same file-coupled topology as ``run_streaming_replay`` with
     the three queries CONTINUOUSLY RUNNING (one ``start()`` each,
@@ -266,11 +360,29 @@ def run_streaming_replay_continuous(
     advance while idle (reference D14, core/HeartBeatGenerator.scala:40
     does exactly this every 5 s).
 
+    ``shuffle_partitions`` sets the stateful stages' state-partition
+    count for THIS run (applied to the session conf at query start,
+    restored after; a stateful query pins it into its checkpoint on the
+    first batch). Size it to the workload's key cardinality and cluster
+    parallelism — hundreds on a real cluster, but for a 10k-txn replay
+    32 partitions is pure per-trigger overhead: every micro-batch
+    (including empty ones) commits every state partition's store, and
+    the instrumented run measured ~1.45 s per partition-commit under
+    RocksDB full-snapshot maintenance (32 batches × 32 partitions ≈
+    1,490 s of summed state-commit time for 10k transactions; empty
+    triggers cost 2-4 s wall). See also with_rocksdb's changelog
+    checkpointing, which attacks the per-commit snapshot cost itself.
+
     Returns the same verdict map (and optional ``stats``:
     rounds-equivalent micro-batch counts per query) so the serial
     oracle can gate it like the availableNow form."""
     import threading
     import time as _t
+
+    prev_parts = None
+    if shuffle_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
 
     d, requests_dir, n_txns = _loop_dirs(spark, txns, tmp)
 
@@ -325,16 +437,22 @@ def run_streaming_replay_continuous(
                     raise RuntimeError(f"{name} query stopped unexpectedly")
             if hb_err:
                 raise RuntimeError(f"heartbeat writer failed: {hb_err[0]}")
-            try:
-                n_done = (
-                    spark.read.schema(es.TXN_RESULT_OUT)
-                    .parquet(d["results"])
-                    .select("transaction_id")
-                    .distinct()
-                    .count()
-                )
-            except Exception:  # noqa: BLE001 - sink not committed yet
-                n_done = 0
+            # Cheap footer-count poll first (no Spark job — see
+            # _raw_result_rows); only when it says "possibly done" pay
+            # for the Spark-side count, which honors the sink's
+            # _spark_metadata commit log and is the real signal.
+            n_done = 0
+            if _raw_result_rows(d["results"]) >= n_txns:
+                try:
+                    n_done = (
+                        spark.read.schema(es.TXN_RESULT_OUT)
+                        .parquet(d["results"])
+                        .select("transaction_id")
+                        .distinct()
+                        .count()
+                    )
+                except Exception:  # noqa: BLE001 - sink not committed yet
+                    n_done = 0
             if n_done >= n_txns:
                 break
             _t.sleep(0.5)
@@ -357,33 +475,55 @@ def run_streaming_replay_continuous(
             except Exception:  # noqa: BLE001 - teardown best-effort
                 pass
         hb_thread.join(timeout=10)
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     return _collect_verdicts(spark, d)
 
 
-def with_rocksdb(spark):
+def with_rocksdb(spark, changelog: bool = True):
     """Context manager: RocksDB state store provider for queries started
-    inside (picked up per-query from the session conf at stream start)."""
+    inside (picked up per-query from the session conf at stream start).
+
+    ``changelog=True`` also enables RocksDB changelog checkpointing
+    (SPARK-43421): each commit persists only that batch's state DELTA to
+    the checkpoint, with full snapshots uploaded asynchronously in the
+    background, instead of the default synchronous per-commit snapshot
+    maintenance. The instrumented continuous 10k replay measured ~1.45 s
+    per partition-commit under the default — the dominant per-trigger
+    cost — which is exactly the synchronous-snapshot overhead this
+    removes. Safe for both fresh and same-run-restart checkpoints
+    (recovery replays the changelog); flip it off to exercise or compare
+    the snapshot-per-commit path."""
     import contextlib
 
     @contextlib.contextmanager
     def cm():
-        key = "spark.sql.streaming.stateStore.providerClass"
-        try:
-            prev = spark.conf.get(key)
-        except Exception:
-            prev = None
-        spark.conf.set(
-            key,
-            "org.apache.spark.sql.execution.streaming."
-            "state.RocksDBStateStoreProvider",
-        )
+        keys = {
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming."
+                "state.RocksDBStateStoreProvider"
+            ),
+        }
+        if changelog:
+            keys[
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled"
+            ] = "true"
+        prev = {}
+        for key, val in keys.items():
+            try:
+                prev[key] = spark.conf.get(key)
+            except Exception:
+                prev[key] = None
+            spark.conf.set(key, val)
         try:
             yield
         finally:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
+            for key, old in prev.items():
+                if old is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, old)
 
     return cm()

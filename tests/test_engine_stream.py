@@ -229,10 +229,93 @@ def test_continuous_replay_matches_serial_oracle(spark, tmp_path):
     txns = fixtures.generate("ref_smoke")
     expected_results, _ = oracle.serial_replay(txns)
     stats: dict = {}
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     got = run_streaming_replay_continuous(
-        spark, txns, str(tmp_path), timeout_s=300.0, stats=stats
+        spark, txns, str(tmp_path), timeout_s=300.0, stats=stats,
+        # the bench's tuned state-partition sizing — parity must hold
+        # under it, and the session conf must come back
+        shuffle_partitions=8,
     )
     assert got == expected_results
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
     # all three queries actually cycled (continuous, not one-shot)
     assert set(stats["batches"]) == {"key_stage", "txn_stage", "feedback"}
     assert all(b is not None and b >= 1 for b in stats["batches"].values())
+
+
+def test_heartbeat_arrow_schema_mirrors_key_msg(spark, tmp_path):
+    """write_heartbeat writes driver-side with a pyarrow mirror of
+    engine_stream.KEY_MSG (no Spark job — see its docstring for the
+    measured why). The mirror must stay in lockstep: a heartbeat file
+    must land atomically (no temp residue a trigger could half-list),
+    round-trip under the Spark wire schema, and schema-INFER to exactly
+    KEY_MSG's field names and types — so any future KEY_MSG evolution
+    that forgets the mirror fails here, not as a mid-stream analysis
+    error in a 10-minute replay."""
+    req = str(tmp_path / "requests")
+    write_heartbeat(spark, req, 7)
+    assert sorted(os.listdir(req)) == ["hb_7.parquet"]
+
+    df = spark.read.schema(es.KEY_MSG).parquet(req)
+    rows = df.collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["kind"] == es.KIND_HEARTBEAT
+    assert row["transaction_id"] == "__hb__" and row["key"] == "__hb__"
+    assert row["succeeded"] is None and row["value"] is None
+    assert row["kafka_partition"] == -1 and row["kafka_offset"] == -1
+    # ts and ts_ms agree (same instant, ms-truncated) — computed
+    # Spark-side so driver-TZ naive-datetime conversion can't lie
+    [delta_ms] = df.select(
+        (F.col("ts").cast("double") * 1000 - F.col("ts_ms")).alias("d")
+    ).collect()[0]
+    assert abs(delta_ms) < 1000
+
+    inferred = spark.read.parquet(req).schema
+    assert [f.name for f in inferred] == [f.name for f in es.KEY_MSG]
+    assert [f.dataType for f in inferred] == [f.dataType for f in es.KEY_MSG]
+
+
+def test_raw_result_rows_footer_poll(spark, tmp_path):
+    """_raw_result_rows counts sink rows from parquet footers with no
+    Spark job: 0 for an absent dir, exact count for a committed sink,
+    and the file sink's _spark_metadata commit log (non-parquet text
+    files) must be skipped by pyarrow's default ignore_prefixes."""
+    from streamy_db_spark.streaming.replay_loop import _raw_result_rows
+
+    d = str(tmp_path / "results")
+    assert _raw_result_rows(d) == 0
+
+    spark.range(5).coalesce(1).write.parquet(d)
+    meta = os.path.join(d, "_spark_metadata")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "0"), "w") as f:
+        f.write('{"not": "parquet"}')
+    assert _raw_result_rows(d) == 5
+
+
+def test_with_rocksdb_sets_and_restores_changelog_conf(spark):
+    """with_rocksdb(changelog=True) turns on RocksDB changelog
+    checkpointing for queries started inside and restores BOTH confs on
+    exit; changelog=False keeps the snapshot-per-commit default."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    changelog_key = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    with with_rocksdb(spark):
+        assert spark.conf.get(provider_key).endswith(
+            "RocksDBStateStoreProvider"
+        )
+        assert spark.conf.get(changelog_key) == "true"
+    # restored: back to the session defaults (the changelog key has no
+    # registered default visible to conf.get, hence the fallback arg)
+    assert "RocksDB" not in spark.conf.get(provider_key)
+    assert (spark.conf.get(changelog_key, "unset") or "unset") != "true"
+
+    with with_rocksdb(spark, changelog=False):
+        assert spark.conf.get(provider_key).endswith(
+            "RocksDBStateStoreProvider"
+        )
+        assert (spark.conf.get(changelog_key, "unset") or "unset") != "true"
+    assert "RocksDB" not in spark.conf.get(provider_key)
