@@ -113,15 +113,16 @@ BUDGETS = {
     # persists a per-batch delta instead of a synchronous full snapshot
     # (the instrumented untuned run measured ~1.45 s/partition-commit,
     # the dominant per-trigger cost). Untuned r8 band was 155.6-318.5 s;
-    # tuned r9 band 79.4-116.0 s over two clean runs. Budget = 2x the
-    # slow end of the tuned band.
+    # tuned r9 band 77.7-116.0 s over three clean runs (BASELINE.md).
+    # Budget = 2x the slow end of the tuned band.
     "protocol_stream_10k": 240.0,
     # CONTINUOUSLY-RUNNING form of the same loop (one start per query,
     # processingTime triggers — the deployment shape; r8 verdict item
-    # 2): tuned r9 band 89.2-140.3 s / 71-112 txn/s (38 micro-batches
+    # 2): tuned r9 band 69.8-140.3 s / 71-143 txn/s (38-42 micro-batches
     # per query; the sequential feedback-round depth ~13 × per-hop
     # trigger latency dominates, NOT restarts — with state commits
-    # cheap, the two forms now measure within ~20% of each other).
+    # cheap the two forms measure within ~20% of each other, and the
+    # full-bench run had continuous FASTER than availableNow).
     # Budget = 2x the slow end of the tuned band.
     "protocol_stream_10k_continuous": 280.0,
     # End-to-end corpus build at sf0.1 (pipeline.build_corpus): warm
@@ -390,9 +391,10 @@ def bench_protocol_stream_continuous(spark, mix: str) -> tuple[float, float, dic
         t0 = time.perf_counter()
         with with_rocksdb(spark):
             # hard timeout safely ABOVE the budget's worst effective
-            # bound (350 s budget x slowdown cap 3), so a noisy-VM run
-            # lands in the breach-and-retry gate like every other
-            # entry instead of dying here as an error (r9 review)
+            # bound (280 s budget x slowdown cap 3 = 840), so a
+            # noisy-VM run lands in the breach-and-retry gate like
+            # every other entry instead of dying here as an error
+            # (r9 review)
             verdicts = run_streaming_replay_continuous(
                 spark, txns, tmp, timeout_s=1200.0, stats=stats,
                 shuffle_partitions=8,

@@ -15,11 +15,39 @@ tests but zero recorded throughput" gap.
 
 from __future__ import annotations
 
+import contextlib
 import os
 from datetime import datetime, timezone
 
 from streamy_db_spark import fixtures
 from streamy_db_spark.streaming import engine_stream as es
+
+
+@contextlib.contextmanager
+def _conf_override(spark, confs: dict[str, str]):
+    """Set session SQL confs for the duration of a block, restoring
+    each on exit — set back to its prior readable value, or unset when
+    the conf had none (some streaming confs have no registered default
+    visible to conf.get). The ONE shared implementation for the replay
+    drivers' shuffle_partitions knob and with_rocksdb: three hand-rolled
+    save/set/restore copies had already diverged, and one leaked its
+    setting into the session when setup raised before its try block
+    (r9 review)."""
+    prev: dict[str, str | None] = {}
+    for key, val in confs.items():
+        try:
+            prev[key] = spark.conf.get(key)
+        except Exception:  # noqa: BLE001 - no value and no default
+            prev[key] = None
+        spark.conf.set(key, val)
+    try:
+        yield
+    finally:
+        for key, old in prev.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
 
 #: pyarrow mirror of engine_stream.KEY_MSG — heartbeats are written
@@ -53,10 +81,17 @@ def write_heartbeat(spark, requests_dir: str, n: int) -> None:
     for one row each). A one-row parquet write is microseconds of local
     I/O. Atomic for the file source: written to a dot-prefixed temp name
     (hidden from Spark's file listing) then renamed into place, so a
-    trigger can never list a half-written file. ``spark`` is kept in the
-    signature for call-site compatibility (and future remote-FS use —
-    the file-coupled loop itself is the local stand-in for Kafka, so
-    local paths are inherent here)."""
+    trigger can never list a half-written file. The filename carries a
+    per-call uuid besides ``n``: FileStreamSource dedups by PATH, so a
+    resumed run against an existing checkpoint (where ``n`` restarts at
+    0) must never rename a fresh beat over a path the source already
+    recorded as seen — that beat would be invisible and the watermark
+    would wedge (r9 review). ``spark`` is kept in the signature for
+    call-site compatibility (and future remote-FS use — the
+    file-coupled loop itself is the local stand-in for Kafka, so local
+    paths are inherent here)."""
+    import uuid
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -76,8 +111,9 @@ def write_heartbeat(spark, requests_dir: str, n: int) -> None:
         schema=_key_msg_arrow_schema(),
     )
     os.makedirs(requests_dir, exist_ok=True)
-    final = os.path.join(requests_dir, f"hb_{n}.parquet")
-    tmp = os.path.join(requests_dir, f".hb_{n}.parquet.tmp")
+    stem = f"hb_{n}_{uuid.uuid4().hex[:12]}.parquet"
+    final = os.path.join(requests_dir, stem)
+    tmp = os.path.join(requests_dir, f".{stem}.tmp")
     pq.write_table(table, tmp)
     os.rename(tmp, final)
 
@@ -189,18 +225,14 @@ def run_streaming_replay(
     for the whole loop and restored on exit, so both loop forms can be
     benched under identical state layouts and their delta isolates the
     per-round query restart tax."""
-    prev_parts = None
+    confs = {}
     if shuffle_partitions is not None:
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    with _conf_override(spark, confs):
         return _run_streaming_replay_inner(
             spark, txns, tmp, max_rounds, duplicate_feedback,
             interrupt_rounds, return_dirs, watermark_delay, stats,
         )
-    finally:
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _run_streaming_replay_inner(
@@ -316,7 +348,7 @@ def _run_streaming_replay_inner(
     return verdicts
 
 
-def _raw_result_rows(results_dir: str) -> int:
+def _raw_result_rows(results_dir: str) -> int | None:
     """Driver-side row count of the results sink via parquet footers —
     NO Spark job. The Spark-side ``distinct().count()`` poll this
     replaces measured a **1.4 s mean × 62 polls ≈ 88 s** of scheduler
@@ -325,13 +357,21 @@ def _raw_result_rows(results_dir: str) -> int:
     so this is a cheap NECESSARY signal only — callers must confirm
     completion with a Spark-side read (which honors the commit log)
     before declaring done. pyarrow's default ignore_prefixes skips
-    dot/underscore paths, so _spark_metadata itself is never read."""
+    dot/underscore paths, so _spark_metadata itself is never read.
+
+    Returns ``None`` — "can't tell", callers must fall back to the
+    Spark-side read — when the footer scan fails on anything but an
+    absent directory: e.g. ONE truncated orphan part file from a dead
+    task attempt would otherwise poison every subsequent poll and turn
+    a completed replay into a timeout (r9 review)."""
     import pyarrow.dataset as pa_ds
 
     try:
         return pa_ds.dataset(results_dir, format="parquet").count_rows()
-    except Exception:  # noqa: BLE001 - sink dir absent / no files yet
-        return 0
+    except FileNotFoundError:
+        return 0  # sink dir absent: nothing written yet
+    except Exception:  # noqa: BLE001 - unreadable footer: unknown
+        return None
 
 
 def run_streaming_replay_continuous(
@@ -376,13 +416,22 @@ def run_streaming_replay_continuous(
     Returns the same verdict map (and optional ``stats``:
     rounds-equivalent micro-batch counts per query) so the serial
     oracle can gate it like the availableNow form."""
+    confs = {}
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    with _conf_override(spark, confs):
+        return _run_streaming_replay_continuous_inner(
+            spark, txns, tmp, timeout_s, trigger_interval,
+            heartbeat_interval_s, watermark_delay, stats,
+        )
+
+
+def _run_streaming_replay_continuous_inner(
+    spark, txns, tmp, timeout_s, trigger_interval, heartbeat_interval_s,
+    watermark_delay, stats,
+):
     import threading
     import time as _t
-
-    prev_parts = None
-    if shuffle_partitions is not None:
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
 
     d, requests_dir, n_txns = _loop_dirs(spark, txns, tmp)
 
@@ -428,6 +477,7 @@ def run_streaming_replay_continuous(
 
         deadline = _t.time() + timeout_s
         n_done = 0
+        raw: int | None = None
         while _t.time() < deadline:
             for name, q in queries.items():
                 exc = q.exception()
@@ -438,11 +488,14 @@ def run_streaming_replay_continuous(
             if hb_err:
                 raise RuntimeError(f"heartbeat writer failed: {hb_err[0]}")
             # Cheap footer-count poll first (no Spark job — see
-            # _raw_result_rows); only when it says "possibly done" pay
-            # for the Spark-side count, which honors the sink's
-            # _spark_metadata commit log and is the real signal.
-            n_done = 0
-            if _raw_result_rows(d["results"]) >= n_txns:
+            # _raw_result_rows); only when it says "possibly done" —
+            # or can't tell (None: e.g. a truncated orphan part file
+            # from a dead task attempt poisons the footer scan forever,
+            # r9 review) — pay for the Spark-side count, which honors
+            # the sink's _spark_metadata commit log and is the real
+            # signal.
+            raw = _raw_result_rows(d["results"])
+            if raw is None or raw >= n_txns:
                 try:
                     n_done = (
                         spark.read.schema(es.TXN_RESULT_OUT)
@@ -458,8 +511,8 @@ def run_streaming_replay_continuous(
             _t.sleep(0.5)
         else:
             raise RuntimeError(
-                f"continuous replay timed out: {n_done}/{n_txns} verdicts "
-                f"after {timeout_s:.0f}s"
+                f"continuous replay timed out: {n_done}/{n_txns} committed "
+                f"verdicts (footer rows: {raw}) after {timeout_s:.0f}s"
             )
         if stats is not None:
             stats["batches"] = {
@@ -475,8 +528,6 @@ def run_streaming_replay_continuous(
             except Exception:  # noqa: BLE001 - teardown best-effort
                 pass
         hb_thread.join(timeout=10)
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     return _collect_verdicts(spark, d)
 
@@ -495,35 +546,15 @@ def with_rocksdb(spark, changelog: bool = True):
     removes. Safe for both fresh and same-run-restart checkpoints
     (recovery replays the changelog); flip it off to exercise or compare
     the snapshot-per-commit path."""
-    import contextlib
-
-    @contextlib.contextmanager
-    def cm():
-        keys = {
-            "spark.sql.streaming.stateStore.providerClass": (
-                "org.apache.spark.sql.execution.streaming."
-                "state.RocksDBStateStoreProvider"
-            ),
-        }
-        if changelog:
-            keys[
-                "spark.sql.streaming.stateStore.rocksdb."
-                "changelogCheckpointing.enabled"
-            ] = "true"
-        prev = {}
-        for key, val in keys.items():
-            try:
-                prev[key] = spark.conf.get(key)
-            except Exception:
-                prev[key] = None
-            spark.conf.set(key, val)
-        try:
-            yield
-        finally:
-            for key, old in prev.items():
-                if old is None:
-                    spark.conf.unset(key)
-                else:
-                    spark.conf.set(key, old)
-
-    return cm()
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider"
+        ),
+    }
+    if changelog:
+        confs[
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        ] = "true"
+    return _conf_override(spark, confs)

@@ -254,7 +254,11 @@ def test_heartbeat_arrow_schema_mirrors_key_msg(spark, tmp_path):
     error in a 10-minute replay."""
     req = str(tmp_path / "requests")
     write_heartbeat(spark, req, 7)
-    assert sorted(os.listdir(req)) == ["hb_7.parquet"]
+    files = os.listdir(req)
+    # one visible file, uuid-suffixed (FileStreamSource dedups by path,
+    # so a resumed run must never reuse a name), no temp residue
+    assert len(files) == 1 and files[0].startswith("hb_7_")
+    assert files[0].endswith(".parquet")
 
     df = spark.read.schema(es.KEY_MSG).parquet(req)
     rows = df.collect()
@@ -292,6 +296,41 @@ def test_raw_result_rows_footer_poll(spark, tmp_path):
     with open(os.path.join(meta, "0"), "w") as f:
         f.write('{"not": "parquet"}')
     assert _raw_result_rows(d) == 5
+
+    # a truncated orphan part file (dead task attempt) must yield None
+    # ("can't tell" — caller falls back to the Spark-side read), not 0
+    # forever and not an exception
+    with open(os.path.join(d, "part-orphan.parquet"), "wb") as f:
+        f.write(b"PAR1 not really a parquet file")
+    assert _raw_result_rows(d) is None
+
+
+def test_shuffle_partitions_restored_when_setup_fails(
+    spark, monkeypatch, tmp_path
+):
+    """The shuffle_partitions override must be released even when the
+    run fails BEFORE the stream loop starts (fixture write failure,
+    disk full): a leaked setting would silently run every subsequent
+    query in the session at the replay's partition count (r9 review)."""
+    from streamy_db_spark.streaming import replay_loop as rl
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("setup failed")
+
+    monkeypatch.setattr(rl, "_loop_dirs", boom)
+    with pytest.raises(RuntimeError, match="setup failed"):
+        rl.run_streaming_replay_continuous(
+            spark, [], str(tmp_path / "c"), shuffle_partitions=7
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    with pytest.raises(RuntimeError, match="setup failed"):
+        rl.run_streaming_replay(
+            spark, [], str(tmp_path / "a"), shuffle_partitions=7
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
 
 
 def test_with_rocksdb_sets_and_restores_changelog_conf(spark):
