@@ -311,6 +311,246 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_groups(docs, minhash_near_dup_pairs_cached(spark, sf_dir))
 
 
+# --- Semantic dedup (SemDeDup-style cluster-bounded embedding dedup) --------
+# Published scale path for embedding-space dedup (Abbas et al. 2023,
+# "SemDeDup", arXiv:2303.09540): cluster the corpus, then score pairwise
+# cosine ONLY within clusters — O(N·B) total work with B = N/n_clusters
+# instead of O(N²). n_clusters is the scale knob (the paper runs ~100k
+# clusters for billion-doc corpora, keeping per-cluster blocks in the
+# thousands); recall loss is confined to near-dup pairs whose members
+# land in different clusters (rare by construction: near-identical
+# embeddings share a nearest centroid).
+SEMANTIC_DEDUP_COS = 0.90  # production default, same bar as NEAR_DUP_COS
+ORACLE_SEMANTIC_COS = 0.40  # oracle threshold (random-gaussian fixtures;
+#                             same rationale as ORACLE_NEAR_DUP_COS above)
+SEMANTIC_SEED_K = 8
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-side nearest-centroid assignment: the centroid matrix rides as
+    a broadcast-sized closure constant into one Arrow-batched pandas UDF
+    (one numpy matmul per batch — the q_media_features trick). NO shuffle,
+    NO join. Ties break to the LOWEST cluster id (np.argmax returns the
+    first maximum), matching the JVM-side exact twin below."""
+    import numpy as np
+
+    from streamy_db_spark.operators.similarity import _cluster_udfs
+
+    assign, _ = _cluster_udfs(np.asarray(centroids, dtype=np.float64), nprobe=1)
+    return emb.withColumn("cluster_id", assign(F.col(vec_col)))
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids,
+    threshold: float = SEMANTIC_DEDUP_COS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup over a trained centroid set: every doc gets a verdict
+    ``(id, cluster_id, keep)``.
+
+    Keep rule (deterministic, oracle-expressible): a doc is DROPPED iff
+    some LOWER-ID doc in the same cluster has cosine >= threshold with
+    it. This is the pair-join formulation rather than the paper's
+    keep-one-per-epsilon-ball greedy: on a chain a–b–c where only
+    adjacent pairs clear the threshold it drops both b and c (greedy
+    would re-admit c), i.e. it over-removes, never under-removes — the
+    conservative direction for training-data dedup. Pipelines that want
+    transitive keeper semantics instead compose near-dup pairs with
+    ``dedup_groups`` (connected components) above.
+
+    Scale shape: centroids broadcast map-side (assign_clusters); ONE
+    shuffle, on cluster_id; per-cluster O(B²) numpy scoring with
+    B = N/n_clusters bounded by the centroid count — raise n_clusters as
+    the corpus grows (see module note). Embeddings cross the wire exactly
+    once; verdicts (id, int, bool) are the only other traffic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned = assign_clusters(
+        emb.select(id_col, vec_col), centroids, id_col, vec_col
+    )
+
+    def _dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        keep = np.ones(len(ids), dtype=bool)
+        if len(ids) > 1:
+            m = np.stack(pdf["_vec"].to_numpy())[order].astype(np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0.0] = 1.0
+            m /= n
+            cos = m @ m.T
+            # triu(k=1)[j, i] holds (j < i); any over j = "some lower-id
+            # doc clears the threshold" — the drop predicate.
+            keep = ~(np.triu(cos >= threshold, k=1).any(axis=0))
+        return pd.DataFrame(
+            {
+                "_id": ids,
+                "cluster_id": np.int32(pdf["cluster_id"].iloc[0]),
+                "keep": keep,
+            }
+        )
+
+    return (
+        assigned.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_vec"),
+            "cluster_id",
+        )
+        .groupBy("cluster_id")
+        .applyInPandas(_dedup_cluster, "_id long, cluster_id int, keep boolean")
+        .select(F.col("_id").alias(id_col), "cluster_id", "keep")
+    )
+
+
+def seed_centroids(
+    emb: DataFrame,
+    k: int = SEMANTIC_SEED_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Data-seeded centroids: the K lowest-id vectors, cluster_id = rank.
+    Deterministic and SQL-expressible — the oracle-checked variant runs on
+    these so DuckDB can reproduce the assignment bit-for-bit; production
+    trains real centroids via similarity.ivf_train_centroids. The global
+    window is over ≤ k rows (post-limit), not the corpus."""
+    from pyspark.sql import Window
+
+    seeds = emb.select(id_col, vec_col).orderBy(id_col).limit(k)
+    w = Window.orderBy(id_col)
+    return seeds.select(
+        (F.row_number().over(w) - 1).alias("cluster_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+
+
+def semantic_dedup_exact(
+    emb: DataFrame,
+    seeds: DataFrame,
+    threshold: float = SEMANTIC_DEDUP_COS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """JVM-side exact twin of semantic_dedup for the oracle gate: the
+    nearest-centroid argmax is a broadcast crossJoin + max(struct) —
+    map-side-combinable, same tie-break (highest cosine, then lowest
+    cluster_id) as the pandas path's first-maximum np.argmax. Pairwise
+    scoring is a same-cluster self-join with the JVM fold ``dot`` so the
+    float arithmetic matches DuckDB's sequential list_dot_product (the
+    proven-exact q_dedup_near_embedding combination)."""
+    v = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+    )
+    cos_c = dot(F.col("_vec"), F.col("cvec")) / (
+        norm(F.col("_vec")) * norm(F.col("cvec"))
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(seeds))
+        .select("_id", cos_c.alias("_cos"), "cluster_id")
+        .groupBy("_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_cos"), (-F.col("cluster_id")).alias("_nc")
+                )
+            ).alias("_m")
+        )
+        .select("_id", (-F.col("_m._nc")).alias("cluster_id"))
+    )
+    av = assigned.join(v, "_id")
+    a = av.select(
+        F.col("_id").alias("id_a"),
+        F.col("cluster_id").alias("ca"),
+        F.col("_vec").alias("va"),
+    )
+    b = av.select(
+        F.col("_id").alias("id_b"),
+        F.col("cluster_id").alias("cb"),
+        F.col("_vec").alias("vb"),
+    )
+    cos_ab = dot(F.col("va"), F.col("vb")) / (
+        norm(F.col("va")) * norm(F.col("vb"))
+    )
+    drops = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_b") < F.col("id_a")))
+        .filter(cos_ab >= threshold)
+        .select(F.col("id_a").alias("_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        av.join(drops, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster_id",
+            F.col("_drop").isNull().alias("keep"),
+        )
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup verdicts over data-seeded centroids (exact JVM twin —
+    hash-checked against the DuckDB mirror; the pandas production path is
+    pinned equal to this in tests/test_semantic_dedup.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_exact(
+        emb, seed_centroids(emb), threshold=ORACLE_SEMANTIC_COS
+    )
+
+
+def semantic_dedup_oracle_sql(k: int, threshold: float) -> str:
+    """DuckDB mirror of q_semantic_dedup: same seed rule (K lowest-id
+    vectors), same argmax tie-break (cos DESC, cluster_id ASC), same
+    lower-id drop predicate."""
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+                   e AS c
+            FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k})
+        ),
+        scored AS (
+            SELECT v.vec_id, s.cluster_id,
+                   list_dot_product(v.e, s.c) /
+                     (sqrt(list_dot_product(v.e, v.e)) *
+                      sqrt(list_dot_product(s.c, s.c))) AS cos
+            FROM v CROSS JOIN seeds s
+        ),
+        assigned AS (
+            SELECT vec_id, cluster_id FROM (
+                SELECT vec_id, cluster_id,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY cos DESC, cluster_id) AS rn
+                FROM scored) WHERE rn = 1
+        ),
+        av AS (
+            SELECT a.vec_id, a.cluster_id, v.e
+            FROM assigned a JOIN v USING (vec_id)
+        ),
+        drops AS (
+            SELECT DISTINCT a.vec_id
+            FROM av a JOIN av b
+              ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+            WHERE list_dot_product(a.e, b.e) /
+                  (sqrt(list_dot_product(a.e, a.e)) *
+                   sqrt(list_dot_product(b.e, b.e))) >= {threshold}
+        )
+        SELECT av.vec_id, av.cluster_id, d.vec_id IS NULL AS keep
+        FROM av LEFT JOIN drops d ON av.vec_id = d.vec_id
+    """
+
+
 # q_dedup_near_embedding is the deliberately-quadratic exact baseline
 # for the LSH path's recall: oracle-checked via TEST_* (see
 # tests/test_oracle_queries.py) but rotated out of the driver registry
@@ -328,6 +568,7 @@ QUERIES = {
 TEST_QUERIES = {
     "q_dedup_near_embedding": q_dedup_near_embedding,
     "q_dedup_near_lsh": q_dedup_near_lsh,
+    "q_semantic_dedup": q_semantic_dedup,
 }
 
 ORACLE = {
@@ -380,6 +621,9 @@ def near_dup_embedding_oracle_sql(threshold: float) -> str:
 
 TEST_ORACLE = {
     "q_dedup_near_embedding": near_dup_embedding_oracle_sql(ORACLE_NEAR_DUP_COS),
+    "q_semantic_dedup": semantic_dedup_oracle_sql(
+        SEMANTIC_SEED_K, ORACLE_SEMANTIC_COS
+    ),
 }
 
 # The groups oracle embeds the minhash pair query verbatim — same pair
