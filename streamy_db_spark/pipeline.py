@@ -37,6 +37,8 @@ def build_corpus(
     repetition_max: float = 0.5,
     bench_docs: int = 5,
     materialize_stages: bool = True,
+    semantic_threshold: float | None = None,
+    semantic_clusters: int = 16,
 ) -> dict[str, int]:
     """Run the full corpus build on ``<sf_dir>/documents.parquet`` and
     land TWO artifacts: the shuffled doc-level train split at
@@ -50,6 +52,15 @@ def build_corpus(
     ``mixture_weights`` defaults to equal weights over the sources
     present (computed from the profile pass's source cardinality — one
     tiny collect of source-cardinality size, never corpus-sized).
+
+    ``semantic_threshold`` (opt-in) adds a SemDeDup stage after the
+    MinHash near-dup pass: IVF centroids train on a bounded sample of
+    ``<sf_dir>/embeddings.parquet`` (vec_id ≡ doc_id in the harness
+    tables), every surviving doc's vector gets a cluster-bounded cosine
+    verdict, and dropped docs leave the corpus. Docs WITHOUT an
+    embedding row pass through untouched (left-join keep-if-null) —
+    lexical dedup already covered them. Off by default: the benched
+    corpus_build budget and its row accounting predate this stage.
 
     ``materialize_stages`` checkpoints the two expensive fan-in stages
     (near-dedup keepers, quality-filtered set) so later stages and their
@@ -99,6 +110,29 @@ def build_corpus(
     if materialize_stages:
         docs = docs.localCheckpoint(eager=True)
     stats["rows_near_dedup"] = docs.count()
+
+    # 2b. (opt-in) semantic dedup over the embedding table — the
+    # SemDeDup pass lexical near-dup can't see (paraphrases, templated
+    # rewrites). Verdicts are (id, cluster, keep) — tiny vs the corpus.
+    if semantic_threshold is not None:
+        from streamy_db_spark.operators.dedup import semantic_dedup
+        from streamy_db_spark.operators.similarity import ivf_train_centroids
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = ivf_train_centroids(emb, n_clusters=semantic_clusters)
+        verdicts = semantic_dedup(emb, centroids, threshold=semantic_threshold)
+        docs = (
+            docs.join(
+                verdicts.select(
+                    F.col("vec_id").alias("doc_id"), "keep"
+                ),
+                "doc_id",
+                "left",
+            )
+            .filter(F.coalesce(F.col("keep"), F.lit(True)))
+            .drop("keep")
+        )
+        stats["rows_semantic_dedup"] = docs.count()
 
     # 3. decontaminate against a benchmark set (stand-in: first N docs)
     bench = (

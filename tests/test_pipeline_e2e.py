@@ -190,6 +190,30 @@ def test_build_corpus_one_call(spark, tmp_path_factory):
     assert sorted(r.pos for r in one) == list(range(len(one)))
 
 
+def test_build_corpus_semantic_stage(spark, tmp_path_factory):
+    """Opt-in SemDeDup stage: verdicts from the embedding table drop
+    docs between the near-dup and decontamination stages; docs without
+    an embedding row pass through. Default runs (the benched form) must
+    not grow the new accounting key."""
+    from streamy_db_spark.pipeline import build_corpus
+
+    out = str(tmp_path_factory.mktemp("bc3") / "corpus")
+    # threshold 0.0 makes the stage bind hard (any same-cluster pair
+    # with non-negative cosine drops the higher id) — the point is the
+    # accounting and composition, not a tuned threshold.
+    s = build_corpus(
+        spark, SF, out, mixture_total_tokens=10_000, semantic_threshold=0.0
+    )
+    assert "rows_semantic_dedup" in s
+    assert s["rows_near_dedup"] >= s["rows_semantic_dedup"] > 0
+    assert s["rows_semantic_dedup"] >= s["rows_decontaminated"]
+    assert s["rows_semantic_dedup"] < s["rows_near_dedup"]  # stage binds
+
+    out2 = str(tmp_path_factory.mktemp("bc3") / "corpus_default")
+    s2 = build_corpus(spark, SF, out2, mixture_total_tokens=10_000)
+    assert "rows_semantic_dedup" not in s2
+
+
 def test_build_corpus_lands_packed_spans(spark, tmp_path_factory):
     """The packed fixed-token spans land at <out_dir>.packed (r8 review:
     they used to be computed for a row count and discarded)."""
