@@ -351,19 +351,28 @@ def semantic_dedup(
     threshold: float = SEMANTIC_DEDUP_COS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    greedy: bool = False,
 ) -> DataFrame:
     """SemDeDup over a trained centroid set: every doc gets a verdict
     ``(id, cluster_id, keep)``.
 
-    Keep rule (deterministic, oracle-expressible): a doc is DROPPED iff
-    some LOWER-ID doc in the same cluster has cosine >= threshold with
-    it. This is the pair-join formulation rather than the paper's
-    keep-one-per-epsilon-ball greedy: on a chain a–b–c where only
-    adjacent pairs clear the threshold it drops both b and c (greedy
-    would re-admit c), i.e. it over-removes, never under-removes — the
-    conservative direction for training-data dedup. Pipelines that want
-    transitive keeper semantics instead compose near-dup pairs with
+    Default keep rule (deterministic, oracle-expressible): a doc is
+    DROPPED iff some LOWER-ID doc in the same cluster has cosine >=
+    threshold with it. This is the pair-join formulation rather than the
+    paper's keep-one-per-epsilon-ball greedy: on a chain a–b–c where
+    only adjacent pairs clear the threshold it drops both b and c
+    (greedy would re-admit c), i.e. it over-removes, never under-removes
+    — the conservative direction for training-data dedup. Pipelines that
+    want transitive keeper semantics instead compose near-dup pairs with
     ``dedup_groups`` (connected components) above.
+
+    ``greedy=True`` switches to the sequential kept-set rule: walk each
+    cluster in id order, drop a doc iff some already-KEPT doc clears the
+    threshold (so on the chain above c IS kept — its only blocker b was
+    itself dropped). This is the batch reference semantics the
+    incremental gate (``IncrementalSemanticDeduper``) reproduces across
+    batches; not SQL-expressible (recursive), so pinned by Spark-vs-Spark
+    parity tests rather than the DuckDB oracle.
 
     Scale shape: centroids broadcast map-side (assign_clusters); ONE
     shuffle, on cluster_id; per-cluster O(B²) numpy scoring with
@@ -389,9 +398,17 @@ def semantic_dedup(
             n[n == 0.0] = 1.0
             m /= n
             cos = m @ m.T
-            # triu(k=1)[j, i] holds (j < i); any over j = "some lower-id
-            # doc clears the threshold" — the drop predicate.
-            keep = ~(np.triu(cos >= threshold, k=1).any(axis=0))
+            if greedy:
+                kept: list[int] = []
+                for i in range(len(ids)):
+                    if not kept or not (cos[kept, i] >= threshold).any():
+                        kept.append(i)
+                keep = np.zeros(len(ids), dtype=bool)
+                keep[kept] = True
+            else:
+                # triu(k=1)[j, i] holds (j < i); any over j = "some
+                # lower-id doc clears the threshold" — the drop predicate.
+                keep = ~(np.triu(cos >= threshold, k=1).any(axis=0))
         return pd.DataFrame(
             {
                 "_id": ids,

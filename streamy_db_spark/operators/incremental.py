@@ -1102,3 +1102,294 @@ class IncrementalNearDeduper:
             )
         self._write_bands_index()
         return total
+
+
+class IncrementalSemanticDeduper:
+    """Embedding-space (SemDeDup-style) gate with parquet-backed state —
+    the semantic member of the incremental family (exact:
+    IncrementalDeduper; lexical near-dup: IncrementalNearDeduper).
+
+    ``process_batch(docs)`` admits the batch docs that survive the
+    cluster-bounded cosine gate against everything already accepted,
+    appends their (cluster_id, accepted_id, vec) rows to state, and
+    returns the accepted rows. For batches arriving in increasing-id
+    order the admitted set equals the one-shot GREEDY keepers
+    (``dedup.semantic_dedup(greedy=True)`` over the union) exactly —
+    greedy is the rule whose blockers are always KEPT docs, which is
+    what makes incremental == one-shot: every blocker is in state.
+    A corollary the lexical gate can't offer (its rejections are only
+    directly stable, see IncrementalNearDeduper.process_batch): here
+    rejection IS transitively stable — a rejected doc's blocker was
+    kept, so a later re-send re-rejects against state.
+
+    State layout: ``<state>/accepted/`` (cluster_id int, accepted_id
+    long, vec array<double>, batch_seq long) and ``<state>/centroids/``
+    — the cluster space is PART of the gate's identity (verdicts from
+    two centroid sets don't compose), so centroids persist at first
+    construction and later constructions must either pass None (reuse)
+    or pass an identical matrix (else ValueError).
+
+    Scale shape: centroid assignment is map-side (Arrow UDF closure —
+    no join, no shuffle); the batch↔state block check reads accepted/
+    as the STREAMED side of a broadcast hash join on cluster_id (batch
+    side broadcast under ``broadcast_batch_max_docs``, shuffle-join
+    fallback above — same discipline as the near-dedup probe, plan-
+    gated); the within-batch greedy pass shuffles BATCH rows only.
+    State traffic per micro-batch: one scan, no Exchange. Vectors are
+    dim×8 bytes per accepted doc — at 1B accepted docs and dim 128 the
+    state is ~1 TB; ``compact_state`` re-clusters it on cluster_id so
+    the scan stays sequential columnar (a cluster-range file index, as
+    bands_index/ does for the lexical gate, is the same refinement if
+    per-batch cluster coverage is sparse).
+
+    ``batch_id`` semantics mirror the other gates: an acceptance
+    recorded under THIS batch_id re-emits (crash-replay reproduces its
+    output, appends nothing); one from an EARLIER batch is an
+    at-least-once re-send and drops. The state dir and the stream's
+    checkpoint must live and die together.
+
+    Float caveat: the within-batch pass scores cosine in numpy (BLAS
+    matmul) and the state-block pass in the JVM fold — their summation
+    orders differ, so a pair sitting within ~1 ulp of the threshold
+    could in principle flip between the two paths (affecting only
+    replay fidelity for that pair). A measure-zero set for real
+    embeddings; thresholds are policy knobs, never exact data values.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        centroids=None,
+        threshold: float = 0.90,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        broadcast_batch_max_docs: int = 2_000_000,
+    ):
+        import numpy as np
+
+        self.spark = spark
+        self.state_path = state_path.rstrip("/")
+        self.threshold = float(threshold)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.broadcast_batch_max_docs = broadcast_batch_max_docs
+        self._accepted_path = self.state_path + "/accepted"
+        self._centroids_path = self.state_path + "/centroids"
+
+        persisted = self._load_centroids()
+        if persisted is None:
+            if centroids is None:
+                raise ValueError(
+                    "no persisted centroids at "
+                    f"{self._centroids_path} — pass the centroid matrix "
+                    "(e.g. similarity.ivf_train_centroids) on first use"
+                )
+            self.centroids = np.asarray(centroids, dtype=np.float64)
+            self._persist_centroids()
+        else:
+            if centroids is not None and not np.array_equal(
+                persisted, np.asarray(centroids, dtype=np.float64)
+            ):
+                raise ValueError(
+                    "centroids differ from the matrix persisted at "
+                    f"{self._centroids_path}; verdicts from two cluster "
+                    "spaces don't compose — pass None to reuse the "
+                    "persisted centroids, or start a fresh state dir"
+                )
+            self.centroids = persisted
+
+    # -- centroid persistence -------------------------------------------
+    def _load_centroids(self):
+        import numpy as np
+
+        df = _read_state(self.spark, self._centroids_path)
+        if df is None:
+            return None
+        rows = df.orderBy("idx").collect()
+        return np.stack(
+            [np.asarray(r["vec"], dtype=np.float64) for r in rows]
+        )
+
+    def _persist_centroids(self) -> None:
+        rows = [
+            (i, [float(x) for x in v]) for i, v in enumerate(self.centroids)
+        ]
+        self.spark.createDataFrame(
+            rows, "idx int, vec array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(self._centroids_path)
+
+    # -- state access ----------------------------------------------------
+    def _accepted(self) -> DataFrame | None:
+        return _read_state(self.spark, self._accepted_path)
+
+    def seen_count(self) -> int:
+        acc = self._accepted()
+        return 0 if acc is None else acc.select("accepted_id").distinct().count()
+
+    # -- the per-batch gate ----------------------------------------------
+    def _assigned(self, docs: DataFrame) -> DataFrame:
+        """(_id, _vec, cluster_id) for the batch — map-side assignment."""
+        from streamy_db_spark.operators.dedup import assign_clusters
+
+        return assign_clusters(
+            docs.select(
+                F.col(self.id_col).alias("_id"),
+                F.col(self.vec_col).cast("array<double>").alias("_vec"),
+            ),
+            self.centroids,
+            id_col="_id",
+            vec_col="_vec",
+        )
+
+    def _state_blocked(
+        self, assigned: DataFrame, n_batch_docs: int
+    ) -> DataFrame | None:
+        """ids of batch docs with an accepted same-cluster doc at or
+        above threshold. State is the streamed side; the batch side is
+        broadcast under the cap (plan-gated: no Exchange on state)."""
+        from streamy_db_spark.operators.similarity import dot, norm
+
+        acc = self._accepted()
+        if acc is None:
+            return None
+        bb = assigned
+        if n_batch_docs <= self.broadcast_batch_max_docs:
+            bb = F.broadcast(bb)
+        cos = dot(F.col("vec"), F.col("_vec")) / (
+            norm(F.col("vec")) * norm(F.col("_vec"))
+        )
+        return (
+            acc.select("cluster_id", "vec")
+            .join(bb, "cluster_id")
+            .filter(cos >= self.threshold)
+            .select("_id")
+            .distinct()
+        )
+
+    @staticmethod
+    def _greedy_kernel(threshold: float):
+        import numpy as np
+        import pandas as pd
+
+        def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            vecs = pdf["_vec"].to_numpy()[order]
+            if len(ids) > 1:
+                m = np.stack(vecs).astype(np.float64)
+                n = np.linalg.norm(m, axis=1, keepdims=True)
+                n[n == 0.0] = 1.0
+                m /= n
+                cos = m @ m.T
+                kept: list[int] = []
+                for i in range(len(ids)):
+                    if not kept or not (cos[kept, i] >= threshold).any():
+                        kept.append(i)
+            else:
+                kept = list(range(len(ids)))
+            return pd.DataFrame(
+                {
+                    "cluster_id": np.int32(pdf["cluster_id"].iloc[0]),
+                    "_id": ids[kept],
+                    "_vec": [list(map(float, vecs[i])) for i in kept],
+                }
+            )
+
+        return _greedy
+
+    def process_batch(
+        self, docs: DataFrame, batch_id: int | None = None
+    ) -> DataFrame:
+        """Admit the batch (ids must be unique within it). Returns the
+        accepted rows with the caller's full columns; appends their
+        (cluster_id, accepted_id, vec, batch_seq) rows to accepted/.
+        One localCheckpoint materializes verdicts, so the output never
+        lazily re-reads state files (compact_state renames them away)
+        and the assignment UDF runs once."""
+        if batch_id is not None and batch_id < 0:
+            raise ValueError(f"batch_id must be >= 0, got {batch_id}")
+        if docs.isEmpty():
+            return docs.localCheckpoint(eager=True)
+
+        acc = self._accepted()
+        replayed = None
+        if acc is not None:
+            seen = acc.select(
+                F.col("accepted_id").alias(self.id_col)
+            ).distinct()
+            if batch_id is not None and "batch_seq" in acc.columns:
+                rep_ids = (
+                    acc.filter(F.col("batch_seq") == int(batch_id))
+                    .select(F.col("accepted_id").alias(self.id_col))
+                    .distinct()
+                )
+            else:
+                rep_ids = seen
+            replayed = docs.join(rep_ids, self.id_col)
+            docs = docs.join(seen, self.id_col, "left_anti").localCheckpoint(
+                eager=True
+            )
+            if docs.isEmpty():
+                return (
+                    replayed if replayed is not None else docs
+                ).localCheckpoint(eager=True)
+
+        assigned = self._assigned(docs).localCheckpoint(eager=True)
+        n_batch = assigned.count()
+        blocked = self._state_blocked(assigned, n_batch)
+        survivors = (
+            assigned
+            if blocked is None
+            else assigned.join(blocked, "_id", "left_anti")
+        )
+        accepted = (
+            survivors.groupBy("cluster_id")
+            .applyInPandas(
+                self._greedy_kernel(self.threshold),
+                "cluster_id int, _id long, _vec array<double>",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if not accepted.isEmpty():
+            accepted.select(
+                "cluster_id",
+                F.col("_id").alias("accepted_id"),
+                F.col("_vec").alias("vec"),
+                F.lit(-1 if batch_id is None else int(batch_id))
+                .cast("long")
+                .alias("batch_seq"),
+            ).write.mode("append").parquet(self._accepted_path)
+        out = docs.join(
+            accepted.select(F.col("_id").alias(self.id_col)), self.id_col
+        )
+        if replayed is not None:
+            out = out.unionByName(replayed)
+        return out.localCheckpoint(eager=True)
+
+    def compact_state(
+        self,
+        target_file_mb: int = 128,
+        force: bool = False,
+        stream_heartbeat_max_age_s: float = 600.0,
+    ) -> int:
+        """Rewrite accepted/ clustered on cluster_id (sequential scan
+        locality for the per-batch block join), dropping exact-row crash
+        duplicates. Heartbeat-guarded like the other gates; centroids/
+        is a single immutable file and is left alone."""
+        from streamy_db_spark.sources.files import compact_parquet
+
+        _guard_compact_vs_stream(
+            self.spark, self.state_path, force, stream_heartbeat_max_age_s
+        )
+        if self._accepted() is None:
+            return 0
+        return compact_parquet(
+            self.spark,
+            self._accepted_path,
+            target_file_mb,
+            cluster_cols=["cluster_id"],
+            dedupe_rows=True,
+            merge_schema=True,
+        )

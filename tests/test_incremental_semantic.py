@@ -1,0 +1,160 @@
+"""IncrementalSemanticDeduper: the embedding-space member of the
+incremental gate family. Contracts under test — incremental admissions
+equal one-shot greedy SemDeDup, crash-replay re-emits without
+re-appending, later-batch re-sends drop, rejection is transitively
+stable (greedy blockers are always in state), the centroid space is
+pinned to the state dir, and the batch↔state block join never shuffles
+the state side."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from streamy_db_spark.operators.dedup import semantic_dedup
+from streamy_db_spark.operators.incremental import IncrementalSemanticDeduper
+from streamy_db_spark.plans.inspect import executed_plan
+from streamy_db_spark.sources.tables import load_table
+
+THRESH = 0.9
+CENTROIDS = np.array(
+    [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+)
+
+
+def _xy(deg):
+    r = math.radians(deg)
+    return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+
+# cluster 0 (x-axis): 0°/25°/50° chain — greedy keeps 1 and 3 (2's
+# blocker 1 is kept; 3's only blocker 2 was dropped, cos(0°,50°)≈0.64).
+# cluster 1 (z-axis): singleton.
+B1 = [(1, _xy(0.0)), (2, _xy(25.0)), (3, _xy(50.0)), (10, [0.0, 0.1, 1.0, 0.0])]
+# 20 blocks vs kept 3 (cos5°), 21 blocks vs kept 1 (cos5°), 22 at -40°
+# clears both kept docs (cos40°≈0.77, cos90°=0), 30 blocks vs kept 10.
+B2 = [(20, _xy(55.0)), (21, _xy(5.0)), (22, _xy(-40.0)), (30, [0.0, 0.05, 1.0, 0.0])]
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _ids(df):
+    return {r.vec_id for r in df.collect()}
+
+
+def test_planted_two_batches(spark, tmp_path):
+    d = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "state"), CENTROIDS, threshold=THRESH
+    )
+    assert _ids(d.process_batch(_emb(spark, B1), batch_id=0)) == {1, 3, 10}
+    assert _ids(d.process_batch(_emb(spark, B2), batch_id=1)) == {22}
+    assert d.seen_count() == 4
+
+
+def test_incremental_equals_one_shot_greedy(spark, sf_oracle, tmp_path):
+    """Natural-corpus parity: batches by id range admit exactly the
+    one-shot greedy keepers over the union (the same discipline the
+    lexical gate pins against its one-shot keepers)."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    rows = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    )
+    centroids = np.stack([np.asarray(r["e"], dtype=np.float64) for r in rows])
+    # 0.4 on the random-gaussian fixture: non-trivial drops (see
+    # ORACLE_SEMANTIC_COS rationale in operators/dedup.py)
+    d = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "state"), centroids, threshold=0.4
+    )
+    accepted: set[int] = set()
+    bounds = [0, 150, 300, 10**9]
+    for i in range(3):
+        batch = emb.filter(
+            (F.col("vec_id") >= bounds[i]) & (F.col("vec_id") < bounds[i + 1])
+        )
+        accepted |= _ids(d.process_batch(batch, batch_id=i))
+    one_shot = semantic_dedup(emb, centroids, threshold=0.4, greedy=True)
+    keepers = {r.vec_id for r in one_shot.filter("keep").collect()}
+    assert accepted == keepers
+    assert keepers != _ids(emb)  # the gate actually dropped something
+
+
+def test_crash_replay_reemits_without_reappending(spark, tmp_path):
+    d = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "state"), CENTROIDS, threshold=THRESH
+    )
+    first = _ids(d.process_batch(_emb(spark, B1), batch_id=0))
+    n_state = spark.read.parquet(d._accepted_path).count()
+    replay = _ids(d.process_batch(_emb(spark, B1), batch_id=0))
+    assert replay == first == {1, 3, 10}
+    assert spark.read.parquet(d._accepted_path).count() == n_state
+
+
+def test_later_batch_resend_drops_and_rejection_is_stable(spark, tmp_path):
+    d = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "state"), CENTROIDS, threshold=THRESH
+    )
+    d.process_batch(_emb(spark, B1), batch_id=0)
+    # 1 was accepted (re-send → drop); 2 was rejected by kept doc 1,
+    # which IS in state (re-send → re-reject); 40 is novel.
+    out = _ids(
+        d.process_batch(
+            _emb(spark, [(1, _xy(0.0)), (2, _xy(25.0)), (40, [0.0, 0.0, 0.0, 1.0])]),
+            batch_id=1,
+        )
+    )
+    assert out == {40}
+
+
+def test_centroid_space_pinned_to_state(spark, tmp_path):
+    path = str(tmp_path / "state")
+    d = IncrementalSemanticDeduper(spark, path, CENTROIDS, threshold=THRESH)
+    d.process_batch(_emb(spark, B1), batch_id=0)
+    with pytest.raises(ValueError, match="cluster spaces"):
+        IncrementalSemanticDeduper(spark, path, CENTROIDS * 2.0)
+    # None reuses the persisted matrix; the gate keeps working
+    d2 = IncrementalSemanticDeduper(spark, path, None, threshold=THRESH)
+    assert np.array_equal(d2.centroids, CENTROIDS)
+    assert _ids(d2.process_batch(_emb(spark, B2), batch_id=1)) == {22}
+
+
+def test_first_use_requires_centroids(spark, tmp_path):
+    with pytest.raises(ValueError, match="first use"):
+        IncrementalSemanticDeduper(spark, str(tmp_path / "state"), None)
+
+
+def test_state_block_join_no_exchange_on_state_side(spark, tmp_path):
+    """Scale gate: accepted/ is the streamed side of a broadcast hash
+    join — no Exchange hashpartitioning anywhere in the block stage."""
+    d = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "state"), CENTROIDS, threshold=THRESH
+    )
+    d.process_batch(_emb(spark, B1), batch_id=0)
+    assigned = d._assigned(_emb(spark, B2)).localCheckpoint(eager=True)
+    blocked = d._state_blocked(assigned, n_batch_docs=4)
+    assert blocked is not None
+    plan = executed_plan(blocked)
+    assert "BroadcastHashJoin" in plan
+    # the ONLY shuffle is the blocked-id distinct — keyed on the BATCH
+    # id column (O(batch), map-side combined), never on the state scan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(_id" in plan
+
+
+def test_output_and_verdicts_survive_compaction(spark, tmp_path):
+    d = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "state"), CENTROIDS, threshold=THRESH
+    )
+    out = d.process_batch(_emb(spark, B1), batch_id=0)
+    assert d.compact_state() >= 1
+    assert _ids(out) == {1, 3, 10}  # materialized, not lazily re-read
+    assert _ids(d.process_batch(_emb(spark, B2), batch_id=1)) == {22}
+    assert d.seen_count() == 4

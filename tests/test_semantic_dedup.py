@@ -82,6 +82,20 @@ def test_planted_chain_keeps_lowest_id_only(spark):
     assert out == {1: (0, True), 2: (0, False), 3: (0, False), 10: (1, True)}
 
 
+def test_greedy_readmits_chain_tail(spark):
+    """greedy=True is the kept-set rule: on the a–b–c chain, c's only
+    blocker b was itself dropped, so c is KEPT — the batch reference
+    semantics IncrementalSemanticDeduper reproduces across batches."""
+    emb, centroids = _planted(spark)
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in dedup.semantic_dedup(
+            emb, centroids, threshold=0.9, greedy=True
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: True, 10: True}
+
+
 def test_threshold_extremes(spark):
     """threshold above any cosine keeps everything; threshold below any
     cosine keeps exactly the min id per cluster."""
