@@ -351,15 +351,23 @@ class IncrementalDeduper:
         output file count."""
         from streamy_db_spark.sources.files import compact_parquet
 
-        _guard_compact_vs_stream(
-            self.spark, self.state_path, force, stream_heartbeat_max_age_s
-        )
+        def _recheck() -> None:
+            # re-validated immediately before each swap: a stream that
+            # came alive DURING the rewrite aborts the swap instead of
+            # racing it (r9 second review — the idle-released lifetime
+            # heartbeat makes 'stale at entry, live at swap' reachable)
+            _guard_compact_vs_stream(
+                self.spark, self.state_path, force, stream_heartbeat_max_age_s
+            )
+
+        _recheck()
         return compact_parquet(
             self.spark,
             self.state_path,
             target_file_mb,
             dedupe_rows=True,
             merge_schema=True,
+            pre_swap_check=_recheck,
         )
 
 
@@ -490,6 +498,7 @@ class IncrementalNearDeduper:
         sig_threshold: float = 0.5,
         broadcast_batch_max_docs: int = 200_000,
         prune_max_docs: int = 50_000,
+        prune_min_indexed_files: int = 4,
     ):
         self.spark = spark
         self.state_path = state_path
@@ -506,6 +515,14 @@ class IncrementalNearDeduper:
         # saturates every file range anyway (uniform md5 keys), so the
         # collect would be pure overhead. 0 disables pruning.
         self.prune_max_docs = prune_max_docs
+        # ...and only when at least this many LIVE files are indexed:
+        # the attempt costs one per-trigger Spark job (batch bkey
+        # explode + distinct + collect), which can only pay for itself
+        # by skipping indexed files — a tiny or freshly-crashed state
+        # (stale index: 0 live indexed files until the next compaction)
+        # takes the plain full scan with no accounting instead (r9
+        # second review).
+        self.prune_min_indexed_files = prune_min_indexed_files
         #: Scan accounting of the LAST probe (None when the last probe
         #: did not attempt pruning): {"files_total", "files_read",
         #: "files_pruned"} — the observable tests/test_probe_pruning.py
@@ -775,6 +792,11 @@ class IncrementalNearDeduper:
         ]
         if not files:
             return None  # empty dir (e.g. _SUCCESS only): no state rows
+        indexed = sum(1 for name, _ in files if name in ranges)
+        if indexed < self.prune_min_indexed_files:
+            # nothing (or too little) can be skipped: the bkey-collect
+            # job below would cost more than the reads it saves
+            return _PRUNE_UNAVAILABLE
         bkeys = sorted(
             r["bkey"]
             for r in self._explode_bands(sigs, "id_a", "sig_a")
@@ -1080,9 +1102,15 @@ class IncrementalNearDeduper:
         both components."""
         from streamy_db_spark.sources.files import compact_parquet
 
-        _guard_compact_vs_stream(
-            self.spark, self.state_path, force, stream_heartbeat_max_age_s
-        )
+        def _recheck() -> None:
+            # re-validated immediately before each component's swap: a
+            # stream that came alive DURING the rewrite aborts the swap
+            # instead of racing it (r9 second review)
+            _guard_compact_vs_stream(
+                self.spark, self.state_path, force, stream_heartbeat_max_age_s
+            )
+
+        _recheck()
         self._migrate_legacy_state()
         total = 0
         for path, cluster, min_files in (
@@ -1099,6 +1127,7 @@ class IncrementalNearDeduper:
                 dedupe_rows=True,
                 merge_schema=True,
                 min_files=min_files,
+                pre_swap_check=_recheck,
             )
         self._write_bands_index()
         return total
@@ -1164,8 +1193,15 @@ class IncrementalSemanticDeduper:
         threshold: float = 0.90,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
-        broadcast_batch_max_docs: int = 2_000_000,
+        broadcast_batch_max_docs: int = 100_000,
     ):
+        # broadcast rows here carry the FULL embedding (dim × 8 B —
+        # ~1 KB at dim 128, ~6 KB at dim 768), not a 35 B band key like
+        # the lexical gate, so the cap is 100k (~100 MB at dim 128), not
+        # 200k-of-bkeys: size it as docs × dim × 8 B against executor
+        # memory and Spark's 8 GiB broadcast hard cap — the shuffle-join
+        # fallback must engage long before the broadcast itself fails
+        # (r9 second review)
         import numpy as np
 
         self.spark = spark
@@ -1380,9 +1416,12 @@ class IncrementalSemanticDeduper:
         is a single immutable file and is left alone."""
         from streamy_db_spark.sources.files import compact_parquet
 
-        _guard_compact_vs_stream(
-            self.spark, self.state_path, force, stream_heartbeat_max_age_s
-        )
+        def _recheck() -> None:
+            _guard_compact_vs_stream(
+                self.spark, self.state_path, force, stream_heartbeat_max_age_s
+            )
+
+        _recheck()
         if self._accepted() is None:
             return 0
         return compact_parquet(
@@ -1392,4 +1431,5 @@ class IncrementalSemanticDeduper:
             cluster_cols=["cluster_id"],
             dedupe_rows=True,
             merge_schema=True,
+            pre_swap_check=_recheck,
         )

@@ -132,6 +132,12 @@ def build_corpus(
             .filter(F.coalesce(F.col("keep"), F.lit(True)))
             .drop("keep")
         )
+        if materialize_stages:
+            # the per-cluster O(B²) verdict pass is this stage's cost —
+            # checkpoint so the count here and every downstream action
+            # up to the stage-4 checkpoint don't re-execute it (r9
+            # second review)
+            docs = docs.localCheckpoint(eager=True)
         stats["rows_semantic_dedup"] = docs.count()
 
     # 3. decontaminate against a benchmark set (stand-in: first N docs)

@@ -216,6 +216,7 @@ def compact_parquet(
     dedupe_rows: bool = False,
     merge_schema: bool = False,
     min_files: int = 1,
+    pre_swap_check=None,
 ) -> int:
     """Rewrite a parquet directory into ~``target_file_mb`` files — the
     standard maintenance pass after streaming/incremental ingest leaves
@@ -232,7 +233,17 @@ def compact_parquet(
     entry below renames it back before proceeding, so no data is ever
     lost and a rerun self-heals. NOT safe under concurrent writers to
     ``path`` — that coordination is what table formats (Delta/Iceberg)
-    add."""
+    add.
+
+    ``pre_swap_check`` (optional callable) runs AFTER the rewrite fully
+    commits but immediately BEFORE the first swap rename; if it raises,
+    the original directory is untouched (the orphaned ``.__compact__``
+    temp is cleared by the next run). Callers use it to re-validate a
+    became-stale precondition — e.g. the incremental dedup gates
+    re-check the stream heartbeat, so a stream that came alive DURING
+    the (minutes-long) rewrite aborts the swap instead of racing it;
+    the remaining window is the instant between the re-check and the
+    renames."""
     fs, mk = hadoop_fs(spark, path)
     if fs is None:
         raise NotImplementedError(
@@ -280,6 +291,8 @@ def compact_parquet(
     old = path.rstrip("/") + ".__old__"
     old_path = mk(old)
     fs.delete(old_path, True)
+    if pre_swap_check is not None:
+        pre_swap_check()
     if not fs.rename(hpath, old_path):
         raise IOError(f"compact_parquet: cannot move {path} aside")
     if not fs.rename(tmp_path, hpath):

@@ -34,13 +34,17 @@ def _conf_override(spark, confs: dict[str, str]):
     setting into the session when setup raised before its try block
     (r9 review)."""
     prev: dict[str, str | None] = {}
-    for key, val in confs.items():
-        try:
-            prev[key] = spark.conf.get(key)
-        except Exception:  # noqa: BLE001 - no value and no default
-            prev[key] = None
-        spark.conf.set(key, val)
     try:
+        # the set loop runs INSIDE the try: a conf.set that raises
+        # partway through the dict must still restore the keys already
+        # applied (r9 second review — the leak the helper exists to fix,
+        # one level up)
+        for key, val in confs.items():
+            try:
+                prev[key] = spark.conf.get(key)
+            except Exception:  # noqa: BLE001 - no value and no default
+                prev[key] = None
+            spark.conf.set(key, val)
         yield
     finally:
         for key, old in prev.items():

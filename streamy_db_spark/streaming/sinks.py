@@ -107,13 +107,21 @@ class _NearDedupSink:
     sink is not collected even after query stop + explicit JVM and
     Python GC), so a GC finalizer alone can never release ownership
     there. Instead the lifetime keeper LAPSES after
-    ``idle_release_s`` without a micro-batch: it stops re-touching (so
+    ``idle_release_s`` without a micro-batch: its beat thread EXITS (so
     the heartbeat ages out and compact_state unblocks ~max_age_s
-    later) and resumes automatically on the next batch. Streams whose
-    trigger interval exceeds ``idle_release_s`` (default 1 h) must
-    raise it — or keep the close() discipline, which releases
-    immediately. A weakref finalizer still stops the keeper thread on
-    the paths where the sink IS collectable (direct use, tests)."""
+    later — and a pinned sink never leaks an idle-looping thread per
+    started stream, r9 second review) and a fresh thread starts on the
+    next batch. Streams whose trigger interval exceeds
+    ``idle_release_s`` (default 1 h) must raise it — or keep the
+    close() discipline, which releases immediately. A lapse does NOT
+    mean the stream is stopped: a live stream whose DATA went quiet
+    lapses too, and its next batch can land mid-compaction — which is
+    why compact_parquet re-runs the heartbeat guard immediately before
+    its swap (pre_swap_check): the batch's first touch (keeper entry,
+    before any state read) aborts the swap, shrinking the race to the
+    instant between re-check and rename. A weakref finalizer still
+    stops the keeper thread on the paths where the sink IS collectable
+    (direct use, tests)."""
 
     def __init__(
         self,
@@ -146,12 +154,15 @@ class _NearDedupSink:
         self._hb_interval_s = heartbeat_interval_s
         self._idle_release_s = idle_release_s
         self._finalizer = None
+        self._beat_thread = None
+        self._thread_cls = threading.Thread
         if lifetime_heartbeat:
             touch_stream_heartbeat(spark, state_path)  # ownership starts NOW
             self._monotonic = _time.monotonic
             self._last_activity = self._monotonic()
             stop = threading.Event()
             self._stop_event = stop
+            sink_ref = weakref.ref(self)
 
             # plain function (not a method) so the thread and finalizer
             # hold no reference back to self — self must stay collectable
@@ -161,10 +172,10 @@ class _NearDedupSink:
                 interval=heartbeat_interval_s,
                 idle=idle_release_s,
                 monotonic=_time.monotonic,
-                sink_ref=None,
+                sink_ref=sink_ref,
             ) -> None:
                 while not stop.wait(interval):
-                    ref = sink_ref() if sink_ref is not None else None
+                    ref = sink_ref()
                     if ref is None:
                         return  # sink collected: finalizer also fires
                     lapsed = monotonic() - ref._last_activity > idle
@@ -173,7 +184,13 @@ class _NearDedupSink:
                     # forever and defeat the finalizer (measured r9)
                     ref = None
                     if lapsed:
-                        continue  # resume on the next batch
+                        # EXIT the thread, don't idle-loop: py4j pins
+                        # inline-registered sinks for the driver's life,
+                        # so a looping lapsed keeper is a leaked thread
+                        # per started stream (r9 second review).
+                        # __call__ starts a fresh thread on the next
+                        # batch.
+                        return
                     try:
                         touch_stream_heartbeat(
                             spark, state_path, only_if_exists=True
@@ -181,11 +198,9 @@ class _NearDedupSink:
                     except Exception:  # noqa: BLE001 - next beat retries
                         pass
 
-            sink_ref = weakref.ref(self)
-            thread = threading.Thread(
-                target=beat, kwargs={"sink_ref": sink_ref}, daemon=True
-            )
-            thread.start()
+            self._beat = beat
+            self._beat_thread = threading.Thread(target=beat, daemon=True)
+            self._beat_thread.start()
             self._finalizer = weakref.finalize(self, stop.set)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -197,8 +212,7 @@ class _NearDedupSink:
         # for lifetime_heartbeat=False callers (it bounds heartbeat
         # staleness DURING a long batch to the keeper interval) and it
         # refreshes activity so a lapsed lifetime keeper resumes.
-        if self._finalizer is not None:
-            self._last_activity = self._monotonic()
+        self._resume_keeper()
         with self._keeper_cls(
             self._spark, self._state_path, interval_s=self._hb_interval_s
         ):
@@ -206,8 +220,26 @@ class _NearDedupSink:
                 self._deduper.process_batch(batch_df, batch_id=batch_id),
                 batch_id,
             )
-        if self._finalizer is not None:
-            self._last_activity = self._monotonic()
+        # resume at the END too: a batch that ran longer than
+        # idle_release_s lapsed the keeper mid-batch (the per-batch
+        # keeper above covered the heartbeat meanwhile) — without this
+        # the lifetime keeper would stay dead until the NEXT batch
+        self._resume_keeper()
+
+    def _resume_keeper(self) -> None:
+        """Refresh activity and, if the lapsed lifetime keeper exited
+        its thread, start a fresh one (foreachBatch calls are serial
+        per query, so no start race). No-op after close()."""
+        if self._finalizer is None:
+            return
+        self._last_activity = self._monotonic()
+        if (
+            self._finalizer.alive
+            and self._beat_thread is not None
+            and not self._beat_thread.is_alive()
+        ):
+            self._beat_thread = self._thread_cls(target=self._beat, daemon=True)
+            self._beat_thread.start()
 
     def close(self) -> None:
         """Release stream ownership: stop the lifetime heartbeat so a

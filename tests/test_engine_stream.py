@@ -333,6 +333,23 @@ def test_shuffle_partitions_restored_when_setup_fails(
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
 
 
+def test_conf_override_restores_applied_keys_when_a_set_fails(spark):
+    """A conf.set that raises partway through the dict (e.g. a static
+    conf) must restore the keys already applied — otherwise the earlier
+    keys leak into the session permanently (r9 second review)."""
+    from streamy_db_spark.streaming.replay_loop import _conf_override
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with pytest.raises(Exception):
+        # dict order: the first key applies, the static second one raises
+        with _conf_override(
+            spark, {key: "3", "spark.sql.warehouse.dir": "/nope"}
+        ):
+            raise AssertionError("body must not run")  # pragma: no cover
+    assert spark.conf.get(key) == before
+
+
 def test_with_rocksdb_sets_and_restores_changelog_conf(spark):
     """with_rocksdb(changelog=True) turns on RocksDB changelog
     checkpointing for queries started inside and restores BOTH confs on

@@ -84,8 +84,10 @@ def test_probe_prunes_files_and_matches_unpruned_verdicts(spark, tmp_path):
 
 def test_stale_index_degrades_to_full_scan(spark, tmp_path):
     """A crash between the compaction swap and the index write leaves an
-    index naming files that no longer exist. Every actual file is then
-    unindexed ⇒ all read (files_read == files_total), verdicts intact —
+    index naming files that no longer exist. Zero LIVE files are then
+    indexed, so the probe skips the pruning attempt entirely (below
+    prune_min_indexed_files — the per-trigger bkey collect could not
+    skip anything) and takes the plain full scan; verdicts intact —
     the failure mode is over-reading, never a missed candidate."""
     state = tmp_path / "state"
     d = IncrementalNearDeduper(spark, str(state))
@@ -108,10 +110,9 @@ def test_stale_index_degrades_to_full_scan(spark, tmp_path):
         r.doc_id for r in d.process_batch(_docs(spark, probe), batch_id=1).collect()
     }
     assert out == {6000}
-    scan = d.last_probe_scan
-    assert scan is not None
-    assert scan["files_read"] == scan["files_total"]  # degraded, not wrong
-    assert scan["files_pruned"] == 0
+    # attempt skipped (0 live indexed files): no accounting, no
+    # per-trigger collect job — degraded to exactly the pre-index path
+    assert d.last_probe_scan is None
 
 
 def test_missing_index_and_oversized_batch_take_full_scan(spark, tmp_path):
@@ -130,6 +131,26 @@ def test_missing_index_and_oversized_batch_take_full_scan(spark, tmp_path):
     }
     assert out == {500, 501, 502}
     assert d.last_probe_scan is None
+
+
+def test_tiny_indexed_state_skips_pruning_attempt(spark, tmp_path):
+    """Below prune_min_indexed_files the per-trigger bkey-collect job
+    cannot pay for itself: the probe takes the plain full scan with no
+    accounting (r9 second review — a 1-2 file state on a 500 ms-trigger
+    stream was paying an extra Spark job per batch to skip at most one
+    read)."""
+    state = tmp_path / "state"
+    d = IncrementalNearDeduper(spark, str(state))
+    base = _corpus(20)
+    d.process_batch(_docs(spark, base), batch_id=0).count()
+    d.compact_state(bands_min_files=2, force=True)  # 2 indexed < floor 4
+
+    probe = [(900, base[4][1]), (901, "fresh unseen tokens everywhere")]
+    out = {
+        r.doc_id for r in d.process_batch(_docs(spark, probe), batch_id=1).collect()
+    }
+    assert out == {901}
+    assert d.last_probe_scan is None  # attempt skipped, verdicts intact
 
 
 def test_future_state_columns_survive_probe_and_compaction(spark, tmp_path):
