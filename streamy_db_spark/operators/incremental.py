@@ -413,6 +413,53 @@ def prune_band_files(
     return keep
 
 
+def _load_file_range_index(spark, index_path: str, key_col: str):
+    """A file-range index sidecar as {file basename: (min, max)}, or
+    None when unusable (absent, torn by a killed compaction,
+    unreadable). ADVISORY by contract: any failure costs a full scan,
+    never a failed micro-batch. Shared by the lexical gate (bands_index,
+    key bkey) and the semantic gate (accepted_index, key cluster_id)."""
+    try:
+        index = _read_state(spark, index_path)
+        if index is None:
+            return None
+        return {
+            r["file"]: (r["min_" + key_col], r["max_" + key_col])
+            for r in index.collect()
+        }
+    except Exception:  # noqa: BLE001 - advisory sidecar: degrade
+        return None
+
+
+def _write_file_range_index(
+    spark, state_root: str, data_path: str, index_path: str, key_col: str
+) -> None:
+    """Persist per-file (min, max) of ``key_col`` over the (just
+    re-clustered) ``data_path`` to the ``index_path`` sidecar. Written
+    AFTER the compaction swap on purpose: a crash in between leaves an
+    index naming vanished files, which degrades to a full scan, never a
+    missed candidate. One row per state file; the scan is free in
+    context — compaction just rewrote every row anyway."""
+    data = _read_state(spark, data_path)
+    fs, mk = _state_fs(spark, state_root)
+    if data is None:
+        if fs is not None:  # drop a stale index alongside dead state
+            fs.delete(mk(index_path), True)
+        return
+    (
+        data.groupBy(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file")
+        )
+        .agg(
+            F.min(key_col).alias("min_" + key_col),
+            F.max(key_col).alias("max_" + key_col),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+
+
 # --- incremental NEAR-dup dedup (batch-over-batch MinHash admission) ---------
 
 
@@ -830,20 +877,10 @@ class IncrementalNearDeduper:
         driver collect of the index (review finding)."""
         if self._index_cache != "unset":
             return self._index_cache
-        try:
-            index = _read_state(self.spark, self._index_path)
-            ranges = (
-                None
-                if index is None
-                else {
-                    r["file"]: (r["min_bkey"], r["max_bkey"])
-                    for r in index.collect()
-                }
-            )
-        except Exception:  # noqa: BLE001 - advisory sidecar: degrade
-            ranges = None
-        self._index_cache = ranges
-        return ranges
+        self._index_cache = _load_file_range_index(
+            self.spark, self._index_path, "bkey"
+        )
+        return self._index_cache
 
     def _write_bands_index(self) -> None:
         """Persist per-file (min_bkey, max_bkey) of the just-compacted
@@ -855,25 +892,9 @@ class IncrementalNearDeduper:
         scan to build it is free in context — compaction just rewrote
         every row anyway."""
         self._index_cache = "unset"  # whatever happens below changes it
-        bands = _read_state(self.spark, self._bands_path)
-        fs, mk = _state_fs(self.spark, self.state_path)
-        if bands is None:
-            if fs is not None:  # drop a stale index alongside dead state
-                fs.delete(mk(self._index_path), True)
-            return
-        (
-            bands.groupBy(
-                F.element_at(
-                    F.split(F.input_file_name(), "/"), -1
-                ).alias("file")
-            )
-            .agg(
-                F.min("bkey").alias("min_bkey"),
-                F.max("bkey").alias("max_bkey"),
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(self._index_path)
+        _write_file_range_index(
+            self.spark, self.state_path, self._bands_path,
+            self._index_path, "bkey",
         )
 
     def _probe_join(self, sigs: DataFrame, n_batch_docs: int) -> DataFrame | None:
@@ -1164,12 +1185,14 @@ class IncrementalSemanticDeduper:
     side broadcast under ``broadcast_batch_max_docs``, shuffle-join
     fallback above — same discipline as the near-dedup probe, plan-
     gated); the within-batch greedy pass shuffles BATCH rows only.
-    State traffic per micro-batch: one scan, no Exchange. Vectors are
-    dim×8 bytes per accepted doc — at 1B accepted docs and dim 128 the
-    state is ~1 TB; ``compact_state`` re-clusters it on cluster_id so
-    the scan stays sequential columnar (a cluster-range file index, as
-    bands_index/ does for the lexical gate, is the same refinement if
-    per-batch cluster coverage is sparse).
+    State traffic per micro-batch: one scan, no Exchange — and the
+    scan itself is FILE-PRUNED: ``compact_state`` re-clusters accepted/
+    on cluster_id and persists per-file [min, max] cluster ranges to
+    accepted_index/ (the same discipline as the lexical gate's
+    bands_index), so a batch touching k clusters reads only the files
+    covering them, not the whole state. Vectors are dim×8 bytes per
+    accepted doc — at 1B accepted docs and dim 128 the state is ~1 TB;
+    per-batch reads scale with the batch's cluster coverage instead.
 
     ``batch_id`` semantics mirror the other gates: an acceptance
     recorded under THIS batch_id re-emits (crash-replay reproduces its
@@ -1194,6 +1217,7 @@ class IncrementalSemanticDeduper:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         broadcast_batch_max_docs: int = 100_000,
+        prune_min_indexed_files: int = 4,
     ):
         # broadcast rows here carry the FULL embedding (dim × 8 B —
         # ~1 KB at dim 128, ~6 KB at dim 768), not a 35 B band key like
@@ -1210,8 +1234,22 @@ class IncrementalSemanticDeduper:
         self.id_col = id_col
         self.vec_col = vec_col
         self.broadcast_batch_max_docs = broadcast_batch_max_docs
+        # File-level state pruning (same discipline as the lexical
+        # gate's bands_index): compact_state re-clusters accepted/ on
+        # cluster_id and persists per-file [min, max] cluster ranges;
+        # the block join then reads only the files whose range holds a
+        # cluster the BATCH touches — per-batch I/O scales with the
+        # batch's cluster coverage, not accepted-state size. The floor
+        # skips the (tiny: ≤ n_clusters ints) per-trigger collect when
+        # too few live files are indexed to pay for it.
+        self.prune_min_indexed_files = prune_min_indexed_files
+        #: Scan accounting of the LAST block probe (None when pruning
+        #: was not attempted), same shape as the lexical gate's.
+        self.last_probe_scan: dict | None = None
         self._accepted_path = self.state_path + "/accepted"
         self._centroids_path = self.state_path + "/centroids"
+        self._index_path = self.state_path + "/accepted_index"
+        self._index_cache: dict | None | str = "unset"
 
         persisted = self._load_centroids()
         if persisted is None:
@@ -1278,15 +1316,79 @@ class IncrementalSemanticDeduper:
             vec_col="_vec",
         )
 
+    def _index_ranges(self):
+        """Memoized accepted_index ranges (see the lexical gate's
+        _index_ranges for the memo rationale — same contract)."""
+        if self._index_cache != "unset":
+            return self._index_cache
+        self._index_cache = _load_file_range_index(
+            self.spark, self._index_path, "cluster_id"
+        )
+        return self._index_cache
+
+    def _accepted_state_for_probe(self, assigned: DataFrame):
+        """The accepted/ scan for the block join, FILE-PRUNED by the
+        compaction-time cluster-range index when possible. Same
+        advisory contract as the lexical gate's _bands_state_for_probe:
+        unindexed files are always read; any missing prerequisite falls
+        back to the full scan; None means no state (or provably zero
+        cluster overlap). Records ``last_probe_scan`` when pruning ran.
+        The batch's distinct clusters are a ≤ n_clusters-int collect
+        over the checkpointed assignment — bounded regardless of batch
+        size."""
+        pruned = self._try_pruned_accepted(assigned)
+        if pruned is not _PRUNE_UNAVAILABLE:
+            return pruned
+        return self._accepted()
+
+    def _try_pruned_accepted(self, assigned: DataFrame):
+        fs, mk = _state_fs(self.spark, self._accepted_path)
+        if fs is None:
+            return _PRUNE_UNAVAILABLE
+        ranges = self._index_ranges()
+        if ranges is None:
+            return _PRUNE_UNAVAILABLE
+        try:
+            if not fs.exists(mk(self._accepted_path)):
+                return None  # no accepted state yet
+            listing = fs.listStatus(mk(self._accepted_path))
+        except Exception:  # noqa: BLE001 - degraded mode: full scan
+            return _PRUNE_UNAVAILABLE
+        files = [
+            (st.getPath().getName(), st.getPath().toString())
+            for st in listing
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        ]
+        if not files:
+            return None
+        indexed = sum(1 for name, _ in files if name in ranges)
+        if indexed < self.prune_min_indexed_files:
+            return _PRUNE_UNAVAILABLE
+        clusters = sorted(
+            r["cluster_id"]
+            for r in assigned.select("cluster_id").distinct().collect()
+        )
+        keep = prune_band_files(files, ranges, clusters)
+        self.last_probe_scan = {
+            "files_total": len(files),
+            "files_read": len(keep),
+            "files_pruned": len(files) - len(keep),
+        }
+        if not keep:
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(*keep)
+
     def _state_blocked(
         self, assigned: DataFrame, n_batch_docs: int
     ) -> DataFrame | None:
         """ids of batch docs with an accepted same-cluster doc at or
         above threshold. State is the streamed side; the batch side is
-        broadcast under the cap (plan-gated: no Exchange on state)."""
+        broadcast under the cap (plan-gated: no Exchange on state).
+        The state scan is file-pruned via the cluster-range index when
+        compact_state has produced one."""
         from streamy_db_spark.operators.similarity import dot, norm
 
-        acc = self._accepted()
+        acc = self._accepted_state_for_probe(assigned)
         if acc is None:
             return None
         bb = assigned
@@ -1346,6 +1448,9 @@ class IncrementalSemanticDeduper:
         and the assignment UDF runs once."""
         if batch_id is not None and batch_id < 0:
             raise ValueError(f"batch_id must be >= 0, got {batch_id}")
+        # reset scan accounting even on early exits (see the lexical
+        # gate's process_batch)
+        self.last_probe_scan = None
         if docs.isEmpty():
             return docs.localCheckpoint(eager=True)
 
@@ -1409,11 +1514,17 @@ class IncrementalSemanticDeduper:
         target_file_mb: int = 128,
         force: bool = False,
         stream_heartbeat_max_age_s: float = 600.0,
+        accepted_min_files: int = 1,
     ) -> int:
         """Rewrite accepted/ clustered on cluster_id (sequential scan
-        locality for the per-batch block join), dropping exact-row crash
-        duplicates. Heartbeat-guarded like the other gates; centroids/
-        is a single immutable file and is left alone."""
+        locality AND file-level pruning granularity for the per-batch
+        block join — the per-file [min, max] cluster ranges persist to
+        accepted_index/), dropping exact-row crash duplicates.
+        ``accepted_min_files`` floors the output file count below the
+        size-derived one (finer files = finer pruning, the test
+        observable). Heartbeat-guarded like the other gates, with the
+        pre-swap re-check; centroids/ is a single immutable file and is
+        left alone."""
         from streamy_db_spark.sources.files import compact_parquet
 
         def _recheck() -> None:
@@ -1424,12 +1535,21 @@ class IncrementalSemanticDeduper:
         _recheck()
         if self._accepted() is None:
             return 0
-        return compact_parquet(
+        n = compact_parquet(
             self.spark,
             self._accepted_path,
             target_file_mb,
             cluster_cols=["cluster_id"],
             dedupe_rows=True,
             merge_schema=True,
+            min_files=accepted_min_files,
             pre_swap_check=_recheck,
         )
+        # persist the per-file cluster ranges the block join prunes
+        # with, and invalidate this instance's memo
+        self._index_cache = "unset"
+        _write_file_range_index(
+            self.spark, self.state_path, self._accepted_path,
+            self._index_path, "cluster_id",
+        )
+        return n

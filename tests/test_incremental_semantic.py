@@ -149,6 +149,59 @@ def test_state_block_join_no_exchange_on_state_side(spark, tmp_path):
     assert "Exchange hashpartitioning(_id" in plan
 
 
+def test_block_probe_prunes_state_files_with_verdict_parity(spark, tmp_path):
+    """After compaction the block join reads only the files whose
+    cluster range the batch touches (per-batch I/O ∝ batch cluster
+    coverage, not state size) — and the verdicts equal the unpruned
+    gate's exactly. Before compaction (no index, or too few indexed
+    files) there is no accounting and the full scan runs."""
+    import shutil
+
+    # 8 well-separated clusters: one-hot dims, 6 docs each, all mutually
+    # >= 0.95-similar within a cluster (small per-doc perturbation)
+    dim = 8
+    rows = []
+    for c in range(8):
+        for j in range(6):
+            v = [0.0] * dim
+            v[c] = 1.0
+            v[(c + 1) % dim] = 0.01 * j
+            rows.append((c * 100 + j, v))
+    centroids = np.eye(dim)
+    state = tmp_path / "state"
+    d = IncrementalSemanticDeduper(
+        spark, str(state), centroids, threshold=0.95
+    )
+    base = d.process_batch(_emb(spark, rows), batch_id=0)
+    assert base.count() >= 8  # at least one keeper per cluster
+    assert d.last_probe_scan is None  # no index yet: full scan, no accounting
+    d.compact_state(accepted_min_files=8, force=True)
+    assert (state / "accepted_index").is_dir()
+    ref_state = tmp_path / "ref"
+    shutil.copytree(state, ref_state)  # pre-probe snapshot for parity
+
+    # probe touching TWO clusters: 9000 blocks against cluster 0's
+    # keeper (cos ≈ 1); 9001 lands in cluster 6 but stays under 0.95
+    probe = [(9000, [1.0, 0.001, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+             (9001, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.9, 0.44])]
+    out = _ids(d.process_batch(_emb(spark, probe), batch_id=1))
+    assert out == {9001}
+    scan = d.last_probe_scan
+    assert scan is not None, "pruning did not run on a prunable batch"
+    assert scan["files_total"] >= 6
+    assert scan["files_read"] < scan["files_total"]
+    assert scan["files_pruned"] >= 1
+
+    # parity: the SAME probe over the pre-probe state with pruning
+    # floored out (plain full scan) gives identical verdicts
+    ref = IncrementalSemanticDeduper(
+        spark, str(ref_state), None, threshold=0.95,
+        prune_min_indexed_files=10**9,
+    )
+    assert _ids(ref.process_batch(_emb(spark, probe), batch_id=1)) == out
+    assert ref.last_probe_scan is None  # floored out: no accounting
+
+
 def test_output_and_verdicts_survive_compaction(spark, tmp_path):
     d = IncrementalSemanticDeduper(
         spark, str(tmp_path / "state"), CENTROIDS, threshold=THRESH
