@@ -133,6 +133,7 @@ class _NearDedupSink:
         lifetime_heartbeat: bool = True,
         heartbeat_interval_s: float = 60.0,
         idle_release_s: float = 3600.0,
+        deduper=None,
     ):
         import threading
         import time as _time
@@ -146,7 +147,11 @@ class _NearDedupSink:
 
         self._spark = spark
         self._state_path = state_path
-        self._deduper = IncrementalNearDeduper(
+        # the sink body is generic over its admission gate (anything
+        # with the process_batch(df, batch_id) contract); the default
+        # is the lexical near-dup gate, semantic_dedup_sink passes the
+        # embedding gate in
+        self._deduper = deduper or IncrementalNearDeduper(
             spark, state_path, id_col=id_col, sig_threshold=sig_threshold
         )
         self._write = idempotent_parquet_sink(out_dir)
@@ -305,4 +310,57 @@ def near_dedup_sink(
         lifetime_heartbeat=lifetime_heartbeat,
         heartbeat_interval_s=heartbeat_interval_s,
         idle_release_s=idle_release_s,
+    )
+
+
+def semantic_dedup_sink(
+    spark: SparkSession,
+    state_path: str,
+    out_dir: str,
+    centroids=None,
+    threshold: float = 0.90,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lifetime_heartbeat: bool = True,
+    heartbeat_interval_s: float = 60.0,
+    idle_release_s: float = 3600.0,
+) -> _NearDedupSink:
+    """Streaming SemDeDup admission as a ``foreachBatch`` function — the
+    Structured Streaming twin of
+    operators/incremental.IncrementalSemanticDeduper, completing the
+    family symmetry (exact: dedup_stream_content ↔ IncrementalDeduper;
+    lexical: near_dedup_sink ↔ IncrementalNearDeduper; semantic: this).
+
+    Same exactly-once composition as near_dedup_sink: per-batch
+    ``batch=<id>`` overwrite directories, crash-replays re-emit the
+    original output and append nothing, state shared with batch
+    backfill so both admit identical sets — and the same stream-
+    lifetime heartbeat ownership (construction marks the state dir
+    stream-owned; close()/context-exit releases; the keeper lapses
+    after ``idle_release_s`` and compact_parquet's pre-swap re-check
+    covers the quiet-live-stream window).
+
+    ``centroids`` follows IncrementalSemanticDeduper's pinning: pass
+    the matrix on first use (it persists with the state), None to reuse
+    the persisted one; a mismatched matrix raises."""
+    from streamy_db_spark.operators.incremental import (
+        IncrementalSemanticDeduper,
+    )
+
+    return _NearDedupSink(
+        spark,
+        state_path,
+        out_dir,
+        id_col=id_col,
+        lifetime_heartbeat=lifetime_heartbeat,
+        heartbeat_interval_s=heartbeat_interval_s,
+        idle_release_s=idle_release_s,
+        deduper=IncrementalSemanticDeduper(
+            spark,
+            state_path,
+            centroids=centroids,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+        ),
     )

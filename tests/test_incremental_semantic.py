@@ -202,6 +202,33 @@ def test_block_probe_prunes_state_files_with_verdict_parity(spark, tmp_path):
     assert ref.last_probe_scan is None  # floored out: no accounting
 
 
+def test_semantic_dedup_sink_matches_batch_gate(spark, tmp_path):
+    """The streaming twin admits exactly what the batch gate admits, and
+    a crash-replayed micro-batch overwrites its directory with identical
+    content (exactly-once composition, same as near_dedup_sink)."""
+    from streamy_db_spark.streaming.sinks import read_sink, semantic_dedup_sink
+
+    out = str(tmp_path / "out")
+    with semantic_dedup_sink(
+        spark,
+        str(tmp_path / "state"),
+        out,
+        centroids=CENTROIDS,
+        threshold=THRESH,
+    ) as sink:
+        sink(_emb(spark, B1), 0)
+        sink(_emb(spark, B2), 1)
+        sink(_emb(spark, B2), 1)  # crash replay: re-emit, no duplication
+    got = {r.vec_id for r in read_sink(spark, out).collect()}
+    ref = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "ref"), CENTROIDS, threshold=THRESH
+    )
+    want = _ids(ref.process_batch(_emb(spark, B1), batch_id=0)) | _ids(
+        ref.process_batch(_emb(spark, B2), batch_id=1)
+    )
+    assert got == want == {1, 3, 10, 22}
+
+
 def test_output_and_verdicts_survive_compaction(spark, tmp_path):
     d = IncrementalSemanticDeduper(
         spark, str(tmp_path / "state"), CENTROIDS, threshold=THRESH
