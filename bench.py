@@ -106,7 +106,16 @@ BUDGETS = {
     # run (r7: 23.9 s / 66.8 s) — the old 60/220 values would have
     # passed a genuine 2.5-3x regression (r6/r7 verdict item).
     "protocol_replay_100k": 50.0,
-    "protocol_replay_1m": 140.0,
+    # 1M re-pinned END of r9 after a controlled A/B (BASELINE.md §6):
+    # the 34.8 s record was a favorable warm-context run — the SAME
+    # commit and the final r9 code both measure ~295-300 s standalone
+    # cold and 104-230 s in-bench (after the sweep's warm), so 140 s
+    # sat inside the context band and flagged noise. 180 ≈ 1.6x the
+    # observed warm in-bench band (104-112 s) still fails 3x the r7
+    # driver record (200 s, the gate's pinned ground truth); a
+    # contention spike above it clears on the quiet retry, which is
+    # what the retry gate is for.
+    "protocol_replay_1m": 180.0,
     # Streaming replay (file-coupled loop, RocksDB provider), r9 TUNED:
     # state partitions sized to the fixture (8, not the session's 32)
     # and RocksDB changelog checkpointing on — each state commit now
