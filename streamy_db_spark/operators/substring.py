@@ -1,0 +1,216 @@
+"""Exact substring deduplication (ExactSubstr): duplicated token-window
+spans across the corpus.
+
+The published training-data op (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better", arXiv:2107.06499):
+verbatim substrings repeated across documents — boilerplate, licenses,
+templated passages — drive memorization even when the documents as a
+whole are not near-duplicates, so pipelines locate and cut the repeated
+SPANS rather than whole docs. The paper builds a suffix array; the
+Spark-native shape is rolling token windows: every W-token window is
+hashed scan-side, a window whose hash appears in ≥ 2 distinct docs is
+duplicated, and per doc the hit windows merge into maximal token-index
+spans.
+
+Scale shape: window generation is a JVM ``transform``/``slice`` over
+the token array — one scan, no Python, no explode of text (the shuffle
+moves (16 B md5, doc_id, pos) per window, never tokens). One shuffle
+groups window hashes (uniform md5 keys), one more groups hits per doc;
+the interval merge is a JVM ``aggregate`` fold over the per-doc sorted
+hit list. O(total tokens) windows — the same asymptotics as the
+suffix-array construction the paper shards, with Spark handling the
+sharding. Everything is whole-stage-codegen JVM (plan-gated: zero
+Python evaluation nodes).
+
+No reference counterpart (SURVEY.md §2.3 — no text surface); extends
+the dedup family (exact / MinHash / SimHash / semantic / substring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamy_db_spark.operators.decontam import tokens
+from streamy_db_spark.sources.tables import load_table
+
+#: Window width in TOKENS. The paper uses 50 BPE tokens; the
+#: whitespace-token default here is sized to the harness fixtures
+#: (planted duplicate passages are sentence-scale). A span must contain
+#: a full W-token verbatim repeat to fire — raise for production
+#: corpora to taste.
+SUBSTR_WINDOW = 8
+
+
+def _window_hashes(docs: DataFrame, window: int, id_col: str) -> DataFrame:
+    """(id, pos, h): md5 of every ``window``-token rolling window,
+    0-based token position. Docs shorter than one window yield no
+    rows. JVM-only: transform over sequence + slice + concat_ws."""
+    toks = tokens(F.col("text"))
+    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks")).filter(
+        F.size("_toks") >= window
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - window),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, window))),
+    )
+    return base.select("_id", F.posexplode(wins).alias("pos", "h"))
+
+
+def _merge_intervals(ivs: Column) -> Column:
+    """Fold a SORTED array<struct<pos,end>> into merged
+    overlapping-or-adjacent intervals (pos <= last.end + 1) — the JVM
+    twin of the oracle's gaps-and-islands window SQL."""
+    empty = F.array().cast("array<struct<pos:int,end:int>>")
+    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+    return F.aggregate(
+        ivs,
+        empty,
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (x["pos"] <= last(acc)["end"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["pos"].alias("pos"),
+                        F.greatest(last(acc)["end"], x["end"]).alias("end"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    window: int = SUBSTR_WINDOW,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc maximal token spans covered by a ``window``-token
+    substring that occurs verbatim in at least ``min_docs`` DISTINCT
+    docs. Output: (id, start_tok, end_tok) with 0-based inclusive
+    token indices; overlapping-or-adjacent hit windows merge into one
+    span. Deterministic — the oracle twin is exact SQL."""
+    wins = _window_hashes(docs, window, id_col)
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    hits = wins.join(dup, "h").select(
+        "_id",
+        F.struct(
+            F.col("pos"), (F.col("pos") + window - 1).alias("end")
+        ).alias("iv"),
+    )
+    merged = hits.groupBy("_id").agg(
+        _merge_intervals(F.sort_array(F.collect_list("iv"))).alias("spans")
+    )
+    return merged.select(
+        F.col("_id").alias(id_col),
+        F.explode("spans").alias("s"),
+    ).select(
+        id_col,
+        F.col("s.pos").alias("start_tok"),
+        F.col("s.end").alias("end_tok"),
+    )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the spans: rebuild each doc's text with the duplicated
+    token ranges removed (ALL occurrences cut — the conservative
+    anti-memorization direction; a keep-one-occurrence variant needs a
+    global occurrence order and is left to the caller). Docs with no
+    spans pass through verbatim. Output: the input columns with
+    ``text`` replaced by the cleaned text (whitespace-normalized, since
+    tokenization already collapsed it)."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_cut")
+    )
+    toks = tokens(F.col("text"))
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("_cut"),
+            lambda c: (s["i"] >= c["start_tok"]) & (s["i"] <= c["end_tok"]),
+        ),
+    )
+    cleaned = F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
+    out_cols = [c for c in docs.columns if c != "text"]
+    return (
+        docs.join(per_doc, id_col, "left")
+        .withColumn(
+            "text",
+            F.when(F.col("_cut").isNull(), F.lower(F.concat_ws(" ", toks)))
+            .otherwise(cleaned),
+        )
+        .select(*out_cols, "text")
+    )
+
+
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr spans over the documents table (hash-checked against
+    the gaps-and-islands DuckDB oracle)."""
+    return duplicated_spans(load_table(spark, sf_dir, "documents"))
+
+
+def substring_oracle_sql(window: int, min_docs: int) -> str:
+    """DuckDB mirror: same tokenizer as decontam's proven-parity oracle,
+    same 0-based window positions, islands merged with the same
+    overlapping-or-adjacent rule (pos <= running max end + 1)."""
+    return f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(ts[i : i + {window} - 1], ' ')) AS h
+            FROM tok,
+                 unnest(generate_series(1, len(ts) - {window} + 1)) AS u(i)
+            WHERE len(ts) >= {window}
+        ),
+        dup AS (
+            SELECT h FROM w GROUP BY h
+            HAVING count(DISTINCT doc_id) >= {min_docs}
+        ),
+        hits AS (
+            SELECT doc_id, pos, pos + {window} - 1 AS e
+            FROM w JOIN dup USING (h)
+        ),
+        isl AS (
+            SELECT doc_id, pos, e,
+                   CASE WHEN pos <= coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY pos, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -2) + 1
+                        THEN 0 ELSE 1 END AS brk
+            FROM hits
+        ),
+        grp AS (
+            SELECT doc_id, pos, e,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos, e) AS g
+            FROM isl
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS INTEGER) AS start_tok,
+               CAST(max(e) AS INTEGER) AS end_tok
+        FROM grp GROUP BY doc_id, g
+    """
+
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+TEST_QUERIES = {"q_dedup_substrings": q_dedup_substrings}
+TEST_ORACLE = {
+    "q_dedup_substrings": substring_oracle_sql(SUBSTR_WINDOW, 2),
+}

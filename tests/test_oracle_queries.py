@@ -31,6 +31,7 @@ def _test_only_registry():
         relational_ext2,
         sampling,
         similarity,
+        substring,
         text_quality,
     )
 
@@ -47,6 +48,7 @@ def _test_only_registry():
         sampling,
         scalar,
         similarity,
+        substring,
         text_quality,
     ):
         qs.update(mod.TEST_QUERIES)
