@@ -1185,14 +1185,17 @@ class IncrementalSemanticDeduper:
     side broadcast under ``broadcast_batch_max_docs``, shuffle-join
     fallback above — same discipline as the near-dedup probe, plan-
     gated); the within-batch greedy pass shuffles BATCH rows only.
-    State traffic per micro-batch: one scan, no Exchange — and the
-    scan itself is FILE-PRUNED: ``compact_state`` re-clusters accepted/
-    on cluster_id and persists per-file [min, max] cluster ranges to
+    State traffic per micro-batch: scans, no Exchange — and the scans
+    are FILE-PRUNED: ``compact_state`` re-clusters accepted/ on
+    cluster_id and persists per-file [min, max] cluster ranges to
     accepted_index/ (the same discipline as the lexical gate's
-    bands_index), so a batch touching k clusters reads only the files
-    covering them, not the whole state. Vectors are dim×8 bytes per
-    accepted doc — at 1B accepted docs and dim 128 the state is ~1 TB;
-    per-batch reads scale with the batch's cluster coverage instead.
+    bands_index). Assignment runs BEFORE the membership check, so ONE
+    pruned scan serves both the seen/replay lookup and the block join —
+    a batch touching k clusters reads only the files covering them for
+    EVERY per-batch state access, not just the cosine probe. Vectors
+    are dim×8 bytes per accepted doc — at 1B accepted docs and dim 128
+    the state is ~1 TB; per-batch reads scale with the batch's cluster
+    coverage instead.
 
     ``batch_id`` semantics mirror the other gates: an acceptance
     recorded under THIS batch_id re-emits (crash-replay reproduces its
@@ -1382,13 +1385,23 @@ class IncrementalSemanticDeduper:
         self, assigned: DataFrame, n_batch_docs: int
     ) -> DataFrame | None:
         """ids of batch docs with an accepted same-cluster doc at or
-        above threshold. State is the streamed side; the batch side is
-        broadcast under the cap (plan-gated: no Exchange on state).
-        The state scan is file-pruned via the cluster-range index when
-        compact_state has produced one."""
+        above threshold, over a freshly-pruned state scan (the plan-gate
+        tests drive this form; process_batch prunes once and passes the
+        scan to ``_state_blocked_from`` so the membership check shares
+        it)."""
+        return self._state_blocked_from(
+            self._accepted_state_for_probe(assigned), assigned, n_batch_docs
+        )
+
+    def _state_blocked_from(
+        self, acc: DataFrame | None, assigned: DataFrame, n_batch_docs: int
+    ) -> DataFrame | None:
+        """The block join proper: state is the streamed side; the batch
+        side is broadcast under the cap (plan-gated: no Exchange on
+        state). ``acc`` is the (possibly file-pruned) accepted/ scan —
+        None means no state / provably zero cluster overlap."""
         from streamy_db_spark.operators.similarity import dot, norm
 
-        acc = self._accepted_state_for_probe(assigned)
         if acc is None:
             return None
         bb = assigned
@@ -1454,7 +1467,22 @@ class IncrementalSemanticDeduper:
         if docs.isEmpty():
             return docs.localCheckpoint(eager=True)
 
-        acc = self._accepted()
+        # Assign clusters FIRST: assignment is deterministic given the
+        # pinned centroids, so a re-sent doc lands in the same cluster
+        # as its recorded acceptance — which lets ONE file-pruned state
+        # scan serve BOTH the seen/replay membership check and the
+        # block join. Per-batch state I/O is then proportional to the
+        # batch's cluster coverage everywhere, not just in the block
+        # join (r9 third review). Contract note this rests on: a
+        # re-sent id carries unchanged content — the same assumption
+        # that makes crash-replay re-emission sound. An id returning
+        # with an embedding that moved CLUSTERS is semantically new
+        # content and may be re-evaluated (and re-admitted) rather than
+        # dropped on id match; duplicate accepted_id rows cost space,
+        # never correctness (seen_count distincts; both vectors block).
+        assigned = self._assigned(docs).localCheckpoint(eager=True)
+        n_batch = assigned.count()
+        acc = self._accepted_state_for_probe(assigned)
         replayed = None
         if acc is not None:
             seen = acc.select(
@@ -1473,13 +1501,12 @@ class IncrementalSemanticDeduper:
                 eager=True
             )
             if docs.isEmpty():
-                return (
-                    replayed if replayed is not None else docs
-                ).localCheckpoint(eager=True)
-
-        assigned = self._assigned(docs).localCheckpoint(eager=True)
-        n_batch = assigned.count()
-        blocked = self._state_blocked(assigned, n_batch)
+                return replayed.localCheckpoint(eager=True)
+            assigned = assigned.join(
+                docs.select(F.col(self.id_col).alias("_id")), "_id"
+            ).localCheckpoint(eager=True)
+            n_batch = assigned.count()
+        blocked = self._state_blocked_from(acc, assigned, n_batch)
         survivors = (
             assigned
             if blocked is None

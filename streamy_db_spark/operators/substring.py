@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streamy_db_spark.operators.decontam import tokens
+from streamy_db_spark.operators.decontam import ngrams, tokens
 from streamy_db_spark.sources.tables import load_table
 
 #: Window width in TOKENS. The paper uses 50 BPE tokens; the
@@ -44,17 +44,14 @@ SUBSTR_WINDOW = 8
 
 def _window_hashes(docs: DataFrame, window: int, id_col: str) -> DataFrame:
     """(id, pos, h): md5 of every ``window``-token rolling window,
-    0-based token position. Docs shorter than one window yield no
-    rows. JVM-only: transform over sequence + slice + concat_ws."""
-    toks = tokens(F.col("text"))
-    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks")).filter(
-        F.size("_toks") >= window
+    0-based token position. Reuses decontam.ngrams for the windowing
+    rule (one maintained copy — r9 review); docs shorter than one
+    window yield an empty gram array, which posexplode drops."""
+    grams = ngrams(tokens(F.col("text")), window)
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.transform(grams, F.md5)).alias("pos", "h"),
     )
-    wins = F.transform(
-        F.sequence(F.lit(0), F.size("_toks") - window),
-        lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, window))),
-    )
-    return base.select("_id", F.posexplode(wins).alias("pos", "h"))
 
 
 def _merge_intervals(ivs: Column) -> Column:
@@ -92,7 +89,11 @@ def duplicated_spans(
     docs. Output: (id, start_tok, end_tok) with 0-based inclusive
     token indices; overlapping-or-adjacent hit windows merge into one
     span. Deterministic — the oracle twin is exact SQL."""
-    wins = _window_hashes(docs, window, id_col)
+    # Window hashing is the dominant scan (tokenize + md5 per token
+    # position); both the duplicate aggregation and the hits join read
+    # it, and they partition differently (h vs h,_id), so without
+    # materialization the whole scan would execute twice (r9 review).
+    wins = _window_hashes(docs, window, id_col).localCheckpoint(eager=True)
     dup = (
         wins.groupBy("h")
         .agg(F.count_distinct("_id").alias("n_docs"))
@@ -147,7 +148,8 @@ def strip_duplicated_spans(
         docs.join(per_doc, id_col, "left")
         .withColumn(
             "text",
-            F.when(F.col("_cut").isNull(), F.lower(F.concat_ws(" ", toks)))
+            # both branches are lowercase already — tokens() lowercases
+            F.when(F.col("_cut").isNull(), F.concat_ws(" ", toks))
             .otherwise(cleaned),
         )
         .select(*out_cols, "text")

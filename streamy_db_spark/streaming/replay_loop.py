@@ -38,20 +38,27 @@ def _conf_override(spark, confs: dict[str, str]):
         # the set loop runs INSIDE the try: a conf.set that raises
         # partway through the dict must still restore the keys already
         # applied (r9 second review — the leak the helper exists to fix,
-        # one level up)
+        # one level up). prev records a key only AFTER its set succeeds:
+        # a key whose set failed was never modified, and re-setting it in
+        # the finally would raise the same error again, masking the
+        # original exception (r9 third review).
         for key, val in confs.items():
             try:
-                prev[key] = spark.conf.get(key)
+                old = spark.conf.get(key)
             except Exception:  # noqa: BLE001 - no value and no default
-                prev[key] = None
+                old = None
             spark.conf.set(key, val)
+            prev[key] = old
         yield
     finally:
         for key, old in prev.items():
-            if old is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, old)
+            try:
+                if old is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, old)
+            except Exception:  # noqa: BLE001 - best-effort: one failed
+                pass  # restore must not abort the remaining restores
 
 
 #: pyarrow mirror of engine_stream.KEY_MSG — heartbeats are written

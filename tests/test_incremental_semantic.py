@@ -202,6 +202,27 @@ def test_block_probe_prunes_state_files_with_verdict_parity(spark, tmp_path):
     assert ref.last_probe_scan is None  # floored out: no accounting
 
 
+def test_resend_dropped_through_pruned_membership(spark, tmp_path):
+    """The seen/replay membership check reads the SAME pruned scan as
+    the block join (assignment runs first): after compaction builds the
+    index, a later-batch re-send of an accepted doc must still drop —
+    its acceptance row lives in a file covering its (deterministically
+    re-derived) cluster, which pruning always keeps."""
+    d = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "state"), CENTROIDS, threshold=THRESH
+    )
+    d.process_batch(_emb(spark, B1), batch_id=0)
+    d.compact_state(accepted_min_files=4, force=True)
+    out = _ids(
+        d.process_batch(
+            _emb(spark, [(1, _xy(0.0)), (50, [0.0, 0.0, 0.0, 1.0])]),
+            batch_id=1,
+        )
+    )
+    assert out == {50}  # re-send of accepted 1 dropped, novel 50 admitted
+    assert d.seen_count() == 4  # nothing re-appended for doc 1
+
+
 def test_semantic_dedup_sink_matches_batch_gate(spark, tmp_path):
     """The streaming twin admits exactly what the batch gate admits, and
     a crash-replayed micro-batch overwrites its directory with identical
