@@ -128,15 +128,21 @@ def strip_duplicated_spans(
     token ranges removed (ALL occurrences cut — the conservative
     anti-memorization direction; a keep-one-occurrence variant needs a
     global occurrence order and is left to the caller). Docs with no
-    spans pass through verbatim. Output: the input columns with
-    ``text`` replaced by the cleaned text (whitespace-normalized, since
-    tokenization already collapsed it)."""
+    spans pass through verbatim (original string untouched). Cleaned
+    docs keep their ORIGINAL token casing: span indices were computed
+    on the lowercased token view, but lowercasing changes no token
+    boundaries, so the same positions index the raw token array —
+    only inter-token whitespace is normalized to single spaces."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("start_tok", "end_tok")).alias("_cut")
     )
-    toks = tokens(F.col("text"))
+    raw_toks = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda x: x != ""
+    )
     kept = F.filter(
-        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        F.transform(
+            raw_toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        ),
         lambda s: ~F.exists(
             F.col("_cut"),
             lambda c: (s["i"] >= c["start_tok"]) & (s["i"] <= c["end_tok"]),
@@ -148,9 +154,7 @@ def strip_duplicated_spans(
         docs.join(per_doc, id_col, "left")
         .withColumn(
             "text",
-            # both branches are lowercase already — tokens() lowercases
-            F.when(F.col("_cut").isNull(), F.concat_ws(" ", toks))
-            .otherwise(cleaned),
+            F.when(F.col("_cut").isNull(), F.col("text")).otherwise(cleaned),
         )
         .select(*out_cols, "text")
     )

@@ -39,6 +39,7 @@ def build_corpus(
     materialize_stages: bool = True,
     semantic_threshold: float | None = None,
     semantic_clusters: int = 16,
+    substring_window: int | None = None,
 ) -> dict[str, int]:
     """Run the full corpus build on ``<sf_dir>/documents.parquet`` and
     land TWO artifacts: the shuffled doc-level train split at
@@ -61,6 +62,14 @@ def build_corpus(
     embedding row pass through untouched (left-join keep-if-null) —
     lexical dedup already covered them. Off by default: the benched
     corpus_build budget and its row accounting predate this stage.
+
+    ``substring_window`` (opt-in) adds an ExactSubstr stage after the
+    doc-level dedups: token windows of that width repeated verbatim
+    across surviving docs are located and CUT from every occurrence
+    (operators/substring.py) — the span-level boilerplate pass
+    doc-level dedup can't express. Rows pass through (possibly
+    shortened); the stat records spans cut. Off by default, same
+    rationale as ``semantic_threshold``.
 
     ``materialize_stages`` checkpoints the two expensive fan-in stages
     (near-dedup keepers, quality-filtered set) so later stages and their
@@ -139,6 +148,21 @@ def build_corpus(
             # second review)
             docs = docs.localCheckpoint(eager=True)
         stats["rows_semantic_dedup"] = docs.count()
+
+    # 2c. (opt-in) ExactSubstr: cut token spans repeated verbatim
+    # across surviving docs — boilerplate/licenses that doc-level
+    # dedup keeps because the documents differ as wholes.
+    if substring_window is not None:
+        from streamy_db_spark.operators.substring import (
+            duplicated_spans,
+            strip_duplicated_spans,
+        )
+
+        spans = duplicated_spans(docs, window=substring_window)
+        docs = strip_duplicated_spans(docs, spans)
+        if materialize_stages:
+            docs = docs.localCheckpoint(eager=True)
+        stats["substring_spans_cut"] = spans.count()
 
     # 3. decontaminate against a benchmark set (stand-in: first N docs)
     bench = (

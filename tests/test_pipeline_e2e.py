@@ -214,6 +214,27 @@ def test_build_corpus_semantic_stage(spark, tmp_path_factory):
     assert "rows_semantic_dedup" not in s2
 
 
+def test_build_corpus_substring_stage(spark, tmp_path_factory):
+    """Opt-in ExactSubstr stage: duplicated spans are cut (token volume
+    drops, rows pass through) and the accounting key appears only when
+    the stage is on."""
+    from streamy_db_spark.pipeline import build_corpus
+
+    out = str(tmp_path_factory.mktemp("bc4") / "corpus")
+    # window 5: the sf0.001 fixture still carries cross-doc 5-token
+    # phrases AFTER doc-level dedup (8-token repeats all lived in docs
+    # the dedup stages removed — which is those stages working)
+    s = build_corpus(
+        spark, SF, out, mixture_total_tokens=10_000, substring_window=5
+    )
+    assert s["substring_spans_cut"] > 0  # fixture phrases make it bind
+    assert s["rows_decontaminated"] <= s["rows_near_dedup"]  # chain intact
+
+    out2 = str(tmp_path_factory.mktemp("bc4") / "corpus_default")
+    s2 = build_corpus(spark, SF, out2, mixture_total_tokens=10_000)
+    assert "substring_spans_cut" not in s2
+
+
 def test_build_corpus_lands_packed_spans(spark, tmp_path_factory):
     """The packed fixed-token spans land at <out_dir>.packed (r8 review:
     they used to be computed for a row count and discarded)."""

@@ -57,9 +57,28 @@ def test_strip_cuts_spans_and_passes_clean_docs(spark):
     }
     assert out[1] == "intro words here trailing one two three"
     assert out[2] == "completely different continuation of text here"
-    # span-free docs pass through (tokenizer-normalized)
+    # span-free docs pass through untouched
     assert out[3] == DOCS[2][1]
     assert out[4] == "short doc"
+
+
+def test_strip_preserves_original_casing(spark):
+    """Span indices come from the lowercased hash view, but lowercasing
+    changes no token boundaries — the kept tokens keep their ORIGINAL
+    casing (the duplicate detection is case-insensitive; the cut is
+    applied to the raw text)."""
+    rows = [
+        (1, f"Intro WORDS here {SHARED} Trailing One"),
+        (2, f"{SHARED.upper()} different Continuation of text here now"),
+    ]
+    docs = _docs(spark, rows)
+    spans = substring.duplicated_spans(docs, window=8)
+    out = {
+        r.doc_id: r.text
+        for r in substring.strip_duplicated_spans(docs, spans).collect()
+    }
+    assert out[1] == "Intro WORDS here Trailing One"
+    assert out[2] == "different Continuation of text here now"
 
 
 def test_plan_is_fully_jvm(spark):
