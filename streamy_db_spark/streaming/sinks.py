@@ -196,6 +196,8 @@ class _NearDedupSink:
                         # __call__ starts a fresh thread on the next
                         # batch.
                         return
+                    if stop.is_set():
+                        return  # close() raced the wait: don't touch
                     try:
                         touch_stream_heartbeat(
                             spark, state_path, only_if_exists=True
@@ -250,9 +252,16 @@ class _NearDedupSink:
         """Release stream ownership: stop the lifetime heartbeat so a
         (sufficiently aged-out) compact_state can run. Idempotent; the
         weakref finalizer calls the same stop when the sink object is
-        collectable and collected without an explicit close."""
+        collectable and collected without an explicit close. JOINS the
+        beat thread so no in-flight final touch can land AFTER close()
+        returns — callers (and the tests) rely on 'after close() the
+        heartbeat only ages'; the GC-finalizer path has no such
+        ordering contract and just sets the stop event."""
         if self._finalizer is not None:
             self._finalizer()  # runs at most once; detaches itself
+        t = self._beat_thread
+        if t is not None and t.is_alive():
+            t.join(timeout=10)
 
     def __enter__(self) -> "_NearDedupSink":
         return self
