@@ -1200,7 +1200,13 @@ class IncrementalSemanticDeduper:
     ``batch_id`` semantics mirror the other gates: an acceptance
     recorded under THIS batch_id re-emits (crash-replay reproduces its
     output, appends nothing); one from an EARLIER batch is an
-    at-least-once re-send and drops. The state dir and the stream's
+    at-least-once re-send and drops — PROVIDED the re-send carries the
+    same embedding (the membership check shares the cluster-pruned
+    state scan, so an id returning with an embedding that moved
+    clusters is re-evaluated as new content and may re-emit). Pass
+    ``strict_id_membership=True`` to restore the lexical gate's
+    unconditional drop-on-id-match at the cost of an O(state)
+    id-column scan per batch. The state dir and the stream's
     checkpoint must live and die together.
 
     Float caveat: the within-batch pass scores cosine in numpy (BLAS
@@ -1221,6 +1227,7 @@ class IncrementalSemanticDeduper:
         vec_col: str = "embedding",
         broadcast_batch_max_docs: int = 100_000,
         prune_min_indexed_files: int = 4,
+        strict_id_membership: bool = False,
     ):
         # broadcast rows here carry the FULL embedding (dim × 8 B —
         # ~1 KB at dim 128, ~6 KB at dim 768), not a 35 B band key like
@@ -1246,6 +1253,15 @@ class IncrementalSemanticDeduper:
         # skips the (tiny: ≤ n_clusters ints) per-trigger collect when
         # too few live files are indexed to pay for it.
         self.prune_min_indexed_files = prune_min_indexed_files
+        # strict_id_membership=True restores the unconditional
+        # drop-on-id-match re-send contract (the lexical gate's): the
+        # seen/replay membership check reads the FULL accepted_id column
+        # (O(state) column-pruned scan per batch) instead of the pruned
+        # scan, so a re-sent id whose embedding moved clusters still
+        # drops. The default trades that edge (re-evaluated as new
+        # content; duplicate emission possible under embedder drift)
+        # for batch-coverage-bound state I/O — see process_batch.
+        self.strict_id_membership = strict_id_membership
         #: Scan accounting of the LAST block probe (None when pruning
         #: was not attempted), same shape as the lexical gate's.
         self.last_probe_scan: dict | None = None
@@ -1481,16 +1497,16 @@ class IncrementalSemanticDeduper:
         # dropped on id match; duplicate accepted_id rows cost space,
         # never correctness (seen_count distincts; both vectors block).
         assigned = self._assigned(docs).localCheckpoint(eager=True)
-        n_batch = assigned.count()
         acc = self._accepted_state_for_probe(assigned)
+        membership = self._accepted() if self.strict_id_membership else acc
         replayed = None
-        if acc is not None:
-            seen = acc.select(
+        if membership is not None:
+            seen = membership.select(
                 F.col("accepted_id").alias(self.id_col)
             ).distinct()
-            if batch_id is not None and "batch_seq" in acc.columns:
+            if batch_id is not None and "batch_seq" in membership.columns:
                 rep_ids = (
-                    acc.filter(F.col("batch_seq") == int(batch_id))
+                    membership.filter(F.col("batch_seq") == int(batch_id))
                     .select(F.col("accepted_id").alias(self.id_col))
                     .distinct()
                 )
@@ -1505,8 +1521,14 @@ class IncrementalSemanticDeduper:
             assigned = assigned.join(
                 docs.select(F.col(self.id_col).alias("_id")), "_id"
             ).localCheckpoint(eager=True)
-            n_batch = assigned.count()
-        blocked = self._state_blocked_from(acc, assigned, n_batch)
+        # count only where the block join uses it (the broadcast-cap
+        # decision) — an unconditional count was a wasted per-trigger
+        # job on the no-state path (r9 fourth review)
+        blocked = (
+            None
+            if acc is None
+            else self._state_blocked_from(acc, assigned, assigned.count())
+        )
         survivors = (
             assigned
             if blocked is None

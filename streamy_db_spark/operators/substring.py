@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streamy_db_spark.operators.decontam import ngrams, tokens
+from streamy_db_spark.operators.decontam import WS_RE, ngrams, tokens
 from streamy_db_spark.sources.tables import load_table
 
 #: Window width in TOKENS. The paper uses 50 BPE tokens; the
@@ -136,9 +136,10 @@ def strip_duplicated_spans(
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("start_tok", "end_tok")).alias("_cut")
     )
-    raw_toks = F.filter(
-        F.split(F.col("text"), r"\s+"), lambda x: x != ""
-    )
+    # the SAME split rule as tokens() (minus the lowercasing) — span
+    # indices only align with the raw array if both sides split on the
+    # one shared WS_RE constant (r9 fourth review)
+    raw_toks = F.filter(F.split(F.col("text"), WS_RE), lambda x: x != "")
     kept = F.filter(
         F.transform(
             raw_toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))

@@ -158,7 +158,12 @@ def build_corpus(
             strip_duplicated_spans,
         )
 
-        spans = duplicated_spans(docs, window=substring_window)
+        # spans materialize ONCE (tiny frame): both strip's join and
+        # the accounting count read it — without this the dup-agg +
+        # interval-merge lineage would execute twice (r9 fourth review)
+        spans = duplicated_spans(
+            docs, window=substring_window
+        ).localCheckpoint(eager=True)
         docs = strip_duplicated_spans(docs, spans)
         if materialize_stages:
             docs = docs.localCheckpoint(eager=True)

@@ -262,6 +262,19 @@ class _NearDedupSink:
         t = self._beat_thread
         if t is not None and t.is_alive():
             t.join(timeout=10)
+            if t.is_alive():  # a wedged FS touch: don't hang close()
+                import warnings
+
+                warnings.warn(
+                    "near_dedup_sink.close(): beat thread still running "
+                    "after 10 s (slow filesystem touch in flight) — a "
+                    "final heartbeat may land after close(); an "
+                    "immediately-following compact_state would be "
+                    "REFUSED (safe direction), retry after the touch "
+                    "lands or use force=True",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
 
     def __enter__(self) -> "_NearDedupSink":
         return self

@@ -223,6 +223,39 @@ def test_resend_dropped_through_pruned_membership(spark, tmp_path):
     assert d.seen_count() == 4  # nothing re-appended for doc 1
 
 
+def test_strict_membership_drops_cluster_moved_resend(spark, tmp_path):
+    """A re-sent accepted id whose embedding moved CLUSTERS escapes the
+    pruned membership check (its acceptance row lives in a file the
+    batch's clusters prune away) and is re-evaluated — the documented
+    default. strict_id_membership=True restores the lexical gate's
+    unconditional drop-on-id-match via a full id-column scan."""
+    path = str(tmp_path / "state")
+    # floor lowered so pruning engages on this tiny planted state (the
+    # default floor of 4 indexed files would take the full scan — which
+    # incidentally also drops the re-send, the same as strict mode)
+    d = IncrementalSemanticDeduper(
+        spark, path, CENTROIDS, threshold=THRESH, prune_min_indexed_files=1
+    )
+    d.process_batch(_emb(spark, B1), batch_id=0)
+    d.compact_state(accepted_min_files=4, force=True)
+    # id 1 re-sent with an embedding now nearest the z-axis centroid
+    # (cluster 1: cos≈0.44 vs 0.0 to cluster 0) yet under the 0.9 bar
+    # against cluster 1's kept doc 10 (cos≈0.35) — the batch touches
+    # only cluster 1, so the file holding id 1's cluster-0 acceptance
+    # is pruned away
+    moved = [(1, [0.0, -0.9, 0.44, 0.0])]
+    out_default = _ids(d.process_batch(_emb(spark, moved), batch_id=1))
+    assert out_default == {1}  # documented default: re-evaluated, re-admitted
+
+    path2 = str(tmp_path / "strict")
+    s = IncrementalSemanticDeduper(
+        spark, path2, CENTROIDS, threshold=THRESH, strict_id_membership=True
+    )
+    s.process_batch(_emb(spark, B1), batch_id=0)
+    s.compact_state(accepted_min_files=4, force=True)
+    assert _ids(s.process_batch(_emb(spark, moved), batch_id=1)) == set()
+
+
 def test_semantic_dedup_sink_matches_batch_gate(spark, tmp_path):
     """The streaming twin admits exactly what the batch gate admits, and
     a crash-replayed micro-batch overwrites its directory with identical

@@ -84,10 +84,18 @@ def test_strip_preserves_original_casing(spark):
 def test_plan_is_fully_jvm(spark):
     """Scale gate: window hashing, the duplicate groupBy, and the
     interval-merge fold are all JVM expressions — no Python evaluation
-    of any kind in the plan."""
-    plan = inspect.executed_plan(
-        substring.duplicated_spans(_docs(spark), window=8)
+    of any kind. The window-hashing stage is inspected PRE-checkpoint
+    (duplicated_spans materializes it, which would hide a Python node
+    behind Scan ExistingRDD — r9 fourth review); the post-checkpoint
+    agg/join/merge plan is gated separately."""
+    docs = _docs(spark)
+    scan_plan = inspect.executed_plan(
+        substring._window_hashes(docs, window=8, id_col="doc_id")
     )
-    assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
-    assert "FlatMapGroupsInPandas" not in plan
+    full_plan = inspect.executed_plan(
+        substring.duplicated_spans(docs, window=8)
+    )
+    for plan in (scan_plan, full_plan):
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "FlatMapGroupsInPandas" not in plan
