@@ -346,6 +346,7 @@ def semantic_dedup_sink(
     lifetime_heartbeat: bool = True,
     heartbeat_interval_s: float = 60.0,
     idle_release_s: float = 3600.0,
+    strict_id_membership: bool = False,
 ) -> _NearDedupSink:
     """Streaming SemDeDup admission as a ``foreachBatch`` function — the
     Structured Streaming twin of
@@ -364,7 +365,11 @@ def semantic_dedup_sink(
 
     ``centroids`` follows IncrementalSemanticDeduper's pinning: pass
     the matrix on first use (it persists with the state), None to reuse
-    the persisted one; a mismatched matrix raises."""
+    the persisted one; a mismatched matrix raises.
+    ``strict_id_membership`` passes through to the gate: streams whose
+    upstream can re-send an accepted id with a DRIFTED embedding (e.g.
+    a re-embedded crawl) set it True to keep the unconditional
+    drop-on-id-match re-send contract, at O(state) id-scan per trigger."""
     from streamy_db_spark.operators.incremental import (
         IncrementalSemanticDeduper,
     )
@@ -384,5 +389,6 @@ def semantic_dedup_sink(
             threshold=threshold,
             id_col=id_col,
             vec_col=vec_col,
+            strict_id_membership=strict_id_membership,
         ),
     )

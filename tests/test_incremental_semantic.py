@@ -283,6 +283,19 @@ def test_semantic_dedup_sink_matches_batch_gate(spark, tmp_path):
     assert got == want == {1, 3, 10, 22}
 
 
+def test_semantic_sink_passes_strict_membership_through(spark, tmp_path):
+    from streamy_db_spark.streaming.sinks import semantic_dedup_sink
+
+    with semantic_dedup_sink(
+        spark,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        centroids=CENTROIDS,
+        strict_id_membership=True,
+    ) as sink:
+        assert sink._deduper.strict_id_membership is True
+
+
 def test_output_and_verdicts_survive_compaction(spark, tmp_path):
     d = IncrementalSemanticDeduper(
         spark, str(tmp_path / "state"), CENTROIDS, threshold=THRESH
