@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relational_ext2,
         sampling,
         similarity,
+        substring,
         temporal,
         text,
         text_quality,
@@ -77,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         decontam,
         merge,
         minhash,
+        substring,
         similarity,
         multimodal,
         text,
@@ -121,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         relational_ext2,
         sampling,
         similarity,
+        substring,
         temporal,
         text,
         text_quality,
@@ -136,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         decontam,
         merge,
         minhash,
+        substring,
         similarity,
         multimodal,
         text,

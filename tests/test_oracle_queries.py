@@ -368,6 +368,59 @@ def test_capped_query_cap_actually_fires(spark, sf_oracle):
     )
 
 
+def test_simhash64_capped_cap_actually_fires(spark, sf_oracle):
+    """q_simhash64_neardup_capped's driver slot proves the PRODUCTION
+    star-degradation path only if the cap fires on the real sf data —
+    guard that _SIMHASH64_CAPPED_BUCKET_SIZE stays small enough that
+    the star changes the VERIFIED output on the real sf data (sf0.01 at
+    cap 2: 11 pairs vs 12 uncapped — one verified pair sits in hot
+    buckets the star doesn't cover directly; its cluster stays
+    connected through the rep). The count difference is the witness
+    that the slot's hash evidence exercises the star path."""
+    from streamy_db_spark.operators import minhash
+    from streamy_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    n_capped = minhash.simhash64_neardup_pairs(
+        docs, max_bucket_size=minhash._SIMHASH64_CAPPED_BUCKET_SIZE
+    ).count()
+    n_uncapped = minhash.simhash64_neardup_pairs(docs).count()
+    assert n_capped < n_uncapped, (
+        f"cap {minhash._SIMHASH64_CAPPED_BUCKET_SIZE} never fires at "
+        f"{sf_oracle} ({n_capped} == {n_uncapped} pairs) — the driver "
+        "slot would only re-prove the exact path"
+    )
+
+
+def test_simhash64_capped_star_preserves_groups(spark):
+    """A boilerplate cluster far above the cap must still resolve to ONE
+    connected component (star topology keeps group-level recall), with
+    the pair count bounded at ~n-1 edges instead of n(n-1)/2."""
+    from streamy_db_spark.operators import minhash
+    from streamy_db_spark.operators.dedup import connected_components
+
+    n_copies = 60
+    base = (
+        "exact boilerplate block repeated verbatim across many documents"
+        " in this synthetic corpus fixture"
+    )
+    rows = [(i, base) for i in range(n_copies)]
+    rows += [
+        (1000 + i, " ".join(f"u{i}w{j}" for j in range(12))) for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash.simhash64_neardup_pairs(docs, max_bucket_size=8)
+    collected = pairs.collect()
+    # 60 identical fingerprints → one size-60 bucket per band → 59 star
+    # edges (hamming 0), not 1,770 all-pairs edges.
+    assert len(collected) < n_copies + 30, f"not star-bounded: {len(collected)}"
+    for r in collected:
+        assert r["id_a"] < r["id_b"]
+    groups = connected_components(pairs.select("id_a", "id_b")).collect()
+    keeper_of = {r["node"]: r["keeper"] for r in groups}
+    assert {keeper_of[i] for i in range(n_copies)} == {0}
+
+
 def test_simhash64_neardup_exact(spark):
     """4×16-band candidates are COMPLETE for hamming ≤ 3 (pigeonhole), so
     the banded query must equal brute-force over the fingerprints —

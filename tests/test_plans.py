@@ -122,8 +122,7 @@ def test_new_relational_plans_stay_jvm_side(spark):
         "q_array_funcs",
         "q_json_funcs",
         "q_scalar_subquery",
-        "q_simhash_neardup",
-        "q_simhash64",
+        "q_simhash64_neardup_capped",
     ):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
@@ -133,10 +132,25 @@ def test_new_relational_plans_stay_jvm_side(spark):
 def test_simhash64_single_scan_no_shuffle(spark):
     """The 64-bit fingerprint is a pure per-row projection: one parquet
     scan, zero exchanges — the shape that lets it run scan-side over
-    100 TB with no data movement at all."""
-    plan = plan_of(spark, "q_simhash64")
+    100 TB with no data movement at all. (q_simhash64 rotated to the
+    test registry in r10 — subsumed by q_simhash64_neardup_capped, which
+    consumes these fingerprints — so the gate builds it directly.)"""
+    from streamy_db_spark.operators.minhash import q_simhash64
+
+    plan = inspect.executed_plan(q_simhash64(spark, SF))
     assert plan.count("Scan parquet") == 1
     assert "Exchange" not in plan
+
+
+def test_simhash64_capped_pairs_stays_hash_joined(spark):
+    """The hot-bucket-capped SimHash candidate path (the driver's
+    near-dup evidence since r10) must keep every join hash-keyed on
+    (band, val) — no nested-loop fallback from the size/rep tagging or
+    the fingerprint verify joins — and stay fully JVM-side."""
+    plan = plan_of(spark, "q_simhash64_neardup_capped")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
 
 
 def test_scalar_subquery_broadcasts_aggregate(spark):
@@ -212,7 +226,7 @@ def test_no_python_udf_in_relational_plans(spark):
         "q_merge_upsert",
         "q_text_analysis",
         "q_dedup_exact",
-        "q_minhash_lsh_pairs",
+        "q_minhash_lsh_pairs_capped",
         "q_embedding_knn",
     ):
         plan = plan_of(spark, name)
