@@ -429,6 +429,15 @@ def semantic_dedup(
     )
 
 
+def _safe_norm(v) -> "Column":
+    """L2 norm with the pandas path's zero clamp (0 → 1): a zero vector
+    gets cosine 0 everywhere instead of a divide-by-zero NaN. Only
+    exactly-zero norms are touched, so non-degenerate arithmetic is
+    bit-identical to the unguarded form."""
+    n = norm(v)
+    return F.when(n == F.lit(0.0), F.lit(1.0)).otherwise(n)
+
+
 def seed_centroids(
     emb: DataFrame,
     k: int = SEMANTIC_SEED_K,
@@ -463,13 +472,19 @@ def semantic_dedup_exact(
     cluster_id) as the pandas path's first-maximum np.argmax. Pairwise
     scoring is a same-cluster self-join with the JVM fold ``dot`` so the
     float arithmetic matches DuckDB's sequential list_dot_product (the
-    proven-exact q_dedup_near_embedding combination)."""
+    proven-exact q_dedup_near_embedding combination).
+
+    Zero-norm embeddings: denominator norms clamp 0 → 1, the EXACT
+    mirror of the pandas path's ``n[n == 0.0] = 1.0`` (and of the
+    oracle's CASE) — a degenerate all-zeros vector scores cosine 0
+    against everything instead of NULL/NaN, keeping the pinned
+    row-for-row parity across all three engines (r9 ADVICE)."""
     v = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_vec"),
     )
     cos_c = dot(F.col("_vec"), F.col("cvec")) / (
-        norm(F.col("_vec")) * norm(F.col("cvec"))
+        _safe_norm(F.col("_vec")) * _safe_norm(F.col("cvec"))
     )
     assigned = (
         v.crossJoin(F.broadcast(seeds))
@@ -496,7 +511,7 @@ def semantic_dedup_exact(
         F.col("_vec").alias("vb"),
     )
     cos_ab = dot(F.col("va"), F.col("vb")) / (
-        norm(F.col("va")) * norm(F.col("vb"))
+        _safe_norm(F.col("va")) * _safe_norm(F.col("vb"))
     )
     drops = (
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_b") < F.col("id_a")))
@@ -525,10 +540,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_safe_norm(x: str) -> str:
+    """DuckDB twin of _safe_norm: L2 norm with the zero clamp (0 → 1)."""
+    n = f"sqrt(list_dot_product({x}, {x}))"
+    return f"(CASE WHEN {n} = 0 THEN 1 ELSE {n} END)"
+
+
 def semantic_dedup_oracle_sql(k: int, threshold: float) -> str:
     """DuckDB mirror of q_semantic_dedup: same seed rule (K lowest-id
     vectors), same argmax tie-break (cos DESC, cluster_id ASC), same
-    lower-id drop predicate."""
+    lower-id drop predicate, same zero-norm clamp (see _safe_norm)."""
     return f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         seeds AS (
@@ -539,8 +560,8 @@ def semantic_dedup_oracle_sql(k: int, threshold: float) -> str:
         scored AS (
             SELECT v.vec_id, s.cluster_id,
                    list_dot_product(v.e, s.c) /
-                     (sqrt(list_dot_product(v.e, v.e)) *
-                      sqrt(list_dot_product(s.c, s.c))) AS cos
+                     ({_sql_safe_norm("v.e")} *
+                      {_sql_safe_norm("s.c")}) AS cos
             FROM v CROSS JOIN seeds s
         ),
         assigned AS (
@@ -560,8 +581,8 @@ def semantic_dedup_oracle_sql(k: int, threshold: float) -> str:
             FROM av a JOIN av b
               ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
             WHERE list_dot_product(a.e, b.e) /
-                  (sqrt(list_dot_product(a.e, a.e)) *
-                   sqrt(list_dot_product(b.e, b.e))) >= {threshold}
+                  ({_sql_safe_norm("a.e")} *
+                   {_sql_safe_norm("b.e")}) >= {threshold}
         )
         SELECT av.vec_id, av.cluster_id, d.vec_id IS NULL AS keep
         FROM av LEFT JOIN drops d ON av.vec_id = d.vec_id
@@ -577,15 +598,18 @@ def semantic_dedup_oracle_sql(k: int, threshold: float) -> str:
 # registered q_minhash_lsh_pairs / q_minhash_lsh_pairs_capped pair
 # carries the near-dup story under the strong oracle gate. Its
 # recall-vs-exact guard still runs in tests/test_oracle_queries.py.
+# q_semantic_dedup holds a driver slot since r10 (r9 verdict item 3:
+# driver-slot evidence for the SemDeDup family) — slot freed by the r10
+# minhash/simhash rotation (see minhash.py registry comment).
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_groups": q_dedup_groups,
+    "q_semantic_dedup": q_semantic_dedup,
 }
 
 TEST_QUERIES = {
     "q_dedup_near_embedding": q_dedup_near_embedding,
     "q_dedup_near_lsh": q_dedup_near_lsh,
-    "q_semantic_dedup": q_semantic_dedup,
 }
 
 ORACLE = {
@@ -638,15 +662,18 @@ def near_dup_embedding_oracle_sql(threshold: float) -> str:
 
 TEST_ORACLE = {
     "q_dedup_near_embedding": near_dup_embedding_oracle_sql(ORACLE_NEAR_DUP_COS),
-    "q_semantic_dedup": semantic_dedup_oracle_sql(
-        SEMANTIC_SEED_K, ORACLE_SEMANTIC_COS
-    ),
 }
+
+ORACLE["q_semantic_dedup"] = semantic_dedup_oracle_sql(
+    SEMANTIC_SEED_K, ORACLE_SEMANTIC_COS
+)
 
 # The groups oracle embeds the minhash pair query verbatim — same pair
 # set on both engines, so the component structure is identical too.
-from streamy_db_spark.operators.minhash import ORACLE as _MINHASH_ORACLE  # noqa: E402
+from streamy_db_spark.operators.minhash import (  # noqa: E402
+    MINHASH_PAIRS_ORACLE_SQL as _MINHASH_PAIRS_SQL,
+)
 
 ORACLE["q_dedup_groups"] = ORACLE["q_dedup_groups"].format(
-    minhash_pairs=_MINHASH_ORACLE["q_minhash_lsh_pairs"]
+    minhash_pairs=_MINHASH_PAIRS_SQL
 )

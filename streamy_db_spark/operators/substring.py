@@ -14,7 +14,9 @@ spans.
 
 Scale shape: window generation is a JVM ``transform``/``slice`` over
 the token array — one scan, no Python, no explode of text (the shuffle
-moves (16 B md5, doc_id, pos) per window, never tokens). One shuffle
+moves a (32-char hex md5, doc_id, pos) row per window, never tokens;
+a production corpus would swap in xxhash64 for an 8 B key — md5 here
+keeps the DuckDB oracle bit-identical). One shuffle
 groups window hashes (uniform md5 keys), one more groups hits per doc;
 the interval merge is a JVM ``aggregate`` fold over the per-doc sorted
 hit list. O(total tokens) windows — the same asymptotics as the
@@ -88,12 +90,37 @@ def duplicated_spans(
     substring that occurs verbatim in at least ``min_docs`` DISTINCT
     docs. Output: (id, start_tok, end_tok) with 0-based inclusive
     token indices; overlapping-or-adjacent hit windows merge into one
-    span. Deterministic — the oracle twin is exact SQL."""
-    # Window hashing is the dominant scan (tokenize + md5 per token
-    # position); both the duplicate aggregation and the hits join read
-    # it, and they partition differently (h vs h,_id), so without
-    # materialization the whole scan would execute twice (r9 review).
-    wins = _window_hashes(docs, window, id_col).localCheckpoint(eager=True)
+    span. Deterministic — the oracle twin is exact SQL.
+
+    Returns an eagerly-materialized frame: the window-hash stage is
+    O(total tokens) rows (one 32-char hex md5 + id + pos per token
+    position — corpus-scale), so it is persisted DISK_ONLY while the
+    duplicate aggregation and the hits join both read it (they
+    partition differently — h vs per-doc — so without materialization
+    the whole scan would execute twice, r9 review), RELEASED before
+    returning, and only the tiny per-doc span result is checkpointed.
+    DISK_ONLY persist, not localCheckpoint, for the corpus-sized frame:
+    persisted partitions recompute on executor loss where a local
+    checkpoint is unrecoverable, and the blocks are freed by the
+    explicit unpersist instead of pinning executor-local storage for
+    the DataFrame's lifetime (r9 ADVICE)."""
+    from pyspark.storagelevel import StorageLevel
+
+    wins = _window_hashes(docs, window, id_col).persist(StorageLevel.DISK_ONLY)
+    try:
+        spans = _spans_of_windows(wins, window, min_docs, id_col)
+        return spans.localCheckpoint(eager=True)
+    finally:
+        wins.unpersist()
+
+
+def _spans_of_windows(
+    wins: DataFrame, window: int, min_docs: int, id_col: str
+) -> DataFrame:
+    """Lazy agg/join/merge plan from the window-hash frame — split out
+    so the plan gate can inspect it before duplicated_spans materializes
+    the result (a checkpointed frame would hide any Python node behind
+    Scan ExistingRDD)."""
     dup = (
         wins.groupBy("h")
         .agg(F.count_distinct("_id").alias("n_docs"))
@@ -214,10 +241,13 @@ def substring_oracle_sql(window: int, min_docs: int) -> str:
     """
 
 
-QUERIES: dict = {}
-ORACLE: dict = {}
-
-TEST_QUERIES = {"q_dedup_substrings": q_dedup_substrings}
-TEST_ORACLE = {
+# Driver slot since r10 (r9 verdict item 3: driver-slot evidence for
+# the ExactSubstr family) — slot freed by the r10 minhash/simhash
+# rotation (see minhash.py registry comment).
+QUERIES = {"q_dedup_substrings": q_dedup_substrings}
+ORACLE = {
     "q_dedup_substrings": substring_oracle_sql(SUBSTR_WINDOW, 2),
 }
+
+TEST_QUERIES: dict = {}
+TEST_ORACLE: dict = {}

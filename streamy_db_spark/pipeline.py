@@ -127,7 +127,15 @@ def build_corpus(
         from streamy_db_spark.operators.dedup import semantic_dedup
         from streamy_db_spark.operators.similarity import ivf_train_centroids
 
-        emb = load_table(spark, sf_dir, "embeddings")
+        # Blockers must be docs still IN the corpus: restrict the
+        # embedding table to the survivors of the exact/near-dup stages
+        # before scoring (and before centroid training), or a doc
+        # already removed — or absent from the doc set entirely —
+        # could veto a survivor it semantically duplicates (r9 ADVICE:
+        # ghost blockers compounded the non-greedy chain over-removal).
+        emb = load_table(spark, sf_dir, "embeddings").join(
+            docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
         centroids = ivf_train_centroids(emb, n_clusters=semantic_clusters)
         verdicts = semantic_dedup(emb, centroids, threshold=semantic_threshold)
         docs = (
@@ -158,12 +166,10 @@ def build_corpus(
             strip_duplicated_spans,
         )
 
-        # spans materialize ONCE (tiny frame): both strip's join and
-        # the accounting count read it — without this the dup-agg +
-        # interval-merge lineage would execute twice (r9 fourth review)
-        spans = duplicated_spans(
-            docs, window=substring_window
-        ).localCheckpoint(eager=True)
+        # duplicated_spans returns an eagerly-checkpointed tiny frame
+        # (r10: DISK_ONLY persist + release inside), so both strip's
+        # join and the accounting count read the one materialization
+        spans = duplicated_spans(docs, window=substring_window)
         docs = strip_duplicated_spans(docs, spans)
         if materialize_stages:
             docs = docs.localCheckpoint(eager=True)

@@ -49,6 +49,36 @@ def test_pandas_path_matches_exact_twin(spark, sf_oracle):
     assert any(not r["keep"] for r in got)  # threshold chosen non-vacuous
 
 
+def test_zero_norm_vector_parity(spark):
+    """Degenerate all-zeros embedding: the pandas path clamps zero norms
+    to 1 (cosine 0 everywhere), and since r10 the JVM exact twin mirrors
+    that (r9 ADVICE: it used to divide by zero — NULL cosine, different
+    assignment fall-through). All three must agree: the zero vector is
+    kept (cosine 0 < any real threshold), never blocks anything, and the
+    two engines match row-for-row."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.96, 0.28, 0.0]),   # cos vs id 1 ≈ 0.96 → dropped
+        (3, [0.0, 0.0, 0.0]),     # zero vector
+        (10, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = np.array([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    got = sorted(
+        dedup.semantic_dedup(emb, centroids, threshold=0.9).collect()
+    )
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0])],
+        "cluster_id int, cvec array<double>",
+    )
+    want = sorted(
+        dedup.semantic_dedup_exact(emb, seeds, threshold=0.9).collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    keep = {r["vec_id"]: r["keep"] for r in got}
+    assert keep == {1: True, 2: False, 3: True, 10: True}
+
+
 def _planted(spark):
     """Four docs in two clusters: a 0°/25°/50° chain in the xy-plane
     (cluster 0: x-axis centroid) and one singleton near the z-axis

@@ -89,11 +89,13 @@ def test_plan_is_fully_jvm(spark):
     behind Scan ExistingRDD — r9 fourth review); the post-checkpoint
     agg/join/merge plan is gated separately."""
     docs = _docs(spark)
-    scan_plan = inspect.executed_plan(
-        substring._window_hashes(docs, window=8, id_col="doc_id")
-    )
+    wins = substring._window_hashes(docs, window=8, id_col="doc_id")
+    scan_plan = inspect.executed_plan(wins)
+    # the agg/join/merge plan is inspected LAZY (pre-materialization):
+    # duplicated_spans checkpoints its result, which would hide any
+    # Python node behind Scan ExistingRDD
     full_plan = inspect.executed_plan(
-        substring.duplicated_spans(docs, window=8)
+        substring._spans_of_windows(wins, 8, 2, "doc_id")
     )
     for plan in (scan_plan, full_plan):
         assert "BatchEvalPython" not in plan
