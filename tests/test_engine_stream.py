@@ -177,7 +177,9 @@ def test_streaming_state_drains_after_quiescence(spark, tmp_path):
     reqs = spark.readStream.schema(es.KEY_MSG).option(
         "recursiveFileLookup", "true"
     ).parquet(requests_dir)
-    fb = spark.readStream.schema(es.KEY_MSG).parquet(d["feedback"])
+    fb = spark.readStream.schema(es.KEY_MSG).option(
+        "recursiveFileLookup", "true"  # feedback lands in batch= subdirs (r10)
+    ).parquet(d["feedback"])
     q = (
         es.key_stage(reqs.unionByName(fb))
         .writeStream.format("parquet")
@@ -238,8 +240,9 @@ def test_continuous_replay_matches_serial_oracle(spark, tmp_path):
     )
     assert got == expected_results
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
-    # all three queries actually cycled (continuous, not one-shot)
-    assert set(stats["batches"]) == {"key_stage", "txn_stage", "feedback"}
+    # both queries actually cycled (continuous, not one-shot; feedback
+    # derivation is fused into the txn stage's sink since r10)
+    assert set(stats["batches"]) == {"key_stage", "txn_stage"}
     assert all(b is not None and b >= 1 for b in stats["batches"].values())
 
 
