@@ -1602,3 +1602,117 @@ class IncrementalSemanticDeduper:
             self._index_path, "cluster_id",
         )
         return n
+
+    def recluster_state(
+        self,
+        centroids=None,
+        n_clusters: int | None = None,
+        target_file_mb: int = 128,
+        force: bool = False,
+        stream_heartbeat_max_age_s: float = 600.0,
+        accepted_min_files: int = 1,
+    ) -> int:
+        """Centroid LIFECYCLE (r9 verdict item 5): re-train the cluster
+        space and re-assign every accepted row to it, replacing
+        accepted/ + centroids/ + accepted_index/ together under the
+        compact-time heartbeat guard. Centroids otherwise persist at
+        first batch and pin the space forever; as the corpus drifts,
+        docs that would pair land in different clusters and
+        cluster-bounded recall silently degrades — this is the
+        maintenance pass that restores it.
+
+        ``centroids`` adopts a caller-trained matrix; otherwise the
+        pass re-trains on the ACCEPTED vectors (the gate's own sample
+        of the admitted corpus) via similarity.ivf_train_centroids,
+        with ``n_clusters`` defaulting to the current space's K.
+        Re-assignment is map-side (the same Arrow closure as the
+        per-batch gate — no join) inside compact_parquet's
+        write-then-swap rewrite, clustered on the NEW cluster_id so
+        file pruning keeps its granularity.
+
+        Verdict semantics: accepted rows (ids, vectors, batch_seq) are
+        preserved — membership and crash-replay fidelity are
+        unchanged, and a replayed batch re-emits identically (the
+        regression test pins this). Future gating consults blockers
+        within the NEW clusters: from this point the gate equals
+        one-shot greedy semantic_dedup under the new space. A
+        previously-rejected doc re-sent later may be ADMITTED if the
+        new space separates it from its old blocker — rejection
+        stability holds within one cluster space, not across spaces;
+        re-clustering trades that edge for restored recall.
+
+        Crash safety: the accepted/ rewrite is write-then-swap; the
+        new centroids persist only AFTER the swap commits. A crash in
+        the window between them leaves new cluster ids under old
+        centroids — rerunning recluster_state with the same arguments
+        heals it (training is deterministic and re-trains on the same
+        vectors: cluster_id is the only column the pass rewrites)."""
+        import numpy as np
+
+        from streamy_db_spark.operators.dedup import assign_clusters
+        from streamy_db_spark.sources.files import compact_parquet
+
+        def _recheck() -> None:
+            _guard_compact_vs_stream(
+                self.spark, self.state_path, force, stream_heartbeat_max_age_s
+            )
+
+        _recheck()
+        acc = self._accepted()
+        if acc is None:
+            if centroids is None:
+                raise ValueError(
+                    "recluster_state on empty state needs an explicit "
+                    "centroid matrix (nothing to re-train on)"
+                )
+            self.centroids = np.asarray(centroids, dtype=np.float64)
+            self._persist_centroids()
+            self._index_cache = "unset"
+            return 0
+        if centroids is not None:
+            new_mat = np.asarray(centroids, dtype=np.float64)
+        else:
+            from streamy_db_spark.operators.similarity import (
+                ivf_train_centroids,
+            )
+
+            k = n_clusters if n_clusters is not None else len(self.centroids)
+            # train_fraction=1.0: max_train_rows already bounds driver
+            # memory, and the default thinning fraction can sample a
+            # small accepted set down to nothing
+            new_mat = ivf_train_centroids(
+                acc.select(
+                    F.col("accepted_id").alias("vec_id"),
+                    F.col("vec").alias("embedding"),
+                ),
+                n_clusters=k,
+                train_fraction=1.0,
+            )
+
+        def _reassign(df: DataFrame) -> DataFrame:
+            return assign_clusters(
+                df.drop("cluster_id"),
+                new_mat,
+                id_col="accepted_id",
+                vec_col="vec",
+            )
+
+        n = compact_parquet(
+            self.spark,
+            self._accepted_path,
+            target_file_mb,
+            cluster_cols=["cluster_id"],
+            dedupe_rows=True,
+            merge_schema=True,
+            min_files=accepted_min_files,
+            pre_swap_check=_recheck,
+            transform=_reassign,
+        )
+        self.centroids = new_mat
+        self._persist_centroids()
+        self._index_cache = "unset"
+        _write_file_range_index(
+            self.spark, self.state_path, self._accepted_path,
+            self._index_path, "cluster_id",
+        )
+        return n

@@ -217,6 +217,7 @@ def compact_parquet(
     merge_schema: bool = False,
     min_files: int = 1,
     pre_swap_check=None,
+    transform=None,
 ) -> int:
     """Rewrite a parquet directory into ~``target_file_mb`` files — the
     standard maintenance pass after streaming/incremental ingest leaves
@@ -243,7 +244,15 @@ def compact_parquet(
     re-check the stream heartbeat, so a stream that came alive DURING
     the (minutes-long) rewrite aborts the swap instead of racing it;
     the remaining window is the instant between the re-check and the
-    renames."""
+    renames.
+
+    ``transform`` (optional DataFrame → DataFrame) rewrites ROW CONTENT
+    during the compaction, under the same write-then-swap crash safety
+    — a plain rewrite-in-place of the transformed data would leave the
+    directory mixed old/new if it died mid-write. Applied after
+    ``dedupe_rows``, before clustering (so ``cluster_cols`` may name
+    columns the transform introduces or rewrites — the semantic gate's
+    re-cluster pass rewrites cluster_id this way)."""
     fs, mk = hadoop_fs(spark, path)
     if fs is None:
         raise NotImplementedError(
@@ -278,6 +287,8 @@ def compact_parquet(
         # cost space, never correctness, and compaction is the natural
         # place to drop them
         df = df.distinct()
+    if transform is not None:
+        df = transform(df)
     tmp = path.rstrip("/") + ".__compact__"
     tmp_path = mk(tmp)
     fs.delete(tmp_path, True)  # clear a stale temp from a crashed run

@@ -305,3 +305,64 @@ def test_output_and_verdicts_survive_compaction(spark, tmp_path):
     assert _ids(out) == {1, 3, 10}  # materialized, not lazily re-read
     assert _ids(d.process_batch(_emb(spark, B2), batch_id=1)) == {22}
     assert d.seen_count() == 4
+
+
+def _xz(deg):
+    r = math.radians(deg)
+    return [math.cos(r), 0.0, math.sin(r), 0.0]
+
+
+def test_recluster_state_lifecycle(spark, tmp_path):
+    """recluster_state (r9 verdict item 5 — the centroid drift
+    lifecycle): a pinned space that SPLITS a near-dup pair across
+    clusters (the silent recall loss the pass exists to fix) is
+    replaced under the heartbeat guard; afterwards (a) the pair shares
+    one cluster in state, (b) a crash-REPLAYED batch re-emits
+    identical verdicts and appends nothing, (c) a doc blocked by an
+    accepted doc rejects under the new space, (d) a fresh instance
+    adopts the new persisted matrix and the old one is refused, and
+    (e) the self-retrain path also runs with replay preserved."""
+    path = str(tmp_path / "state")
+    d = IncrementalSemanticDeduper(spark, path, CENTROIDS, threshold=THRESH)
+    # 100 (40° in the x-z plane) lands in the x cluster, 101 (50°) in
+    # the z cluster — cos(100, 101) = cos 10° ≈ 0.985 ≥ 0.9, yet the
+    # pinned space never compares them: BOTH admit (the recall loss).
+    b0 = [(1, _xy(0.0)), (10, [0.0, 0.1, 1.0, 0.0]),
+          (100, _xz(40.0)), (101, _xz(50.0))]
+    assert _ids(d.process_batch(_emb(spark, b0), batch_id=0)) == {1, 10, 100, 101}
+    split = {
+        r.accepted_id: r.cluster_id
+        for r in spark.read.parquet(path + "/accepted").collect()
+    }
+    assert split[100] != split[101]
+
+    # Re-cluster with a caller-trained space whose cluster 0 covers the
+    # whole x-z fan.
+    new_space = np.array([_xz(45.0), [0.0, 1.0, 0.0, 0.0]])
+    assert d.recluster_state(centroids=new_space) >= 1
+    joined = {
+        r.accepted_id: r.cluster_id
+        for r in spark.read.parquet(path + "/accepted").collect()
+    }
+    assert set(joined) == {1, 10, 100, 101}  # verdicts preserved
+    assert joined[100] == joined[101]        # recall restored
+
+    # (b) crash replay of batch 0: identical verdicts, nothing appended.
+    assert _ids(d.process_batch(_emb(spark, b0), batch_id=0)) == {1, 10, 100, 101}
+    assert d.seen_count() == 4
+
+    # (c) future gating runs in the new space: 45° sits within cos 5°
+    # of accepted 100 — rejected.
+    assert _ids(d.process_batch(_emb(spark, [(102, _xz(45.0))]), batch_id=1)) == set()
+
+    # (d) the new matrix is the persisted space; the old one is refused.
+    d2 = IncrementalSemanticDeduper(spark, path, None, threshold=THRESH)
+    assert np.array_equal(d2.centroids, new_space)
+    with pytest.raises(ValueError, match="cluster"):
+        IncrementalSemanticDeduper(spark, path, CENTROIDS, threshold=THRESH)
+
+    # (e) self-retrain path (deterministic ivf_train_centroids over the
+    # accepted vectors) — replay fidelity still holds after it.
+    assert d.recluster_state() >= 1
+    assert _ids(d.process_batch(_emb(spark, b0), batch_id=0)) == {1, 10, 100, 101}
+    assert d.seen_count() == 4
