@@ -190,9 +190,12 @@ def test_fixpoint_catches_regression_hidden_under_noise_umbrella():
 def test_r7_driver_timings_pass_but_3x_replay_regression_fails():
     """The replay budgets must be tight enough to catch a real 2.5-3x
     regression (r6/r7 verdict item: the old 60 s / 220 s budgets passed
-    one). Ground truth: the r7 driver record passes the r8 gate as-is;
-    the same record with a 3x replay regression fails on exactly the
-    replay entries."""
+    one). Ground truth for 100k: the r7 driver record passes as-is and
+    fails at 3x. The 1M entry's basis changed in r10 to the PINNED
+    session-cold context (BASELINE.md §6: cold band 294.9-301.1 s —
+    the r7 record's in-sweep warm number is no longer the measured
+    quantity), so its ground truth is the cold band: the band passes,
+    3x the band fails."""
     import json
     from pathlib import Path
 
@@ -204,10 +207,10 @@ def test_r7_driver_timings_pass_but_3x_replay_regression_fails():
     rec = rec.get("parsed", rec)  # driver wraps the JSON line in metadata
     checked = dict(rec["queries"])
     checked["protocol_replay_100k"] = rec["protocol_replay_100k_seconds"]
-    checked["protocol_replay_1m"] = rec["protocol_replay_1m_seconds"]
+    checked["protocol_replay_1m"] = 301.1  # slow end of the cold band
 
     slow, br = budget_breaches(checked, BUDGETS)
-    assert br == {}, f"r7 clean record must pass the r8 budgets: {br}"
+    assert br == {}, f"clean record must pass the current budgets: {br}"
 
     regressed = dict(checked)
     for label in ("protocol_replay_100k", "protocol_replay_1m"):
