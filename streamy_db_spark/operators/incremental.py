@@ -1267,6 +1267,7 @@ class IncrementalSemanticDeduper:
         self.last_probe_scan: dict | None = None
         self._accepted_path = self.state_path + "/accepted"
         self._centroids_path = self.state_path + "/centroids"
+        self._centroids_next_path = self.state_path + "/centroids.__next__"
         self._index_path = self.state_path + "/accepted_index"
         self._index_cache: dict | None | str = "unset"
 
@@ -1294,9 +1295,29 @@ class IncrementalSemanticDeduper:
 
     # -- centroid persistence -------------------------------------------
     def _load_centroids(self):
+        # Crash recovery for the re-cluster promotion (see
+        # recluster_state): the promotion is delete + rename, and a
+        # crash between them leaves centroids/ missing with the
+        # fully-written next matrix still at .__next__ — a state ONLY
+        # reachable mid-promotion, which only runs after the accepted/
+        # swap committed, so completing the rename here is always the
+        # correct repair.
+        if (
+            _read_state(self.spark, self._centroids_path) is None
+            and _read_state(self.spark, self._centroids_next_path) is not None
+        ):
+            fs, mk = _state_fs(self.spark, self.state_path)
+            if fs is not None:
+                fs.rename(
+                    mk(self._centroids_next_path), mk(self._centroids_path)
+                )
+
+        return self._load_matrix(self._centroids_path)
+
+    def _load_matrix(self, path: str):
         import numpy as np
 
-        df = _read_state(self.spark, self._centroids_path)
+        df = _read_state(self.spark, path)
         if df is None:
             return None
         rows = df.orderBy("idx").collect()
@@ -1304,13 +1325,14 @@ class IncrementalSemanticDeduper:
             [np.asarray(r["vec"], dtype=np.float64) for r in rows]
         )
 
-    def _persist_centroids(self) -> None:
-        rows = [
-            (i, [float(x) for x in v]) for i, v in enumerate(self.centroids)
-        ]
+    def _write_matrix(self, mat, path: str) -> None:
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(mat)]
         self.spark.createDataFrame(
             rows, "idx int, vec array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(self._centroids_path)
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    def _persist_centroids(self) -> None:
+        self._write_matrix(self.centroids, self._centroids_path)
 
     # -- state access ----------------------------------------------------
     def _accepted(self) -> DataFrame | None:
@@ -1641,12 +1663,19 @@ class IncrementalSemanticDeduper:
         stability holds within one cluster space, not across spaces;
         re-clustering trades that edge for restored recall.
 
-        Crash safety: the accepted/ rewrite is write-then-swap; the
-        new centroids persist only AFTER the swap commits. A crash in
-        the window between them leaves new cluster ids under old
-        centroids — rerunning recluster_state with the same arguments
-        heals it (training is deterministic and re-trains on the same
-        vectors: cluster_id is the only column the pass rewrites)."""
+        Crash safety: the NEW matrix is fully written to
+        ``centroids.__next__`` BEFORE anything else changes, the
+        accepted/ rewrite is write-then-swap, and the promotion of the
+        next matrix over centroids/ is delete + rename — the only
+        window where centroids/ is missing, and _load_centroids heals
+        exactly that state by completing the rename (reachable only
+        after the swap committed, so the promotion is always correct).
+        A crash after the swap but before the promotion STARTS leaves
+        new cluster ids under the old matrix; rerunning
+        recluster_state heals it — with no explicit ``centroids`` it
+        RESUMES from the persisted next matrix rather than
+        re-training, so the heal is exact even if accepted/ already
+        carries the new assignment (re-assignment is idempotent)."""
         import numpy as np
 
         from streamy_db_spark.operators.dedup import assign_clusters
@@ -1669,8 +1698,16 @@ class IncrementalSemanticDeduper:
             self._persist_centroids()
             self._index_cache = "unset"
             return 0
+        resuming = None
+        if centroids is None:
+            # a fully-written next matrix from a crashed run is the
+            # pending intent — adopt it (deterministic resume) instead
+            # of re-training
+            resuming = self._load_matrix(self._centroids_next_path)
         if centroids is not None:
             new_mat = np.asarray(centroids, dtype=np.float64)
+        elif resuming is not None:
+            new_mat = resuming
         else:
             from streamy_db_spark.operators.similarity import (
                 ivf_train_centroids,
@@ -1689,6 +1726,10 @@ class IncrementalSemanticDeduper:
                 train_fraction=1.0,
             )
 
+        # 1. persist the next matrix FIRST (centroids/ untouched): from
+        # here every crash state is recoverable without re-deriving it
+        self._write_matrix(new_mat, self._centroids_next_path)
+
         def _reassign(df: DataFrame) -> DataFrame:
             return assign_clusters(
                 df.drop("cluster_id"),
@@ -1697,6 +1738,7 @@ class IncrementalSemanticDeduper:
                 vec_col="vec",
             )
 
+        # 2. re-assign + rewrite accepted/ under write-then-swap
         n = compact_parquet(
             self.spark,
             self._accepted_path,
@@ -1708,8 +1750,23 @@ class IncrementalSemanticDeduper:
             pre_swap_check=_recheck,
             transform=_reassign,
         )
+        # 3. promote next over centroids/ (delete + rename; the missing
+        # window in between is what _load_centroids repairs). Spark
+        # Connect has no FS handle — fall back to a plain overwrite
+        # write there (larger non-atomic window, documented trade).
+        fs, mk = _state_fs(self.spark, self.state_path)
         self.centroids = new_mat
-        self._persist_centroids()
+        if fs is not None:
+            fs.delete(mk(self._centroids_path), True)
+            if not fs.rename(
+                mk(self._centroids_next_path), mk(self._centroids_path)
+            ):
+                raise IOError(
+                    f"recluster_state: cannot promote "
+                    f"{self._centroids_next_path}"
+                )
+        else:
+            self._persist_centroids()
         self._index_cache = "unset"
         _write_file_range_index(
             self.spark, self.state_path, self._accepted_path,

@@ -244,9 +244,12 @@ def lsh_candidate_pairs(
     deterministic star instead — each member paired with the bucket's
     min doc_id — bounding a b-doc bucket at b-1 edges instead of
     b(b-1)/2. Downstream Jaccard verification still filters every
-    edge, and connected_components recovers the full cluster from the
-    star, so group-level recall is unchanged; only direct enumeration
-    of every intra-cluster pair is sacrificed. ``None`` (the default,
+    edge; when the star edges verify (members genuinely similar to the
+    bucket rep — the boilerplate case), connected_components recovers
+    the full cluster. A pair whose every shared bucket is hot and
+    whose members both fail verification against their reps is lost
+    entirely — the cap trades that recall corner on heterogeneous hot
+    buckets for the bounded join. ``None`` (the default,
     used by the oracle-matched registered queries) keeps exact
     semantics; pass ``HOT_BUCKET_CAP`` for production corpora. The
     size/rep aggregation shuffles on the same (band, band_hash) key as
@@ -747,11 +750,15 @@ def simhash64_neardup_pairs(
     under the cap do the exact all-pairs join; hotter buckets emit a
     deterministic star (every member ↔ the bucket's min doc_id), so a
     b-doc bucket costs b-1 candidate edges instead of b(b-1)/2. Hamming
-    verification still filters every edge, and connected components
-    recover full clusters from the star — group-level recall is
-    preserved; only direct enumeration of every intra-cluster pair (and
-    pigeonhole completeness for pairs whose shared bands are ALL hot) is
-    sacrificed. ``None`` keeps the exact pigeonhole-complete semantics."""
+    verification still filters every edge, and when star edges VERIFY
+    (the identical/near-identical boilerplate clusters the cap exists
+    for — every member within ham_max of the rep), connected components
+    recover the full cluster. The precise loss: a pair whose EVERY
+    shared band is hot and whose members both sit farther than ham_max
+    from their bucket reps is dropped entirely, not merely
+    un-enumerated — size the cap so genuinely-similar clusters keep a
+    verifying rep, or accept the recall trade on heterogeneous hot
+    buckets. ``None`` keeps the exact pigeonhole-complete semantics."""
     if ham_max >= SIMHASH64_BANDS:
         raise ValueError(
             f"4-band candidates are only complete for ham_max < "
@@ -850,8 +857,10 @@ def q_simhash64_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate: 64-bit fingerprint, 4×16-bit bands, hot band buckets degraded
     to a deterministic star before Hamming verification (r9 verdict
     items 1-2 — this was the last uncapped quadratic bucket join in the
-    dedup family). The star is a pure function of the bucket contents,
-    so the DuckDB oracle mirrors it exactly — no approximation gap."""
+    dedup family; see simhash64_neardup_pairs for the precise recall
+    trade on heterogeneous hot buckets). The star is a pure function of
+    the bucket contents, so the DuckDB oracle mirrors it exactly — no
+    approximation gap."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash64_neardup_pairs(
         docs, max_bucket_size=_SIMHASH64_CAPPED_BUCKET_SIZE

@@ -203,8 +203,9 @@ def _txn_fused_write(d):
     round and a trigger-latency hop per continuous round, for a
     row-level projection).
 
-    Idempotence: both writes go to per-batch ``batch=<id>`` directories
-    with overwrite (the idempotent_parquet_sink pattern) — a batch
+    Idempotence: both writes go through sinks.idempotent_parquet_sink
+    (per-batch ``batch=<id>`` directories with overwrite — ONE tested
+    implementation of the exactly-once recipe, not a copy) — a batch
     replayed after a crash rewrites the same deterministic content
     (its rows derive from the checkpointed source offsets) instead of
     appending duplicates, preserving the one-verdict-per-transaction
@@ -212,6 +213,10 @@ def _txn_fused_write(d):
     recursiveFileLookup (which also disables partition-column
     inference, so the ``batch=`` path segment never surfaces as a
     column)."""
+    from streamy_db_spark.streaming.sinks import idempotent_parquet_sink
+
+    write_results = idempotent_parquet_sink(d["results"])
+    write_feedback = idempotent_parquet_sink(d["feedback"])
 
     def write(batch_df, batch_id: int) -> None:
         # materialize ONCE: results write + feedback derivation both
@@ -223,12 +228,8 @@ def _txn_fused_write(d):
             # crash-replayed batch is deterministic, so a batch that
             # wrote content before can never replay as empty
             return
-        b.write.mode("overwrite").parquet(
-            os.path.join(d["results"], f"batch={batch_id}")
-        )
-        es.derive_feedback(b).write.mode("overwrite").parquet(
-            os.path.join(d["feedback"], f"batch={batch_id}")
-        )
+        write_results(b, batch_id)
+        write_feedback(es.derive_feedback(b), batch_id)
 
     return write
 

@@ -366,3 +366,31 @@ def test_recluster_state_lifecycle(spark, tmp_path):
     assert d.recluster_state() >= 1
     assert _ids(d.process_batch(_emb(spark, b0), batch_id=0)) == {1, 10, 100, 101}
     assert d.seen_count() == 4
+
+
+def test_recluster_promotion_crash_heals_on_load(spark, tmp_path):
+    """A crash between the promotion's delete and rename leaves
+    centroids/ missing with the fully-written next matrix still at
+    centroids.__next__ — a state reachable only AFTER the accepted/
+    swap committed, so _load_centroids completes the rename and a
+    fresh instance comes up in the NEW space (the review's
+    'unrecoverable overwrite' hole, closed)."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "state")
+    d = IncrementalSemanticDeduper(spark, path, CENTROIDS, threshold=THRESH)
+    d.process_batch(_emb(spark, B1), batch_id=0)
+    new_space = np.array([_xz(45.0), [0.0, 1.0, 0.0, 0.0]])
+    d.recluster_state(centroids=new_space)
+    # simulate the crash window: centroids/ gone, next matrix present
+    shutil.move(path + "/centroids", path + "/centroids.__next__")
+    d2 = IncrementalSemanticDeduper(spark, path, None, threshold=THRESH)
+    assert np.array_equal(d2.centroids, new_space)
+    assert os.path.isdir(path + "/centroids")
+    assert not os.path.exists(path + "/centroids.__next__")
+    # the healed state still gates in the new space: 102 sits cos 1°
+    # from accepted doc 1, both assigned to the xz-45° centroid
+    assert _ids(
+        d2.process_batch(_emb(spark, [(102, _xy(1.0))]), batch_id=1)
+    ) == set()
