@@ -14,8 +14,10 @@ line:
 
 ``value`` is the total wall-clock over all queries (the driver compares it
 against BASELINE.md round over round). Per-query seconds let us see which
-plan regressed. Each query is forced with a count()-style materialization
-so the measured time is the full job, not plan construction.
+plan regressed. Each query is forced with a full-materialization noop-sink
+write (see _force — r10 basis change: count() let Catalyst prune
+pure-projection work) so the measured time is the full job, not plan
+construction.
 
 Regression gates (exit 1, so a bad round fails loudly instead of needing
 judge archaeology):
@@ -55,7 +57,7 @@ BUDGETS = {
     "q_ann_ivf": 10.0,
     "q_ann_lsh": 6.3,
     "q_array_funcs": 0.7,
-    "q_asof_join": 1.3,
+    "q_asof_join": 1.6,  # +noop output materialization headroom (r10 basis)
     "q_bool_and": 0.9,
     "q_collect_list": 1.2,
     "q_conditional_agg": 0.9,
@@ -71,7 +73,7 @@ BUDGETS = {
     "q_grouping_sets": 1.7,
     "q_join_3way": 2.9,
     "q_join_txn_reads": 1.9,
-    "q_json_funcs": 0.6,
+    "q_json_funcs": 2.0,  # re-pinned r10 noop basis (0.8-1.2 s real)
     "q_knn_batch": 1.9,
     "q_last_write_wins": 1.1,
     "q_media_features": 2.0,
@@ -80,7 +82,7 @@ BUDGETS = {
     "q_pivot": 0.5,
     "q_range_join": 0.8,
     "q_resize_media": 3.0,
-    "q_decontaminate": 1.2,  # ~2x its r5 measurement
+    "q_decontaminate": 8.0,  # re-pinned r10 noop basis (3.6-4.6 s real; count pruned the verdict projection)
     "q_scalar_subquery": 1.0,
     "q_scan_filter_project": 0.6,
     "q_semi_anti_join": 1.2,
@@ -92,10 +94,14 @@ BUDGETS = {
     # production capped variants + the two r9 dedup families entered.
     # New budgets pinned at ~2x their first r10 local measurements.
     "q_simhash64_neardup_capped": 10.0,  # measured 4.8-5.1 s warm (fingerprint fold dominates)
-    "q_semantic_dedup": 3.0,             # measured 1.0-1.5 s warm
+    # q_semantic_dedup re-pinned after the r10 noop-basis change: under
+    # count() Catalyst ELIMINATED the left join against the drop set
+    # (unique right key), so the O(B^2) per-cluster scoring was never
+    # executed — 0.9 s by count vs 11.6-13.2 s real.
+    "q_semantic_dedup": 11.0,  # K=32 seeds (see SEMANTIC_SEED_K): 4.9-5.1 s warm
     "q_dedup_substrings": 12.0,          # measured 5.8-7.3 s (eager span materialization included)
     "q_sketch_aggs": 0.6,
-    "q_stats_agg": 0.6,
+    "q_stats_agg": 5.0,  # re-pinned r10 noop basis: count() pruned the stddev/corr agg exprs themselves (2.3-3.3 s real)
     "q_string_funcs": 0.4,
     "q_text_analysis": 0.5,
     "q_merge_upsert": 2.2,  # ~2x its r5 measurement
@@ -143,8 +149,8 @@ BUDGETS = {
     # should catch regressions of the WARM cost).
     "corpus_build": 75.0,
     # Full variant (SemDeDup + ExactSubstr stages ON): pinned r10 at
-    # ~2x its first warm measurement.
-    "corpus_build_full": 110.0,
+    # ~2x its first warm driver-context measurement (27.3 s).
+    "corpus_build_full": 60.0,
     "q_minhash_lsh_pairs_capped": 10.0,  # shares the q_minhash_lsh_pairs pipeline shape
     "q_pack_sequences": 2.0,
     "q_profile_orders": 3.0,  # 4 exact count_distincts => Expand x5; measured 1.5 s
@@ -292,6 +298,24 @@ def timed_retry_with_basis(purge, rewarm, timed_run) -> float:
     t0 = time.perf_counter()
     timed_run()
     return time.perf_counter() - t0
+
+
+def _force(df) -> None:
+    """Materialize EVERY column of a query result (r10 basis change).
+
+    The old ``df.count()`` force let Catalyst PRUNE pure-projection
+    work: a count over a projection-only plan drops the projected
+    columns entirely, so the measured time was scan+count, not the
+    query — q_text_analysis measured 0.21 s by count vs 4.4 s real at
+    sf0.001, and the 64-bit simhash fold (~35 s of real work at sf0.1
+    pre-optimization) was invisible. Queries ending in aggregates,
+    joins or explodes were unaffected (count can't prune through
+    them), which is why the distortion hid for nine rounds. The noop
+    sink executes the full plan and discards rows JVM-side — also the
+    same materialization basis as the DuckDB side-by-side's
+    fetchall(). BASELINE.md §7 records the bridge totals (one run
+    measured on each basis, same code)."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -741,7 +765,7 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = fn(spark, SF_DIR)
-            df.count()
+            _force(df)
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -920,7 +944,7 @@ def main() -> None:
                 return timed_retry_with_basis(
                     purge,
                     _cache_rewarms(spark, SF_DIR).get(name),
-                    lambda: qfns[name](spark, SF_DIR).count(),
+                    lambda: _force(qfns[name](spark, SF_DIR)),
                 )
             except Exception as exc:  # noqa: BLE001 - retry must not kill the record
                 print(f"bench: retry of {name} FAILED: {exc}", file=sys.stderr)

@@ -323,7 +323,14 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMANTIC_DEDUP_COS = 0.90  # production default, same bar as NEAR_DUP_COS
 ORACLE_SEMANTIC_COS = 0.40  # oracle threshold (random-gaussian fixtures;
 #                             same rationale as ORACLE_NEAR_DUP_COS above)
-SEMANTIC_SEED_K = 8
+# Seed count for the oracle-matched q_semantic_dedup variant. Raised
+# 8 → 32 in r10: n_clusters is THE SemDeDup scale knob (B = N/K bounds
+# the per-cluster O(B²) scoring), and the driver slot should hold the
+# sizing you'd scale — at K=8 the sf0.1 self-join evaluated ~250k
+# 128-dim cosine folds (11.6 s real, exposed by the noop-basis bench
+# fix); K=32 cuts B 4×. The DuckDB oracle parametrizes K, so the gate
+# is unchanged structurally.
+SEMANTIC_SEED_K = 32
 
 
 def assign_clusters(

@@ -183,18 +183,6 @@ def _txn_stage_stream(spark, d):
     return es.txn_stage(bodies.unionByName(reads))
 
 
-def _feedback_stream(spark, d):
-    """Q3 — feedback derivation (stateless D5) as its own streaming
-    query. Since r10 the loop drivers FUSE this hop into the txn
-    stage's sink (see _txn_fused_write) — kept for the Kafka wiring
-    parity story and any harness that wants the 3-query topology."""
-    return es.derive_feedback(
-        spark.readStream.schema(es.TXN_RESULT_OUT)
-        .option("recursiveFileLookup", "true")
-        .parquet(d["results"])
-    )
-
-
 def _txn_fused_write(d):
     """``foreachBatch`` for the txn stage that writes the batch's
     results AND its derived feedback (stateless D5) in one pass —
