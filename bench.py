@@ -711,6 +711,15 @@ def main() -> None:
         _warm_mip, "id long"
     ).count()
 
+    # Warm the noop-sink WRITE path too (r10: _force materializes via
+    # DSv2 noop writes, and the session's first one pays plan/committer
+    # init that would otherwise land on whichever query runs first in
+    # the sweep — the same misattribution class the Arrow warmups
+    # exist for).
+    spark.range(10_000, numPartitions=n_warm_parts).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     # Warm the dedup pair-pipeline plan shapes on the smallest SF (same
     # rationale as the scan/Arrow/replay warmups: the shingle+signature
     # higher-order expressions cost ~3.5 s of one-time Catalyst/codegen

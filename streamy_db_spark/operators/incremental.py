@@ -1302,17 +1302,35 @@ class IncrementalSemanticDeduper:
         # reachable mid-promotion, which only runs after the accepted/
         # swap committed, so completing the rename here is always the
         # correct repair.
+        mat = self._load_matrix(self._centroids_path)
         if (
-            _read_state(self.spark, self._centroids_path) is None
+            mat is None
             and _read_state(self.spark, self._centroids_next_path) is not None
         ):
+            # Mid-promotion state MUST be repaired, not silently
+            # ignored: returning None here would make the constructor
+            # treat a swapped state as first use and persist whatever
+            # matrix the caller passed OVER new-space cluster ids —
+            # the exact inconsistency the promotion protocol prevents.
             fs, mk = _state_fs(self.spark, self.state_path)
-            if fs is not None:
-                fs.rename(
-                    mk(self._centroids_next_path), mk(self._centroids_path)
+            if fs is None:
+                raise RuntimeError(
+                    f"{self._centroids_path} is missing but a pending "
+                    f"matrix exists at {self._centroids_next_path} "
+                    "(crash mid-promotion); complete the promotion from "
+                    "a classic (JVM-attached) SparkSession — Spark "
+                    "Connect has no filesystem handle to rename with"
                 )
-
-        return self._load_matrix(self._centroids_path)
+            if not fs.rename(
+                mk(self._centroids_next_path), mk(self._centroids_path)
+            ):
+                raise IOError(
+                    f"cannot complete the crashed centroid promotion: "
+                    f"rename {self._centroids_next_path} -> "
+                    f"{self._centroids_path} failed"
+                )
+            mat = self._load_matrix(self._centroids_path)
+        return mat
 
     def _load_matrix(self, path: str):
         import numpy as np
@@ -1699,10 +1717,15 @@ class IncrementalSemanticDeduper:
             self._index_cache = "unset"
             return 0
         resuming = None
-        if centroids is None:
+        if centroids is None and n_clusters is None:
             # a fully-written next matrix from a crashed run is the
             # pending intent — adopt it (deterministic resume) instead
-            # of re-training
+            # of re-training. Only for the bare rerun: an explicit
+            # n_clusters (or matrix) is a NEW intent and must not be
+            # silently overridden by a stale leftover (in-process
+            # aborts clean their __next__ up below; only a process
+            # death right after the accepted swap leaves one, and the
+            # bare rerun is the documented heal for exactly that).
             resuming = self._load_matrix(self._centroids_next_path)
         if centroids is not None:
             new_mat = np.asarray(centroids, dtype=np.float64)
@@ -1738,18 +1761,34 @@ class IncrementalSemanticDeduper:
                 vec_col="vec",
             )
 
-        # 2. re-assign + rewrite accepted/ under write-then-swap
-        n = compact_parquet(
-            self.spark,
-            self._accepted_path,
-            target_file_mb,
-            cluster_cols=["cluster_id"],
-            dedupe_rows=True,
-            merge_schema=True,
-            min_files=accepted_min_files,
-            pre_swap_check=_recheck,
-            transform=_reassign,
-        )
+        # 2. re-assign + rewrite accepted/ under write-then-swap. Every
+        # raising path inside compact_parquet leaves accepted/ at its
+        # OLD content (pre_swap_check fires before the first rename;
+        # a failed swap rolls back; Connect raises before touching
+        # anything) — so on an in-process failure the pending __next__
+        # is a stale leftover, not a heal candidate: delete it so a
+        # later bare recluster_state() re-trains on CURRENT data
+        # instead of adopting months-old intent.
+        try:
+            n = compact_parquet(
+                self.spark,
+                self._accepted_path,
+                target_file_mb,
+                cluster_cols=["cluster_id"],
+                dedupe_rows=True,
+                merge_schema=True,
+                min_files=accepted_min_files,
+                pre_swap_check=_recheck,
+                transform=_reassign,
+            )
+        except BaseException:
+            fs, mk = _state_fs(self.spark, self.state_path)
+            if fs is not None:
+                try:
+                    fs.delete(mk(self._centroids_next_path), True)
+                except Exception:  # noqa: BLE001 - cleanup best-effort
+                    pass
+            raise
         # 3. promote next over centroids/ (delete + rename; the missing
         # window in between is what _load_centroids repairs). Spark
         # Connect has no FS handle — fall back to a plain overwrite
@@ -1758,6 +1797,18 @@ class IncrementalSemanticDeduper:
         self.centroids = new_mat
         if fs is not None:
             fs.delete(mk(self._centroids_path), True)
+            if fs.exists(mk(self._centroids_path)):
+                # Hadoop rename into an EXISTING directory moves the
+                # source INSIDE it and returns true — the old matrix
+                # would stay live over new-space cluster ids with no
+                # error. A failed delete must abort instead;
+                # _load_centroids cannot mistake this state (centroids/
+                # still present), and the bare rerun resumes from
+                # __next__.
+                raise IOError(
+                    f"recluster_state: cannot delete {self._centroids_path} "
+                    "before promotion; rerun recluster_state() to resume"
+                )
             if not fs.rename(
                 mk(self._centroids_next_path), mk(self._centroids_path)
             ):
