@@ -1321,6 +1321,20 @@ class IncrementalSemanticDeduper:
                     "a classic (JVM-attached) SparkSession — Spark "
                     "Connect has no filesystem handle to rename with"
                 )
+            # mat is None does NOT mean the directory is absent — an
+            # empty / _SUCCESS-only centroids/ (orchestrator mkdir, a
+            # crashed Connect overwrite) also reads as None, and Hadoop
+            # rename into an EXISTING directory would bury __next__
+            # INSIDE it and return true. Clear any such husk first,
+            # with the same verify-the-delete discipline as the
+            # promotion path.
+            if fs.exists(mk(self._centroids_path)):
+                fs.delete(mk(self._centroids_path), True)
+                if fs.exists(mk(self._centroids_path)):
+                    raise IOError(
+                        f"cannot clear empty {self._centroids_path} "
+                        "before completing the crashed promotion"
+                    )
             if not fs.rename(
                 mk(self._centroids_next_path), mk(self._centroids_path)
             ):
@@ -1718,14 +1732,14 @@ class IncrementalSemanticDeduper:
             return 0
         resuming = None
         if centroids is None and n_clusters is None:
-            # a fully-written next matrix from a crashed run is the
-            # pending intent — adopt it (deterministic resume) instead
-            # of re-training. Only for the bare rerun: an explicit
-            # n_clusters (or matrix) is a NEW intent and must not be
-            # silently overridden by a stale leftover (in-process
-            # aborts clean their __next__ up below; only a process
-            # death right after the accepted swap leaves one, and the
-            # bare rerun is the documented heal for exactly that).
+            # a fully-written next matrix from an aborted run is the
+            # pending intent — the bare rerun adopts it (deterministic
+            # resume). This is the ONLY safe default: if the abort came
+            # after the accepted swap, this matrix is the sole heal
+            # candidate; if before, adopting it merely re-clusters with
+            # a valid (possibly slightly stale) matrix. An explicit
+            # n_clusters or matrix is NEW intent: it skips the resume
+            # and overwrites the pending matrix at step 1 below.
             resuming = self._load_matrix(self._centroids_next_path)
         if centroids is not None:
             new_mat = np.asarray(centroids, dtype=np.float64)
@@ -1761,34 +1775,30 @@ class IncrementalSemanticDeduper:
                 vec_col="vec",
             )
 
-        # 2. re-assign + rewrite accepted/ under write-then-swap. Every
-        # raising path inside compact_parquet leaves accepted/ at its
-        # OLD content (pre_swap_check fires before the first rename;
-        # a failed swap rolls back; Connect raises before touching
-        # anything) — so on an in-process failure the pending __next__
-        # is a stale leftover, not a heal candidate: delete it so a
-        # later bare recluster_state() re-trains on CURRENT data
-        # instead of adopting months-old intent.
-        try:
-            n = compact_parquet(
-                self.spark,
-                self._accepted_path,
-                target_file_mb,
-                cluster_cols=["cluster_id"],
-                dedupe_rows=True,
-                merge_schema=True,
-                min_files=accepted_min_files,
-                pre_swap_check=_recheck,
-                transform=_reassign,
-            )
-        except BaseException:
-            fs, mk = _state_fs(self.spark, self.state_path)
-            if fs is not None:
-                try:
-                    fs.delete(mk(self._centroids_next_path), True)
-                except Exception:  # noqa: BLE001 - cleanup best-effort
-                    pass
-            raise
+        # 2. re-assign + rewrite accepted/ under write-then-swap. On ANY
+        # failure from here on, the pending __next__ is deliberately
+        # LEFT IN PLACE: a failure can land before the swap (accepted/
+        # old — resuming later merely re-clusters with a slightly-stale
+        # but perfectly valid matrix) or after it (accepted/ NEW — the
+        # pending matrix is then the ONLY heal candidate, and deleting
+        # it would strand new-space cluster ids under the old matrix
+        # with no repair path). The two cases are not reliably
+        # distinguishable from out here, and destroying a possible heal
+        # candidate is strictly worse than adopting possibly-stale
+        # intent — callers that WANT fresh training after an abort pass
+        # explicit centroids/n_clusters, which overrides (and
+        # overwrites) any pending matrix.
+        n = compact_parquet(
+            self.spark,
+            self._accepted_path,
+            target_file_mb,
+            cluster_cols=["cluster_id"],
+            dedupe_rows=True,
+            merge_schema=True,
+            min_files=accepted_min_files,
+            pre_swap_check=_recheck,
+            transform=_reassign,
+        )
         # 3. promote next over centroids/ (delete + rename; the missing
         # window in between is what _load_centroids repairs). Spark
         # Connect has no FS handle — fall back to a plain overwrite

@@ -397,12 +397,19 @@ def test_recluster_promotion_crash_heals_on_load(spark, tmp_path):
 
 
 def test_recluster_pending_intent_resume_and_stale_guard(spark, tmp_path):
-    """Leftover centroids.__next__ semantics (second r10 review): the
-    BARE rerun adopts a pending matrix (the documented post-swap
-    heal), but an explicit n_clusters is NEW intent and re-trains
-    instead of silently adopting stale state; and an in-process
-    compact abort deletes its own pending matrix so no stale intent
-    survives a raised failure."""
+    """Leftover centroids.__next__ semantics (second + third r10
+    reviews): an abort PRESERVES pending intent (deleting it could
+    destroy the only heal candidate after a post-swap failure), the
+    BARE rerun adopts it, and an explicit n_clusters is NEW intent
+    that re-trains instead of silently adopting stale state."""
+    import os
+    import time
+
+    from streamy_db_spark.operators.incremental import (
+        STREAM_HEARTBEAT,
+        _read_state,
+    )
+
     path = str(tmp_path / "state")
     d = IncrementalSemanticDeduper(spark, path, CENTROIDS, threshold=THRESH)
     d.process_batch(_emb(spark, B1), batch_id=0)
@@ -415,24 +422,21 @@ def test_recluster_pending_intent_resume_and_stale_guard(spark, tmp_path):
     d.recluster_state(n_clusters=2)
     assert not np.array_equal(d.centroids, planted)
 
-    # plant again: the bare rerun adopts it (resume semantics)
+    # plant again, then ABORT a run via the live-stream heartbeat
+    # guard: the pending matrix must survive the raised failure
     d._write_matrix(planted, d._centroids_next_path)
-    d.recluster_state()
-    assert np.array_equal(d.centroids, planted)
-
-    # in-process abort (live-stream heartbeat guard) cleans __next__ up
-    import os
-    import time
-
-    from streamy_db_spark.operators.incremental import STREAM_HEARTBEAT
-
     hb = os.path.join(path, STREAM_HEARTBEAT)
     with open(hb, "w") as f:
         f.write("live")
     os.utime(hb, (time.time(), time.time()))
     with pytest.raises(RuntimeError, match="stream"):
-        d.recluster_state(n_clusters=2)
+        d.recluster_state()
     os.remove(hb)
-    from streamy_db_spark.operators.incremental import _read_state
+    assert _read_state(spark, d._centroids_next_path) is not None
 
+    # ...and the bare rerun adopts it (resume semantics), consuming it
+    d.recluster_state()
+    assert np.array_equal(d.centroids, planted)
     assert _read_state(spark, d._centroids_next_path) is None
+    d2 = IncrementalSemanticDeduper(spark, path, None, threshold=THRESH)
+    assert np.array_equal(d2.centroids, planted)

@@ -429,9 +429,11 @@ def test_simhash64_capped_group_recall_on_natural_data(spark, sf_oracle):
     the loss is confined to the documented corner (both members of a
     pair farther than ham_max from every shared-bucket rep). Measured
     at sf0.01/cap 2: 11 of 12 uncapped groups survive — the one loss is
-    a 2-doc group whose only shared buckets are hot. Pinned loosely
-    (≥90% group recall) so data regeneration doesn't break the test
-    while a real recall collapse still fails it."""
+    a 2-doc group whose only shared buckets are hot. The recall bound
+    is pinned at 75% — real slack under the measured 92% (bucket
+    hotness is data-layout sensitive, so a regenerated corpus may lose
+    a different small number of groups) while a genuine collapse of
+    the star construction still fails."""
     from collections import defaultdict
 
     from streamy_db_spark.operators import minhash
@@ -457,7 +459,7 @@ def test_simhash64_capped_group_recall_on_natural_data(spark, sf_oracle):
     for g in capped:
         assert any(g <= u for u in uncapped), f"invented component: {sorted(g)}"
     preserved = sum(1 for u in uncapped if u in capped)
-    assert preserved >= 0.9 * len(uncapped), (
+    assert preserved >= 0.75 * len(uncapped), (
         f"group recall collapsed: {preserved}/{len(uncapped)}"
     )
 
