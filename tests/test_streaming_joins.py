@@ -112,7 +112,13 @@ def test_streaming_follow_join_kill_and_restart(spark, sf_small, tmp_path):
     q.awaitTermination(60)
 
     q = start(throttle=False)
-    q.awaitTermination(120)
+    # availableNow: the query self-terminates when the backlog drains.
+    # The timeout return value must be CHECKED — a silent timeout here
+    # would read the sink mid-run below and fail on a partial pair set
+    # (observed once as a suite flake under shared-VM load; 300 s is
+    # ~15× the quiet-machine drain time).
+    q.awaitTermination(300)
+    assert not q.isActive, "restarted join query did not drain in time"
     assert q.exception() is None
 
     rows = (
