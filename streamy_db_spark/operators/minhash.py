@@ -293,23 +293,25 @@ def minhash_near_dup_pairs(
     """LSH candidates verified by exact shingle Jaccard ≥ threshold.
     ``max_bucket_size`` caps hot LSH buckets (see lsh_candidate_pairs).
 
-    The shingle set is materialized ONCE (cache) and feeds both the
-    sketch/band side and the two verify joins — the bench-scale analogue
-    of persisting the sketch table, which is how this runs at 100 TB
-    (shingling + 16 md5-min passes dominate; never recompute them per
-    join branch). The repartition spreads the CPU-heavy shingle stage
-    across cores when the input is a handful of small files (one scan
-    partition otherwise); on a real corpus the scan already has
-    thousands of splits and the exchange is just a hash co-location."""
+    The shingle set is materialized ONCE (localCheckpoint — released
+    with the DataFrame instead of pinning executor cache blocks per
+    invocation, the r6 review rule) and feeds both the sketch/band side
+    and the two verify joins — the bench-scale analogue of persisting
+    the sketch table, which is how this runs at 100 TB (shingling + 16
+    md5-min passes dominate; never recompute them per join branch). The
+    repartition spreads the CPU-heavy shingle stage across cores when
+    the input is a handful of small files (one scan partition
+    otherwise); on a real corpus the scan already has thousands of
+    splits and the exchange is just a hash co-location."""
     from streamy_db_spark.sources.tables import spread
 
     sh = (
         with_shingles(spread(docs.select("doc_id", "text"), "doc_id"))
         .filter(F.size("shingles") > 0)
         .select("doc_id", "shingles")
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    bands = minhash_bands_from_shingles(sh).cache()
+    bands = minhash_bands_from_shingles(sh).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -507,7 +509,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_shingles(spread(docs.select("doc_id", "text"), "doc_id"))
         .filter(F.size("shingles") > 0)
         .select("doc_id", "shingles")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
