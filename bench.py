@@ -120,19 +120,24 @@ BUDGETS = {
     # cold runs were stable (294.9-301.1 s in r9's controlled A/B,
     # BASELINE.md §6), so the bench now runs the 1M replay FIRST —
     # session-cold, before any warmup — and gates on that reproducible
-    # basis. Budget = 2x the cold band. No retry for this entry: a
-    # second run is warm by construction and would void the cold gate;
-    # the cold measurement's own ±2% stability is the noise control.
-    "protocol_replay_1m": 600.0,
+    # basis. Re-pinned r11 to 2x the r10 cold band (77.2-108.7 s over
+    # four runs, ±7%) — the old 600 s predated the r10 cold-context
+    # speedup and would have passed a 5x regression silently (r10
+    # verdict item 2). An in-session retry is warm by construction and
+    # would void the cold gate, so a breach instead triggers ONE
+    # fresh-subprocess cold rerun (r10 advice: without any recourse a
+    # single VM contention spike fails the whole round) — see rerun().
+    "protocol_replay_1m": 220.0,
     # Streaming replay (file-coupled loop, RocksDB provider), r9 TUNED:
     # state partitions sized to the fixture (8, not the session's 32)
     # and RocksDB changelog checkpointing on — each state commit now
     # persists a per-batch delta instead of a synchronous full snapshot
     # (the instrumented untuned run measured ~1.45 s/partition-commit,
     # the dominant per-trigger cost). Untuned r8 band was 155.6-318.5 s;
-    # tuned r9 band 77.7-116.0 s over three clean runs (BASELINE.md).
-    # Budget = 2x the slow end of the tuned band.
-    "protocol_stream_10k": 240.0,
+    # tuned r9 band 77.7-116.0 s; r10 (fused feedback sink) band
+    # 83.6-106.4 s. Re-pinned r11 to 2x the r10 band's slow end (the
+    # 2x-band discipline, r10 verdict item 2).
+    "protocol_stream_10k": 215.0,
     # CONTINUOUSLY-RUNNING form of the same loop (one start per query,
     # processingTime triggers — the deployment shape; r8 verdict item
     # 2): tuned r9 band 69.8-140.3 s / 71-143 txn/s (38-42 micro-batches
@@ -140,8 +145,10 @@ BUDGETS = {
     # trigger latency dominates, NOT restarts — with state commits
     # cheap the two forms measure within ~20% of each other, and the
     # full-bench run had continuous FASTER than availableNow).
-    # Budget = 2x the slow end of the tuned band.
-    "protocol_stream_10k_continuous": 280.0,
+    # Re-pinned r11 to 2x the slow end of the r10 fused-sink band
+    # (66.9-72.8 s over three runs; the 280 s pin was 2x the PRE-fusion
+    # r9 band and would have passed a ~2x regression).
+    "protocol_stream_10k_continuous": 150.0,
     # End-to-end corpus build at sf0.1 (pipeline.build_corpus): warm
     # band r8 24.6-33.2 s; budget re-pinned r9 to ~2x the warm band's
     # slow end now that the bench warms the build's plan shapes (the
@@ -901,11 +908,16 @@ def main() -> None:
         def rerun(name: str) -> float | None:
             try:
                 if name == "protocol_replay_1m":
-                    # no faithful retry basis: the first run is pinned
-                    # session-cold; a rerun here is warm and would void
-                    # the cold gate. Cold runs reproduce within ±2%, so
-                    # the first measurement stands.
-                    return None
+                    # an IN-SESSION rerun is warm and would void the
+                    # cold gate — instead re-measure once in a FRESH
+                    # subprocess session, preserving the cold basis
+                    # while transient host noise clears (r10 advice).
+                    cold = _cold_1m_subprocess()
+                    if cold is None:
+                        return None
+                    sec, rate = cold
+                    retry_rates[name] = rate
+                    return sec
                 if name.startswith("protocol_replay_"):
                     mix = {
                         "protocol_replay_10k": "scale_bench",
@@ -1036,5 +1048,74 @@ def main() -> None:
         sys.exit(1)
 
 
+def cold_1m_main() -> None:
+    """Subprocess entry for the 1M replay's breach recourse: a FRESH
+    session (new JVM, cold page cache for the session's artifacts) so
+    the re-measure is on the same session-cold basis the gate pins.
+    Prints one JSON line with the cold seconds."""
+    from streamy_db_spark.session import get_spark
+
+    spark = get_spark("bench_cold_1m")
+    sec, rate, stats = bench_protocol_replay(spark, "scale_bench_1m", warm=False)
+    print(
+        json.dumps(
+            {
+                "cold_1m_seconds": round(sec, 3),
+                "txn_per_sec": round(rate, 1),
+                "waves": stats.get("rounds"),
+            }
+        )
+    )
+    spark.stop()
+
+
+def _cold_1m_subprocess() -> tuple[float, float] | None:
+    """One fresh-session cold rerun of the 1M replay (r10 advice: with
+    no retry path at all, one VM contention spike during the single
+    ~90 s cold sample failed the whole round with no recourse). An
+    IN-SESSION retry is warm by construction and would void the cold
+    gate; a subprocess rerun preserves the cold basis — new JVM, fresh
+    codegen, session-cold state — while transient host noise still
+    clears. Returns (seconds, txn_per_sec) or None if the subprocess
+    failed (the first measurement and its breach then stand — fail
+    safe, same rule as every other declined retry)."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cold-1m"],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            cwd=_REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0:
+        print(
+            f"bench: cold-1m subprocess rc={proc.returncode}: "
+            f"{proc.stderr[-500:]}",
+            file=sys.stderr,
+        )
+        return None
+    return _parse_cold_1m(proc.stdout)
+
+
+def _parse_cold_1m(stdout: str) -> tuple[float, float] | None:
+    """Last JSON line with a cold_1m_seconds field wins (Spark may spill
+    log noise onto stdout around the record)."""
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(rec, dict) and "cold_1m_seconds" in rec:
+            return float(rec["cold_1m_seconds"]), float(rec["txn_per_sec"])
+    return None
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--cold-1m":
+        cold_1m_main()
+    else:
+        main()

@@ -14,10 +14,14 @@ spans.
 
 Scale shape: window generation is a JVM ``transform``/``slice`` over
 the token array — one scan, no Python, no explode of text (the shuffle
-moves a (32-char hex md5, doc_id, pos) row per window, never tokens;
-a production corpus would swap in xxhash64 for an 8 B key — md5 here
-keeps the DuckDB oracle bit-identical). One shuffle
-groups window hashes (uniform md5 keys), one more groups hits per doc;
+moves an (8 B xxhash64, doc_id, pos) row per window, never tokens).
+The fingerprint is internal — it never reaches the output spans — so
+the DuckDB oracle groups windows by their raw text instead of
+mirroring the hash (the portable-oracle pattern proven in
+decontam.py; r10 verdict item 1 swapped the original 32-hex md5 key,
+which quadrupled the shuffle weight of the pipeline's single largest
+intermediate). One shuffle
+groups window fingerprints (uniform 64-bit keys), one more groups hits per doc;
 the interval merge is a JVM ``aggregate`` fold over the per-doc sorted
 hit list. O(total tokens) windows — the same asymptotics as the
 suffix-array construction the paper shards, with Spark handling the
@@ -45,14 +49,20 @@ SUBSTR_WINDOW = 8
 
 
 def _window_hashes(docs: DataFrame, window: int, id_col: str) -> DataFrame:
-    """(id, pos, h): md5 of every ``window``-token rolling window,
-    0-based token position. Reuses decontam.ngrams for the windowing
-    rule (one maintained copy — r9 review); docs shorter than one
-    window yield an empty gram array, which posexplode drops."""
+    """(id, pos, h): 64-bit xxhash64 of every ``window``-token rolling
+    window, 0-based token position. Reuses decontam.ngrams for the
+    windowing rule (one maintained copy — r9 review); docs shorter than
+    one window yield an empty gram array, which posexplode drops. The
+    8 B long key is the frame's whole shuffle payload per window (plus
+    id+pos); a collision merges two distinct windows with probability
+    ~|windows|²/2⁶⁵ — vanishing at corpus scale and conservative in
+    direction (it can only ADD a span, the anti-memorization side)."""
     grams = ngrams(tokens(F.col("text")), window)
     return docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.transform(grams, F.md5)).alias("pos", "h"),
+        F.posexplode(F.transform(grams, lambda g: F.xxhash64(g))).alias(
+            "pos", "h"
+        ),
     )
 
 
@@ -197,7 +207,11 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def substring_oracle_sql(window: int, min_docs: int) -> str:
     """DuckDB mirror: same tokenizer as decontam's proven-parity oracle,
     same 0-based window positions, islands merged with the same
-    overlapping-or-adjacent rule (pos <= running max end + 1)."""
+    overlapping-or-adjacent rule (pos <= running max end + 1). The
+    oracle groups windows by their RAW TEXT — the Spark side's xxhash64
+    fingerprint is an internal key that never reaches the output spans,
+    so the oracle needs no hash at all (the decontam.py portable-oracle
+    pattern)."""
     return f"""
         WITH tok AS (
             SELECT doc_id,
@@ -207,7 +221,7 @@ def substring_oracle_sql(window: int, min_docs: int) -> str:
         ),
         w AS (
             SELECT doc_id, i - 1 AS pos,
-                   md5(array_to_string(ts[i : i + {window} - 1], ' ')) AS h
+                   array_to_string(ts[i : i + {window} - 1], ' ') AS h
             FROM tok,
                  unnest(generate_series(1, len(ts) - {window} + 1)) AS u(i)
             WHERE len(ts) >= {window}
