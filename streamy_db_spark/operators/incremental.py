@@ -1366,6 +1366,35 @@ class IncrementalSemanticDeduper:
     def _persist_centroids(self) -> None:
         self._write_matrix(self.centroids, self._centroids_path)
 
+    def _load_pending_intent(self):
+        """Pending next-matrix from an aborted recluster_state, or None.
+        A matrix carrying the Connect-path ``consumed`` marker column is
+        NOT intent: it is the already-promoted matrix left in place
+        because Connect has no FS handle to delete/rename it (see
+        _neutralize_next) — adopting it as resume intent would make
+        every subsequent bare recluster_state() skip retraining forever
+        (r10 advice)."""
+        df = _read_state(self.spark, self._centroids_next_path)
+        if df is None or "consumed" in df.columns:
+            return None
+        return self._load_matrix(self._centroids_next_path)
+
+    def _neutralize_next(self, mat) -> None:
+        """Connect-path consume of the pending intent: overwrite
+        centroids.__next__ with the PROMOTED matrix plus a ``consumed``
+        marker column (Connect has no FS handle to delete or rename the
+        directory, only Spark writes). The bare-rerun resume skips
+        consumed intent (_load_pending_intent); the classic-session
+        crash repair in _load_centroids may still adopt this file if
+        centroids/ ever goes missing — harmlessly, because its vector
+        content IS the live matrix."""
+        rows = [(i, [float(x) for x in v], True) for i, v in enumerate(mat)]
+        self.spark.createDataFrame(
+            rows, "idx int, vec array<double>, consumed boolean"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            self._centroids_next_path
+        )
+
     # -- state access ----------------------------------------------------
     def _accepted(self) -> DataFrame | None:
         return _read_state(self.spark, self._accepted_path)
@@ -1740,7 +1769,9 @@ class IncrementalSemanticDeduper:
             # a valid (possibly slightly stale) matrix. An explicit
             # n_clusters or matrix is NEW intent: it skips the resume
             # and overwrites the pending matrix at step 1 below.
-            resuming = self._load_matrix(self._centroids_next_path)
+            # Consumed Connect-path intent reads as no-intent (see
+            # _load_pending_intent).
+            resuming = self._load_pending_intent()
         if centroids is not None:
             new_mat = np.asarray(centroids, dtype=np.float64)
         elif resuming is not None:
@@ -1828,6 +1859,13 @@ class IncrementalSemanticDeduper:
                 )
         else:
             self._persist_centroids()
+            # With no FS handle the pending __next__ cannot be renamed
+            # or deleted, and left as-is it would persist forever: every
+            # later bare recluster_state() would take the resume branch
+            # and adopt the stale matrix instead of retraining — the
+            # drift-refresh lifecycle silently stops (r10 advice).
+            # Consume it in place with the promoted matrix + marker.
+            self._neutralize_next(new_mat)
         self._index_cache = "unset"
         _write_file_range_index(
             self.spark, self.state_path, self._accepted_path,

@@ -293,35 +293,56 @@ def minhash_near_dup_pairs(
     """LSH candidates verified by exact shingle Jaccard ≥ threshold.
     ``max_bucket_size`` caps hot LSH buckets (see lsh_candidate_pairs).
 
-    The shingle set is materialized ONCE (localCheckpoint — released
-    with the DataFrame instead of pinning executor cache blocks per
-    invocation, the r6 review rule) and feeds both the sketch/band side
-    and the two verify joins — the bench-scale analogue of persisting
-    the sketch table, which is how this runs at 100 TB (shingling + 16
-    md5-min passes dominate; never recompute them per join branch). The
-    repartition spreads the CPU-heavy shingle stage across cores when
-    the input is a handful of small files (one scan partition
-    otherwise); on a real corpus the scan already has thousands of
-    splits and the exchange is just a hash co-location."""
+    The shingle set is materialized ONCE and feeds both the sketch/band
+    side and the two verify joins — the bench-scale analogue of
+    persisting the sketch table, which is how this runs at 100 TB
+    (shingling + 16 md5-min passes dominate; never recompute them per
+    join branch). Corpus-scale cache discipline (substring.py's rule,
+    applied here by the r10 advice): the shingle frame's payload is
+    O(total tokens), so it is persisted DISK_ONLY — recomputable on
+    executor loss, freed by the explicit unpersist instead of pinning
+    executor-local blocks until driver GC — the small verified-pair
+    result is eagerly checkpointed, and both intermediates are RELEASED
+    before returning. The repartition spreads the CPU-heavy shingle
+    stage across cores when the input is a handful of small files (one
+    scan partition otherwise); on a real corpus the scan already has
+    thousands of splits and the exchange is just a hash co-location."""
+    from pyspark.storagelevel import StorageLevel
+
     from streamy_db_spark.sources.tables import spread
 
     sh = (
         with_shingles(spread(docs.select("doc_id", "text"), "doc_id"))
         .filter(F.size("shingles") > 0)
         .select("doc_id", "shingles")
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.DISK_ONLY)
     )
-    bands = minhash_bands_from_shingles(sh).localCheckpoint(eager=True)
-    cand = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
-        .filter(F.col("j") >= threshold)
-        .select("id_a", "id_b", F.round("j", 4).alias("jaccard"))
-    )
+    try:
+        bands = minhash_bands_from_shingles(sh).persist(StorageLevel.DISK_ONLY)
+        try:
+            cand = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
+            a = sh.select(
+                F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+            )
+            b = sh.select(
+                F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+            )
+            return (
+                cand.join(a, "id_a")
+                .join(b, "id_b")
+                .select(
+                    "id_a",
+                    "id_b",
+                    jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"),
+                )
+                .filter(F.col("j") >= threshold)
+                .select("id_a", "id_b", F.round("j", 4).alias("jaccard"))
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            bands.unpersist()
+    finally:
+        sh.unpersist()
 
 
 def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
@@ -421,7 +442,13 @@ def clear_corpus_caches(spark: SparkSession, sf_dir: str) -> None:
 
 def sketch_table_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized (doc_id, shingles, sig) sketch table for a corpus,
-    computed once per (session, corpus)."""
+    computed once per (session, corpus). EXEMPT from the corpus-scale
+    DISK_ONLY+unpersist discipline by design: this frame is the shared
+    cross-invocation stage (the 100 TB analogue is a persisted sketch
+    TABLE), so there is no release point inside any single call — it
+    lives until _memo eviction drops the reference and driver GC frees
+    the checkpoint blocks. localCheckpoint (MEMORY_AND_DISK) is the
+    right level for a frame that every dedup consumer re-reads."""
     key = _corpus_key(spark, sf_dir)
     df = _SKETCH_CACHE.get(key)
     if df is None:
@@ -452,34 +479,46 @@ def pairs_from_sketch(
     post-sketch half of minhash_near_dup_pairs, for callers that persist
     the sketch stage (identical semantics: band construction is
     band_hashes(sig), the same expression minhash_bands_from_shingles
-    uses)."""
-    # Materialized once (read ≥2×: both sides of the candidate
-    # self-join, plus the sizes agg under a cap). localCheckpoint rather
-    # than cache(): the storage is released with the DataFrame instead
-    # of pinning executor cache blocks per invocation (r6 review).
+    uses). Returns the verified pairs eagerly checkpointed, with the
+    transient band frame persisted DISK_ONLY while it is read ≥2× (both
+    sides of the candidate self-join, plus the sizes agg under a cap)
+    and RELEASED before returning (corpus-scale cache discipline, r10
+    advice)."""
+    from pyspark.storagelevel import StorageLevel
+
     bands = sk.select(
         "doc_id", F.posexplode(band_hashes(F.col("sig"))).alias("band", "band_hash")
-    ).localCheckpoint(eager=True)
-    cand = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
-    a = sk.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sk.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
-        .filter(F.col("j") >= threshold)
-        .select("id_a", "id_b", F.round("j", 4).alias("jaccard"))
-    )
+    ).persist(StorageLevel.DISK_ONLY)
+    try:
+        cand = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
+        a = sk.select(
+            F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+        )
+        b = sk.select(
+            F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+        )
+        return (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j")
+            )
+            .filter(F.col("j") >= threshold)
+            .select("id_a", "id_b", F.round("j", 4).alias("jaccard"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        bands.unpersist()
 
 
 def minhash_near_dup_pairs_cached(
     spark: SparkSession, sf_dir: str, max_bucket_size: int | None = None
 ) -> DataFrame:
-    """Memoized verified pair set per (session, corpus, cap variant).
-    The localCheckpoint also releases the transient bands cache()
-    pressure: each variant materializes once per corpus, so repeated
-    driver/bench invocations re-read the checkpoint instead of
-    re-pinning fresh cached partitions (r6 review)."""
+    """Memoized verified pair set per (session, corpus, cap variant) —
+    each variant materializes once per corpus (pairs_from_sketch
+    returns it eagerly checkpointed and releases its transient band
+    frame), so repeated driver/bench invocations re-read the checkpoint
+    instead of recomputing the pipeline (r6 review)."""
     key = (*_corpus_key(spark, sf_dir), max_bucket_size)
     df = _PAIRS_CACHE.get(key)
     if df is None:
@@ -489,7 +528,7 @@ def minhash_near_dup_pairs_cached(
             pairs_from_sketch(
                 sketch_table_cached(spark, sf_dir),
                 max_bucket_size=max_bucket_size,
-            ).localCheckpoint(eager=True),
+            ),
         )
     return df
 
@@ -501,7 +540,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force shingle-Jaccard pairs — exact recall baseline the LSH
     variant is measured against (O(N²); correctness query, not the scale
-    path)."""
+    path). Shingle frame DISK_ONLY + released, small result eagerly
+    checkpointed (corpus-scale cache discipline, r10 advice)."""
+    from pyspark.storagelevel import StorageLevel
+
     from streamy_db_spark.sources.tables import spread
 
     docs = load_table(spark, sf_dir, "documents")
@@ -509,16 +551,26 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_shingles(spread(docs.select("doc_id", "text"), "doc_id"))
         .filter(F.size("shingles") > 0)
         .select("doc_id", "shingles")
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.DISK_ONLY)
     )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
-        .filter(F.col("j") >= JACCARD_THRESHOLD)
-        .select("id_a", "id_b", F.round("j", 4).alias("jaccard"))
-    )
+    try:
+        a = sh.select(
+            F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+        )
+        b = sh.select(
+            F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+        )
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j")
+            )
+            .filter(F.col("j") >= JACCARD_THRESHOLD)
+            .select("id_a", "id_b", F.round("j", 4).alias("jaccard"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sh.unpersist()
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,7 +627,11 @@ def simhash_neardup_pairs(
     # localCheckpoint, not cache(): the fingerprint frame is read by both
     # sides of the bucket self-join, and checkpoint storage is released
     # with the DataFrame instead of pinning executor cache blocks per
-    # invocation (the r6 review rule the MinHash path already follows).
+    # invocation. EXEMPT from the corpus-scale DISK_ONLY+unpersist rule
+    # (r10 advice): unlike the O(total tokens) shingle/window frames,
+    # a fingerprint row is one int per doc — the pinned blocks are
+    # O(docs × 4 B), and the frame must outlive this function's LAZY
+    # result, so release-with-DataFrame is the correct lifetime.
     sh = (
         spread(docs.select("doc_id", "text"), "doc_id")
         .select("doc_id", simhash(F.col("text")).alias("sh"))
@@ -770,7 +826,11 @@ def simhash64_neardup_pairs(
 
     # localCheckpoint, not cache(): read ≥2× (both join sides, plus the
     # sizes agg under a cap) and released with the DataFrame instead of
-    # pinning executor cache blocks per invocation (r6 review rule).
+    # pinning executor cache blocks per invocation. EXEMPT from the
+    # corpus-scale DISK_ONLY+unpersist rule (r10 advice): a fingerprint
+    # row is 4 ints per doc — O(docs × 32 B) pinned, not O(tokens) —
+    # and the frame must outlive this function's LAZY result, so
+    # release-with-DataFrame is the correct lifetime.
     fp = (
         spread(docs.select("doc_id", "text"), "doc_id")
         .select("doc_id", simhash64_band_values(F.col("text")).alias("bands"))

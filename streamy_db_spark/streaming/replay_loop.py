@@ -200,7 +200,20 @@ def _txn_fused_write(d):
     invariant _collect_verdicts enforces. Readers of both dirs use
     recursiveFileLookup (which also disables partition-column
     inference, so the ``batch=`` path segment never surfaces as a
-    column)."""
+    column).
+
+    CONCURRENT-READER CONTRACT (r10 advice): foreachBatch plain writes
+    carry no _spark_metadata commit log, and a crash-replayed batch's
+    per-directory overwrite DELETES files a concurrent reader may have
+    already listed — so a reader racing the writer can transiently see
+    a FileNotFoundException (vanished listed file) as well as double/
+    under-counts (half-written directory), and must tolerate BOTH by
+    retrying, never by failing the run. In-tree readers comply: the
+    continuous done-poll wraps its Spark-side count in
+    catch-retry-next-tick (and _raw_result_rows returns None on any
+    unreadable footer), the key-stage feedback file source only lists
+    after the trigger that committed the files, and _collect_verdicts
+    runs strictly after every query has stopped."""
     from streamy_db_spark.streaming.sinks import idempotent_parquet_sink
 
     write_results = idempotent_parquet_sink(d["results"])

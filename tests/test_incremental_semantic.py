@@ -440,3 +440,49 @@ def test_recluster_pending_intent_resume_and_stale_guard(spark, tmp_path):
     assert _read_state(spark, d._centroids_next_path) is None
     d2 = IncrementalSemanticDeduper(spark, path, None, threshold=THRESH)
     assert np.array_equal(d2.centroids, planted)
+
+
+def test_recluster_connect_fallback_consumes_pending_intent(
+    spark, tmp_path, monkeypatch
+):
+    """Connect-path promotion (no FS handle: plain overwrite of
+    centroids/) must CONSUME the pending centroids.__next__ intent —
+    left in place it would make every later bare recluster_state()
+    take the resume branch and adopt the stale matrix instead of
+    retraining, silently stopping the drift-refresh lifecycle (r10
+    advice). The consumed marker is skipped by the resume
+    (_load_pending_intent) but keeps the promoted matrix content, so
+    any classic-session crash repair that adopts the file stays
+    correct."""
+    from streamy_db_spark.operators import incremental
+    from streamy_db_spark.operators.incremental import _read_state
+
+    path = str(tmp_path / "state")
+    d = IncrementalSemanticDeduper(spark, path, CENTROIDS, threshold=THRESH)
+    d.process_batch(_emb(spark, B1), batch_id=0)
+
+    # simulate Connect for the state-dir FS only (compact_parquet's own
+    # hadoop_fs stays real so the accepted/ rewrite can run)
+    monkeypatch.setattr(incremental, "_state_fs", lambda s, pth: (None, None))
+
+    planted = np.array([[0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]])
+    d._write_matrix(planted, d._centroids_next_path)
+
+    # bare rerun adopts the pending intent (resume works on Connect)...
+    d.recluster_state()
+    assert np.array_equal(d.centroids, planted)
+    # ...and consumes it: the file persists (nothing can delete it on
+    # Connect) but reads as no-intent, with the promoted content
+    assert _read_state(spark, d._centroids_next_path) is not None
+    assert d._load_pending_intent() is None
+
+    # the NEXT bare rerun must RETRAIN (ivf over the accepted vectors),
+    # not re-adopt the consumed matrix
+    d.recluster_state()
+    assert not np.array_equal(d.centroids, planted)
+
+    # a fresh classic-session instance loads the promoted space and is
+    # not confused by the consumed marker file
+    monkeypatch.undo()
+    d2 = IncrementalSemanticDeduper(spark, path, None, threshold=THRESH)
+    assert np.array_equal(d2.centroids, d.centroids)
