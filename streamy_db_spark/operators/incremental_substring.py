@@ -1,0 +1,499 @@
+"""Incremental (batch-over-batch) ExactSubstr deduplication.
+
+The batch form (operators/substring.py, Lee et al. 2022 ExactSubstr)
+answers "which token spans are verbatim-repeated across the corpus?"
+in one shot. Real corpora arrive in waves, and a repeated passage's
+SECOND copy may land months after its first — so the incremental gate
+must both (a) mark the new batch's spans that repeat anything already
+ingested and (b) RETROACTIVELY mark the earlier occurrences that only
+now became duplicated. This is the one dedup family whose verdicts are
+not monotone per doc: ingesting doc B can change doc A's spans.
+
+Output contract (the family's equality bar, pinned in
+tests/test_incremental_substring.py): ``process_batch`` emits the
+batch's NEWLY-DUPLICATED window occurrences, merged into per-doc spans
+— including retro spans for earlier-ingested docs. Every duplicated
+window occurrence of the eventual corpus is emitted in EXACTLY ONE
+batch (the one where its hash reaches ``min_docs`` distinct docs, or
+the one that ingests the doc, whichever is later), so merging the
+union of all emissions per doc equals one-shot
+``duplicated_spans`` over the concatenated corpus: the merge rule
+(overlapping-or-adjacent) depends only on token coverage, and the
+emitted coverage sets are equal by construction.
+
+State layout (all parquet under ``state_path``, shared by batch
+backfill and the streaming ``substring_dedup_sink`` twin):
+
+- ``ids/``  — (doc_id, batch_seq): membership (re-send drop) + replay
+  classification, same contract as the other incremental gates.
+- ``wins/`` — (h, doc_id, pos, batch_seq): every ingested window
+  occurrence, the 8 B xxhash64 key from substring._window_hashes.
+  ``compact_state`` re-clusters on h and persists per-file [min, max]
+  h ranges to ``wins_index/`` so the per-batch probe is FILE-PRUNED —
+  files read scale with the batch's hash coverage, not state size
+  (the same r8/r9 discipline as IncrementalNearDeduper's bands/).
+- ``dup/``  — (h, batch_seq): hashes already known duplicated (their
+  prior occurrences already emitted). Pure fetch-avoidance: for
+  h ∈ dup the probe never fetches state occurrences (a boilerplate
+  window shared by 100k docs would otherwise re-fetch all 100k rows
+  every time a batch mentions it). Clustered + indexed like wins/.
+
+Scale shape of the probe: the batch side is micro-batch-sized by
+construction; its distinct hash set (8 B each) BROADCASTS into hash
+joins whose streamed side is the (file-pruned) state scan — state is
+read map-side and never shuffled, so per-batch traffic is
+O(batch + retro transitions), independent of corpus size. The only
+shuffles are groupBys over batch-bounded frames.
+
+Crash safety / replay (same contract as the family, r6 review): state
+appends land wins/ → dup/ → ids/, ids LAST (membership classifies
+future arrivals). The probe's prior-state view excludes the batch's
+OWN docs by doc_id (wins/) and its own batch_seq (dup/), so a replay
+after ANY append-prefix crash recomputes the identical output; replays
+with no novel docs append nothing, and a mixed replay's re-appends are
+exact-row duplicates that compact_state drops (countDistinct/semi-join
+consumers are unaffected meanwhile).
+
+No reference counterpart (SURVEY.md §2.3 — no text surface); completes
+the incremental symmetry for the last dedup family (exact:
+IncrementalDeduper; lexical: IncrementalNearDeduper; semantic:
+IncrementalSemanticDeduper; substring: this).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamy_db_spark.operators.incremental import (
+    _PRUNE_UNAVAILABLE,
+    _guard_compact_vs_stream,
+    _load_file_range_index,
+    _read_state,
+    _state_fs,
+    _write_file_range_index,
+    prune_band_files,
+)
+from streamy_db_spark.operators.substring import (
+    SUBSTR_WINDOW,
+    _spans_from_hits,
+    _window_hashes,
+)
+
+
+class IncrementalSubstrDeduper:
+    """Batch-over-batch ExactSubstr span detection (module docstring).
+
+    ``process_batch(docs, batch_id)`` returns the batch's newly-
+    duplicated spans — (id_col, start_tok, end_tok), including RETRO
+    spans for earlier docs — and appends the batch's window occurrences
+    to state. Unlike the admission gates, the output is a span frame,
+    not a filtered doc frame: span application (strip) composes
+    downstream via substring.strip_duplicated_spans over the merged
+    span union.
+
+    Replay/re-send contract: a doc in ids/ from an EARLIER batch is an
+    at-least-once re-send and is dropped from the batch (its windows
+    already count as prior state); a doc in ids/ from THIS batch_id is
+    a crash-replay participant — it re-enters the computation, whose
+    state views exclude the batch's own crashed appends, so the replay
+    re-emits the original spans verbatim (the idempotent-sink
+    contract). Without ``batch_id``, any id match is treated as replay
+    and the dup/ fast path is bypassed entirely (reads and writes) —
+    correctness is preserved by pure wins-count classification, at the
+    cost of re-fetching known-dup hashes' occurrences; monotone batch
+    ids are strongly recommended."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        id_col: str = "doc_id",
+        window: int = SUBSTR_WINDOW,
+        min_docs: int = 2,
+        broadcast_batch_max_windows: int = 2_000_000,
+        prune_max_windows: int = 500_000,
+        prune_min_indexed_files: int = 4,
+    ):
+        if min_docs < 2:
+            raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+        self.spark = spark
+        self.state_path = state_path
+        self.id_col = id_col
+        self.window = window
+        self.min_docs = min_docs
+        # ~16 B of broadcast payload per distinct batch hash; the
+        # default caps the hash-set broadcast at ~32 MB. Batches above
+        # it fall back to shuffle joins (a backfill shape — use the
+        # one-shot duplicated_spans for those instead).
+        self.broadcast_batch_max_windows = broadcast_batch_max_windows
+        # File-level probe pruning collects the batch's distinct window
+        # hashes to the driver (8 B each; 500k ⇒ ~4 MB) — attempted
+        # only up to this window count, and only when at least
+        # prune_min_indexed_files live state files are indexed (same
+        # cost/benefit gate as IncrementalNearDeduper).
+        self.prune_max_windows = prune_max_windows
+        self.prune_min_indexed_files = prune_min_indexed_files
+        #: Scan accounting of the LAST probe (None when pruning was not
+        #: attempted): {"wins": {files_total, files_read, files_pruned},
+        #: "dup": {...}} — the observable the pruning tests gate on.
+        self.last_probe_scan: dict | None = None
+        root = state_path.rstrip("/")
+        self._ids_path = root + "/ids"
+        self._wins_path = root + "/wins"
+        self._wins_index_path = root + "/wins_index"
+        self._dup_path = root + "/dup"
+        self._dup_index_path = root + "/dup_index"
+        # "unset" = not yet loaded; None = no usable index; dict = ranges
+        self._wins_index_cache: dict | None | str = "unset"
+        self._dup_index_cache: dict | None | str = "unset"
+
+    # -- state access ------------------------------------------------------
+    def _ids(self) -> DataFrame | None:
+        return _read_state(self.spark, self._ids_path)
+
+    def seen_count(self) -> int:
+        ids = self._ids()
+        return 0 if ids is None else ids.select("doc_id").distinct().count()
+
+    def _index_ranges(self, which: str) -> dict | None:
+        """Memoized advisory file-range index for wins/ or dup/ (same
+        staleness argument as IncrementalNearDeduper._index_ranges: the
+        index only changes under THIS instance's compact_state, and a
+        stale cache only over-reads)."""
+        cache_attr = f"_{which}_index_cache"
+        cached = getattr(self, cache_attr)
+        if cached != "unset":
+            return cached
+        ranges = _load_file_range_index(
+            self.spark, getattr(self, f"_{which}_index_path"), "h"
+        )
+        setattr(self, cache_attr, ranges)
+        return ranges
+
+    def _state_scan(self, which: str, sorted_hashes: list | None):
+        """The wins/ or dup/ scan for this batch's probe, FILE-PRUNED
+        when possible. Returns a DataFrame, None (no state rows / zero
+        possible overlap), or falls back to the full scan internally.
+        ``sorted_hashes`` None ⇒ pruning not attempted (oversized
+        batch). Never loses candidates, only over-reads (the
+        prune_band_files contract — unindexed files always read).
+        When pruning succeeds the full-directory DataFrame is never
+        constructed (its mergeSchema analysis alone is a footer job
+        over every state file — r9 review)."""
+        data_path = getattr(self, f"_{which}_path")
+        pruned = _PRUNE_UNAVAILABLE
+        if sorted_hashes is not None:
+            pruned = self._try_pruned(which, data_path, sorted_hashes)
+        if pruned is not _PRUNE_UNAVAILABLE:
+            return pruned
+        return _read_state(self.spark, data_path)
+
+    def _try_pruned(self, which: str, data_path: str, sorted_hashes: list):
+        fs, mk = _state_fs(self.spark, data_path)
+        if fs is None:
+            return _PRUNE_UNAVAILABLE
+        ranges = self._index_ranges(which)
+        if ranges is None:
+            return _PRUNE_UNAVAILABLE
+        try:
+            if not fs.exists(mk(data_path)):
+                return None  # never written
+            listing = fs.listStatus(mk(data_path))
+        except Exception:  # noqa: BLE001 - degraded mode: full scan
+            return _PRUNE_UNAVAILABLE
+        files = [
+            (st.getPath().getName(), st.getPath().toString())
+            for st in listing
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        ]
+        if not files:
+            return None
+        if sum(1 for n, _ in files if n in ranges) < self.prune_min_indexed_files:
+            return _PRUNE_UNAVAILABLE
+        keep = prune_band_files(files, ranges, sorted_hashes)
+        if self.last_probe_scan is None:
+            self.last_probe_scan = {}
+        self.last_probe_scan[which] = {
+            "files_total": len(files),
+            "files_read": len(keep),
+            "files_pruned": len(files) - len(keep),
+        }
+        if not keep:
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(*keep)
+
+    # -- the per-batch computation ------------------------------------------
+    def _empty_spans(self, docs: DataFrame) -> DataFrame:
+        from pyspark.sql import types as T
+
+        id_type = docs.schema[self.id_col].dataType
+        return self.spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(self.id_col, id_type),
+                    T.StructField("start_tok", T.IntegerType()),
+                    T.StructField("end_tok", T.IntegerType()),
+                ]
+            ),
+        ).localCheckpoint(eager=True)
+
+    def process_batch(
+        self, docs: DataFrame, batch_id: int | None = None
+    ) -> DataFrame:
+        """Newly-duplicated spans for this batch (class docstring).
+        Eagerly materialized: the output must not keep a lazy
+        dependency on state files a later compact_state renames away,
+        and the state appends below must not re-trigger a scan that
+        sees its own output."""
+        if batch_id is not None and batch_id < 0:
+            raise ValueError(f"batch_id must be >= 0, got {batch_id}")
+        self.last_probe_scan = None
+        if docs.isEmpty():
+            return self._empty_spans(docs)
+
+        ids = self._ids()
+        if ids is not None:
+            if batch_id is not None and "batch_seq" in ids.columns:
+                # re-sends (earlier batches) drop; this batch's own ids
+                # are crash-replay participants and stay in
+                resend = ids.filter(
+                    F.col("batch_seq") != int(batch_id)
+                ).select(F.col("doc_id").alias(self.id_col)).distinct()
+                docs = docs.join(resend, self.id_col, "left_anti")
+            # without batch_id every id match is a replay participant:
+            # it stays in the batch, its state rows are excluded by doc
+            # below, and appends skip it via the novel-doc anti-join
+        # ONE materialization of the batch's windows: the hash scan
+        # feeds the stats, the needle collect, the emission join and
+        # the state append (r8 discipline shared by the whole family)
+        wins_b = _window_hashes(docs, self.window, self.id_col).localCheckpoint(
+            eager=True
+        )
+        batch_doc_ids = docs.select(
+            F.col(self.id_col).alias("_id")
+        ).distinct().localCheckpoint(eager=True)
+        n_windows = wins_b.count()
+        decisions = None
+        if n_windows == 0:
+            out = self._empty_spans(docs)
+        else:
+            out, decisions = self._spans_of_batch(
+                wins_b, batch_doc_ids, batch_id, n_windows
+            )
+        self._append_state(wins_b, batch_doc_ids, batch_id, ids, decisions)
+        return out
+
+    def _probe_prior(
+        self, wins_state, fetch_h, batch_doc_ids, bcast: bool
+    ) -> DataFrame:
+        """The batch↔state occurrence probe — the operation that must
+        NEVER shuffle the state side (the family's 100×-scale rule):
+        the state scan streams through a broadcast hash semi-join on
+        the batch's (not-yet-dup) hash set, then a broadcast hash
+        anti-join drops the batch's OWN docs (replay exclusion by
+        doc_id — precise under every append-prefix crash). Lazy and
+        split out so the plan gate can inspect it (the caller's
+        distinct + checkpoint would hide the join behind Scan
+        ExistingRDD)."""
+        maybe_b = F.broadcast if bcast else (lambda df: df)
+        return (
+            wins_state.select("h", F.col("doc_id").alias("_id"), "pos")
+            .join(maybe_b(fetch_h), "h", "left_semi")
+            .join(maybe_b(batch_doc_ids), "_id", "left_anti")
+        )
+
+    def _spans_of_batch(
+        self, wins_b, batch_doc_ids, batch_id, n_windows
+    ) -> tuple[DataFrame, DataFrame]:
+        """(spans, per-hash decision frame) — the decisions feed the
+        dup/ append."""
+        bcast = n_windows <= self.broadcast_batch_max_windows
+        maybe_b = F.broadcast if bcast else (lambda df: df)
+
+        # per-hash batch stats (batch-sized; reused as the needle set)
+        batch_h = wins_b.groupBy("h").agg(
+            F.count_distinct("_id").alias("n_batch")
+        ).localCheckpoint(eager=True)
+
+        needles = None
+        if 0 < n_windows <= self.prune_max_windows:
+            needles = sorted(r["h"] for r in batch_h.select("h").collect())
+
+        # dup/ view: hashes already known duplicated, excluding this
+        # batch's own crashed appends (batch_seq == batch_id); the dup
+        # fast path is bypassed entirely when batch_id is None (class
+        # docstring)
+        dup_hits = None
+        if batch_id is not None:
+            dup_state = self._state_scan("dup", needles)
+            if dup_state is not None:
+                dup_hits = (
+                    dup_state.filter(F.col("batch_seq") != int(batch_id))
+                    .join(maybe_b(batch_h.select("h")), "h", "left_semi")
+                    .select("h")
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                if dup_hits.isEmpty():
+                    dup_hits = None
+
+        # wins/ probe: state occurrences of batch hashes NOT already
+        # dup, excluding the batch's OWN docs (replay exclusion by
+        # doc_id — precise under every append-prefix crash). State is
+        # the streamed side; the batch hash set and doc set broadcast.
+        probe_needles = needles
+        fetch_h = batch_h.select("h")
+        if dup_hits is not None:
+            fetch_h = fetch_h.join(dup_hits, "h", "left_anti")
+            if probe_needles is not None:
+                dset = {r["h"] for r in dup_hits.collect()}
+                probe_needles = [h for h in probe_needles if h not in dset]
+        wins_state = self._state_scan("wins", probe_needles)
+        if wins_state is not None:
+            prior_rows = (
+                self._probe_prior(wins_state, fetch_h, batch_doc_ids, bcast)
+                .distinct()  # crash-replayed appends leave exact dups
+                .localCheckpoint(eager=True)
+            )
+        else:
+            prior_rows = None
+
+        if prior_rows is not None:
+            prior_stats = prior_rows.groupBy("h").agg(
+                F.count_distinct("_id").alias("n_prior")
+            )
+        else:
+            prior_stats = None
+
+        # per-hash decisions (batch-sized frame, broadcast back)
+        d = batch_h
+        if prior_stats is not None:
+            d = d.join(prior_stats, "h", "left")
+        else:
+            d = d.withColumn("n_prior", F.lit(None).cast("long"))
+        d = d.withColumn("n_prior", F.coalesce(F.col("n_prior"), F.lit(0)))
+        if dup_hits is not None:
+            d = d.join(
+                dup_hits.withColumn("_isdup", F.lit(True)), "h", "left"
+            ).withColumn("_isdup", F.coalesce(F.col("_isdup"), F.lit(False)))
+        else:
+            d = d.withColumn("_isdup", F.lit(False))
+        total = F.col("n_prior") + F.col("n_batch")
+        d = d.select(
+            "h",
+            (F.col("_isdup") | (total >= self.min_docs)).alias("_emit_b"),
+            (
+                ~F.col("_isdup")
+                & (F.col("n_prior") >= 1)
+                & (F.col("n_prior") < self.min_docs)
+                & (total >= self.min_docs)
+            ).alias("_emit_p"),
+            (~F.col("_isdup") & (total >= self.min_docs)).alias("_new_dup"),
+        ).localCheckpoint(eager=True)
+
+        occ = wins_b.join(
+            maybe_b(d.filter("_emit_b").select("h")), "h", "left_semi"
+        ).select("_id", "pos")
+        if prior_rows is not None:
+            occ = occ.unionByName(
+                prior_rows.join(
+                    maybe_b(d.filter("_emit_p").select("h")), "h", "left_semi"
+                ).select("_id", "pos")
+            )
+        spans = _spans_from_hits(
+            occ.distinct(), self.window, self.id_col
+        ).localCheckpoint(eager=True)
+        return spans, d
+
+    def _append_state(self, wins_b, batch_doc_ids, batch_id, ids, decisions) -> None:
+        """wins/ → dup/ → ids/, ids LAST (module docstring). Only novel
+        docs (not in ids/ under ANY batch) append; a pure replay
+        appends nothing."""
+        novel = batch_doc_ids
+        if ids is not None:
+            novel = novel.join(
+                ids.select(F.col("doc_id").alias("_id")).distinct(),
+                "_id",
+                "left_anti",
+            )
+        novel = novel.localCheckpoint(eager=True)
+        if novel.isEmpty():
+            return
+        seq = F.lit(-1 if batch_id is None else int(batch_id)).cast("long")
+        new_wins = wins_b.join(F.broadcast(novel), "_id").select(
+            "h", F.col("_id").alias("doc_id"), "pos", seq.alias("batch_seq")
+        )
+        if not new_wins.isEmpty():
+            new_wins.write.mode("append").parquet(self._wins_path)
+        if batch_id is not None and decisions is not None:
+            new_dup = decisions.filter("_new_dup").select(
+                "h", seq.alias("batch_seq")
+            )
+            if not new_dup.isEmpty():
+                new_dup.write.mode("append").parquet(self._dup_path)
+        novel.select(F.col("_id").alias("doc_id"), seq.alias("batch_seq")).write.mode(
+            "append"
+        ).parquet(self._ids_path)
+
+    # -- maintenance ----------------------------------------------------------
+    def compact_state(
+        self,
+        target_file_mb: int = 128,
+        force: bool = False,
+        stream_heartbeat_max_age_s: float = 600.0,
+        wins_min_files: int = 1,
+        dup_min_files: int = 1,
+    ) -> int:
+        """Rewrite the append-only state components, re-clustering
+        wins/ and dup/ on h and persisting the per-file [min, max] h
+        ranges the probe prunes with (exact compact_state contract of
+        the family: heartbeat-guarded with the pre-swap re-check,
+        exact-row dedupe drops crash-replay artifacts, min_files floors
+        give the tests a pruning observable). Returns the total output
+        file count."""
+        from streamy_db_spark.sources.files import compact_parquet
+
+        def _recheck() -> None:
+            _guard_compact_vs_stream(
+                self.spark, self.state_path, force, stream_heartbeat_max_age_s
+            )
+
+        _recheck()
+        total = 0
+        for path, cluster, min_files, index_path, cache_attr in (
+            (self._ids_path, None, 1, None, None),
+            (
+                self._wins_path,
+                ["h"],
+                wins_min_files,
+                self._wins_index_path,
+                "_wins_index_cache",
+            ),
+            (
+                self._dup_path,
+                ["h"],
+                dup_min_files,
+                self._dup_index_path,
+                "_dup_index_cache",
+            ),
+        ):
+            if _read_state(self.spark, path) is None:
+                continue
+            total += compact_parquet(
+                self.spark,
+                path,
+                target_file_mb,
+                cluster_cols=cluster,
+                dedupe_rows=True,
+                merge_schema=True,
+                min_files=min_files,
+                pre_swap_check=_recheck,
+            )
+            if index_path is not None:
+                setattr(self, cache_attr, "unset")
+                _write_file_range_index(
+                    self.spark, self.state_path, path, index_path, "h"
+                )
+        return total

@@ -124,6 +124,32 @@ def duplicated_spans(
         wins.unpersist()
 
 
+def _spans_from_hits(hits: DataFrame, window: int, id_col: str) -> DataFrame:
+    """(_id, pos) hit occurrences → merged (id_col, start_tok, end_tok)
+    spans: each hit covers tokens [pos, pos+window-1], overlapping-or-
+    adjacent hit windows merge per doc. Shared by the one-shot form and
+    the incremental gate (incremental_substring.py), so the two can
+    never drift on the merge rule — the incremental family's equality
+    contract depends on both sides merging identically."""
+    ivs = hits.select(
+        "_id",
+        F.struct(
+            F.col("pos"), (F.col("pos") + window - 1).alias("end")
+        ).alias("iv"),
+    )
+    merged = ivs.groupBy("_id").agg(
+        _merge_intervals(F.sort_array(F.collect_list("iv"))).alias("spans")
+    )
+    return merged.select(
+        F.col("_id").alias(id_col),
+        F.explode("spans").alias("s"),
+    ).select(
+        id_col,
+        F.col("s.pos").alias("start_tok"),
+        F.col("s.end").alias("end_tok"),
+    )
+
+
 def _spans_of_windows(
     wins: DataFrame, window: int, min_docs: int, id_col: str
 ) -> DataFrame:
@@ -137,23 +163,8 @@ def _spans_of_windows(
         .filter(F.col("n_docs") >= min_docs)
         .select("h")
     )
-    hits = wins.join(dup, "h").select(
-        "_id",
-        F.struct(
-            F.col("pos"), (F.col("pos") + window - 1).alias("end")
-        ).alias("iv"),
-    )
-    merged = hits.groupBy("_id").agg(
-        _merge_intervals(F.sort_array(F.collect_list("iv"))).alias("spans")
-    )
-    return merged.select(
-        F.col("_id").alias(id_col),
-        F.explode("spans").alias("s"),
-    ).select(
-        id_col,
-        F.col("s.pos").alias("start_tok"),
-        F.col("s.end").alias("end_tok"),
-    )
+    hits = wins.join(dup, "h").select("_id", "pos")
+    return _spans_from_hits(hits, window, id_col)
 
 
 def strip_duplicated_spans(

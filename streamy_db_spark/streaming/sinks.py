@@ -392,3 +392,55 @@ def semantic_dedup_sink(
             strict_id_membership=strict_id_membership,
         ),
     )
+
+
+def substring_dedup_sink(
+    spark: SparkSession,
+    state_path: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    window: int | None = None,
+    min_docs: int = 2,
+    lifetime_heartbeat: bool = True,
+    heartbeat_interval_s: float = 60.0,
+    idle_release_s: float = 3600.0,
+) -> _NearDedupSink:
+    """Streaming ExactSubstr span detection as a ``foreachBatch``
+    function — the Structured Streaming twin of
+    operators/incremental_substring.IncrementalSubstrDeduper,
+    completing the incremental symmetry for the LAST dedup family
+    (exact: dedup_stream_content ↔ IncrementalDeduper; lexical:
+    near_dedup_sink ↔ IncrementalNearDeduper; semantic:
+    semantic_dedup_sink ↔ IncrementalSemanticDeduper; substring: this).
+
+    Unlike the admission sinks, each ``batch=<id>`` directory holds the
+    batch's newly-duplicated SPANS — (id_col, start_tok, end_tok),
+    including RETRO spans for earlier-ingested docs whose passages only
+    now became duplicated (the family's changelog shape; merging the
+    union of all batch directories per doc equals one-shot
+    duplicated_spans over everything ingested — the gate's pinned
+    equality contract). Same exactly-once composition (crash-replays
+    re-emit identical spans and the per-batch directory overwrites
+    itself), same stream-lifetime heartbeat ownership, same state
+    sharing with batch backfill."""
+    from streamy_db_spark.operators.incremental_substring import (
+        IncrementalSubstrDeduper,
+    )
+    from streamy_db_spark.operators.substring import SUBSTR_WINDOW
+
+    return _NearDedupSink(
+        spark,
+        state_path,
+        out_dir,
+        id_col=id_col,
+        lifetime_heartbeat=lifetime_heartbeat,
+        heartbeat_interval_s=heartbeat_interval_s,
+        idle_release_s=idle_release_s,
+        deduper=IncrementalSubstrDeduper(
+            spark,
+            state_path,
+            id_col=id_col,
+            window=SUBSTR_WINDOW if window is None else window,
+            min_docs=min_docs,
+        ),
+    )
