@@ -158,6 +158,14 @@ BUDGETS = {
     # Full variant (SemDeDup + ExactSubstr stages ON): pinned r10 at
     # ~2x its first warm driver-context measurement (27.3 s).
     "corpus_build_full": 60.0,
+    # Streaming dedup-sink ingest (r10 verdict item 5), 10k rows through
+    # a real availableNow file-source query (8 triggers). Pinned r11 at
+    # ~2x the measured warm bands: near 59.7-66.8 s (150-168 docs/s),
+    # semantic 21.9-50.8 s (the slow end is one-time plan compile; 457
+    # docs/s warm), substr 39.9-46.2 s (217-250 docs/s).
+    "stream_dedup_near_10k": 135.0,
+    "stream_dedup_semantic_10k": 100.0,
+    "stream_dedup_substr_10k": 95.0,
     "q_minhash_lsh_pairs_capped": 10.0,  # shares the q_minhash_lsh_pairs pipeline shape
     "q_pack_sequences": 2.0,
     "q_profile_orders": 3.0,  # 4 exact count_distincts => Expand x5; measured 1.5 s
@@ -490,6 +498,98 @@ def bench_corpus_build_full(spark) -> tuple[float, dict]:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return dt, stats
+
+
+def bench_stream_dedup_sink(spark, kind: str) -> tuple[float, int, dict]:
+    """Streaming-ingest throughput for one dedup sink (r10 verdict item
+    5: near_dedup_sink / semantic_dedup_sink had correctness twins but
+    zero throughput signal). Drives a REAL Structured Streaming query —
+    file source, maxFilesPerTrigger=1 over an 8-file input,
+    availableNow trigger, checkpointed foreachBatch — so the number
+    includes the per-trigger query machinery plus the gate's
+    state-probe/append work, i.e. the deployment shape.
+
+    The 10k-row stream is the sf0.1 corpus replicated with shifted ids
+    (docs ×2, embeddings ×5) — a duplicate-heavy stream by
+    construction, which is the workload these sinks exist for (every
+    replica batch pays the full probe + rejection path). Timing starts
+    at query start: input materialization and state-dir setup are
+    excluded. Returns (seconds, rows ingested, stats)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from streamy_db_spark.streaming import sinks as sk
+
+    tmp = tempfile.mkdtemp(prefix=f"bench_sink_{kind}_")
+    try:
+        if kind == "semantic":
+            from streamy_db_spark.operators.similarity import (
+                ivf_train_centroids,
+            )
+
+            base = spark.read.parquet(
+                os.path.join(SF_DIR, "embeddings.parquet")
+            ).select("vec_id", "embedding")
+            copies = 5
+            centroids = ivf_train_centroids(base, n_clusters=16)
+        else:
+            base = spark.read.parquet(
+                os.path.join(SF_DIR, "documents.parquet")
+            ).select("doc_id", "text")
+            copies = 2
+        id_col = "vec_id" if kind == "semantic" else "doc_id"
+        stream_in = None
+        for i in range(copies):
+            shifted = base.withColumn(
+                id_col, F.col(id_col) + F.lit(i * 10_000_000)
+            )
+            stream_in = shifted if stream_in is None else stream_in.unionByName(shifted)
+        n = stream_in.count()
+        in_dir = os.path.join(tmp, "input")
+        stream_in.repartition(8).write.parquet(in_dir)
+        schema = spark.read.parquet(in_dir).schema
+
+        state = os.path.join(tmp, "state")
+        out = os.path.join(tmp, "out")
+        if kind == "near":
+            sink = sk.near_dedup_sink(spark, state, out)
+        elif kind == "semantic":
+            sink = sk.semantic_dedup_sink(spark, state, out, centroids=centroids)
+        elif kind == "substr":
+            sink = sk.substring_dedup_sink(spark, state, out)
+        else:
+            raise ValueError(kind)
+        stats: dict = {}
+        with sink:
+            t0 = time.perf_counter()
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(1200):
+                q.stop()
+                raise RuntimeError(f"stream_dedup_{kind} timed out")
+            dt = time.perf_counter() - t0
+        out_rows = sk.read_sink(spark, out).count()
+        stats["rows_out"] = out_rows
+        # plausibility: the admission sinks emit a subset of the input;
+        # the substring sink emits SPANS (can exceed doc count — most
+        # docs get whole-doc spans on a ×2-replicated stream)
+        if out_rows <= 0 or (kind != "substr" and out_rows > n):
+            raise RuntimeError(
+                f"stream_dedup_{kind}: implausible sink output "
+                f"{out_rows}/{n}"
+            )
+        return dt, n, stats
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def bench_corpus_build(spark) -> tuple[float, dict]:
@@ -876,7 +976,22 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    phase("corpus build done; gating budgets")
+    # Streaming dedup-sink ingest throughput (r10 verdict item 5: the
+    # sinks had correctness twins but zero throughput signal). Extra
+    # fields, same basis rule as the other protocol entries.
+    phase("corpus build done; starting streaming dedup sinks")
+    for kind in ("near", "semantic", "substr"):
+        label = f"stream_dedup_{kind}_10k"
+        try:
+            s_sec, s_n, s_stats = bench_stream_dedup_sink(spark, kind)
+            replay_extra[f"{label}_seconds"] = round(s_sec, 3)
+            replay_extra[f"{label}_docs_per_sec"] = round(s_n / s_sec, 1)
+            replay_extra[f"{label}_rows_out"] = s_stats["rows_out"]
+        except Exception as exc:  # noqa: BLE001
+            errors[label] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {label} FAILED: {errors[label]}", file=sys.stderr)
+
+    phase("streaming dedup sinks done; gating budgets")
     # Budgets only bind on the standard bench configuration.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     breaches = {}
@@ -901,6 +1016,10 @@ def main() -> None:
             checked["corpus_build_full"] = replay_extra[
                 "corpus_build_full_seconds"
             ]
+        for kind in ("near", "semantic", "substr"):
+            label = f"stream_dedup_{kind}_10k"
+            if f"{label}_seconds" in replay_extra:
+                checked[label] = replay_extra[f"{label}_seconds"]
 
         qfns = entry_mod.queries()
         retry_rates: dict[str, float] = {}
@@ -944,6 +1063,15 @@ def main() -> None:
                 if name == "corpus_build_full":
                     sec, _ = bench_corpus_build_full(spark)
                     return sec
+                if name.startswith("stream_dedup_"):
+                    # faithful retry: every run starts from a fresh
+                    # tmp state dir, so the retry reproduces the first
+                    # pass's cold-state basis exactly
+                    sec, s_n, _ = bench_stream_dedup_sink(
+                        spark, name.split("_")[2]
+                    )
+                    retry_rates[name] = s_n / sec
+                    return sec
                 if name not in qfns:
                     return None
 
@@ -984,6 +1112,9 @@ def main() -> None:
             "protocol_replay_1m",
             "protocol_stream_10k",
             "protocol_stream_10k_continuous",
+            "stream_dedup_near_10k",
+            "stream_dedup_semantic_10k",
+            "stream_dedup_substr_10k",
         ):
             if label in retried:
                 replay_extra[f"{label}_seconds"] = checked[label]
@@ -999,6 +1130,13 @@ def main() -> None:
                     "protocol_stream_10k": "stream_txn_per_sec",
                     "protocol_stream_10k_continuous": (
                         "stream_continuous_txn_per_sec"
+                    ),
+                    "stream_dedup_near_10k": "stream_dedup_near_10k_docs_per_sec",
+                    "stream_dedup_semantic_10k": (
+                        "stream_dedup_semantic_10k_docs_per_sec"
+                    ),
+                    "stream_dedup_substr_10k": (
+                        "stream_dedup_substr_10k_docs_per_sec"
                     ),
                 }.get(name, f"{name.split('_')[-1]}_txn_per_sec")
                 replay_extra[key] = round(rate, 1)
