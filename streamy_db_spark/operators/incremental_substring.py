@@ -345,12 +345,21 @@ class IncrementalSubstrDeduper:
         # the streamed side; the batch hash set and doc set broadcast.
         probe_needles = needles
         fetch_h = batch_h.select("h")
+        skip_wins = False
         if dup_hits is not None:
-            fetch_h = fetch_h.join(dup_hits, "h", "left_anti")
-            if probe_needles is not None:
+            fetch_h = fetch_h.join(dup_hits, "h", "left_anti").localCheckpoint(
+                eager=True
+            )
+            # steady state for boilerplate-heavy streams: every batch
+            # hash already known duplicated ⇒ nothing to fetch, skip
+            # the state scan entirely (batch-sized emptiness probe)
+            skip_wins = fetch_h.isEmpty()
+            if probe_needles is not None and not skip_wins:
                 dset = {r["h"] for r in dup_hits.collect()}
                 probe_needles = [h for h in probe_needles if h not in dset]
-        wins_state = self._state_scan("wins", probe_needles)
+        wins_state = (
+            None if skip_wins else self._state_scan("wins", probe_needles)
+        )
         if wins_state is not None:
             prior_rows = (
                 self._probe_prior(wins_state, fetch_h, batch_doc_ids, bcast)
