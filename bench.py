@@ -546,10 +546,14 @@ def bench_stream_dedup_sink(spark, kind: str) -> tuple[float, int, dict]:
                 id_col, F.col(id_col) + F.lit(i * 10_000_000)
             )
             stream_in = shifted if stream_in is None else stream_in.unionByName(shifted)
-        n = stream_in.count()
+        # write once, then count the WRITTEN files — counting the lazy
+        # union first would evaluate the replicate scan twice (r11
+        # review)
         in_dir = os.path.join(tmp, "input")
         stream_in.repartition(8).write.parquet(in_dir)
-        schema = spark.read.parquet(in_dir).schema
+        written = spark.read.parquet(in_dir)
+        n = written.count()
+        schema = written.schema
 
         state = os.path.join(tmp, "state")
         out = os.path.join(tmp, "out")
@@ -1023,6 +1027,11 @@ def main() -> None:
 
         qfns = entry_mod.queries()
         retry_rates: dict[str, float] = {}
+        # retry-run companion fields (rows_out, waves): when a retry's
+        # timing wins, its companion fields must replace the first
+        # run's too — a record mixing two runs' fields describes
+        # neither (r11 review)
+        retry_fields: dict[str, dict[str, object]] = {}
 
         def rerun(name: str) -> float | None:
             try:
@@ -1034,8 +1043,9 @@ def main() -> None:
                     cold = _cold_1m_subprocess()
                     if cold is None:
                         return None
-                    sec, rate = cold
+                    sec, rate, waves = cold
                     retry_rates[name] = rate
+                    retry_fields[name] = {"1m_waves": waves}
                     return sec
                 if name.startswith("protocol_replay_"):
                     mix = {
@@ -1067,10 +1077,13 @@ def main() -> None:
                     # faithful retry: every run starts from a fresh
                     # tmp state dir, so the retry reproduces the first
                     # pass's cold-state basis exactly
-                    sec, s_n, _ = bench_stream_dedup_sink(
+                    sec, s_n, s_stats = bench_stream_dedup_sink(
                         spark, name.split("_")[2]
                     )
                     retry_rates[name] = s_n / sec
+                    retry_fields[name] = {
+                        f"{name}_rows_out": s_stats["rows_out"]
+                    }
                     return sec
                 if name not in qfns:
                     return None
@@ -1140,6 +1153,7 @@ def main() -> None:
                     ),
                 }.get(name, f"{name.split('_')[-1]}_txn_per_sec")
                 replay_extra[key] = round(rate, 1)
+                replay_extra.update(retry_fields.get(name, {}))
                 if name == "protocol_replay_10k":
                     txn_rate = rate
 
@@ -1207,16 +1221,23 @@ def cold_1m_main() -> None:
     spark.stop()
 
 
-def _cold_1m_subprocess() -> tuple[float, float] | None:
+def _cold_1m_subprocess() -> tuple[float, float, int | None] | None:
     """One fresh-session cold rerun of the 1M replay (r10 advice: with
     no retry path at all, one VM contention spike during the single
     ~90 s cold sample failed the whole round with no recourse). An
     IN-SESSION retry is warm by construction and would void the cold
     gate; a subprocess rerun preserves the cold basis — new JVM, fresh
     codegen, session-cold state — while transient host noise still
-    clears. Returns (seconds, txn_per_sec) or None if the subprocess
-    failed (the first measurement and its breach then stand — fail
-    safe, same rule as every other declined retry)."""
+    clears. Returns (seconds, txn_per_sec, waves) or None if the
+    subprocess failed (the first measurement and its breach then stand
+    — fail safe, same rule as every other declined retry).
+
+    Host-headroom caveat (r11 review): the subprocess allocates a
+    SECOND driver JVM (SPARK_DRIVER_MEMORY, default 16g) while the
+    parent session stays resident — on a host without that headroom
+    the rerun fails (rc!=0 / timeout) and the first measurement
+    stands; the recourse degrades safely but cannot clear noise
+    there."""
     import subprocess
 
     try:
@@ -1239,7 +1260,7 @@ def _cold_1m_subprocess() -> tuple[float, float] | None:
     return _parse_cold_1m(proc.stdout)
 
 
-def _parse_cold_1m(stdout: str) -> tuple[float, float] | None:
+def _parse_cold_1m(stdout: str) -> tuple[float, float, int | None] | None:
     """Last JSON line with a cold_1m_seconds field wins (Spark may spill
     log noise onto stdout around the record)."""
     for line in reversed(stdout.strip().splitlines()):
@@ -1248,7 +1269,11 @@ def _parse_cold_1m(stdout: str) -> tuple[float, float] | None:
         except ValueError:
             continue
         if isinstance(rec, dict) and "cold_1m_seconds" in rec:
-            return float(rec["cold_1m_seconds"]), float(rec["txn_per_sec"])
+            return (
+                float(rec["cold_1m_seconds"]),
+                float(rec["txn_per_sec"]),
+                rec.get("waves"),
+            )
     return None
 
 

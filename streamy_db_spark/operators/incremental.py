@@ -1346,16 +1346,20 @@ class IncrementalSemanticDeduper:
             mat = self._load_matrix(self._centroids_path)
         return mat
 
-    def _load_matrix(self, path: str):
+    @staticmethod
+    def _matrix_of(df):
         import numpy as np
 
-        df = _read_state(self.spark, path)
-        if df is None:
-            return None
         rows = df.orderBy("idx").collect()
         return np.stack(
             [np.asarray(r["vec"], dtype=np.float64) for r in rows]
         )
+
+    def _load_matrix(self, path: str):
+        df = _read_state(self.spark, path)
+        if df is None:
+            return None
+        return self._matrix_of(df)
 
     def _write_matrix(self, mat, path: str) -> None:
         rows = [(i, [float(x) for x in v]) for i, v in enumerate(mat)]
@@ -1373,11 +1377,12 @@ class IncrementalSemanticDeduper:
         because Connect has no FS handle to delete/rename it (see
         _neutralize_next) — adopting it as resume intent would make
         every subsequent bare recluster_state() skip retraining forever
-        (r10 advice)."""
+        (r10 advice). One read: the consumed-column check and the
+        matrix collect share the same DataFrame (r11 review)."""
         df = _read_state(self.spark, self._centroids_next_path)
         if df is None or "consumed" in df.columns:
             return None
-        return self._load_matrix(self._centroids_next_path)
+        return self._matrix_of(df)
 
     def _neutralize_next(self, mat) -> None:
         """Connect-path consume of the pending intent: overwrite

@@ -103,7 +103,7 @@ def duplicated_spans(
     span. Deterministic — the oracle twin is exact SQL.
 
     Returns an eagerly-materialized frame: the window-hash stage is
-    O(total tokens) rows (one 32-char hex md5 + id + pos per token
+    O(total tokens) rows (one 8 B xxhash64 + id + pos per token
     position — corpus-scale), so it is persisted DISK_ONLY while the
     duplicate aggregation and the hits join both read it (they
     partition differently — h vs per-doc — so without materialization

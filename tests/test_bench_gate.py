@@ -317,6 +317,6 @@ def test_parse_cold_1m_picks_last_record_through_log_noise():
             "24/01/01 INFO ShutdownHookManager: Shutdown hook called",
         ]
     )
-    assert _parse_cold_1m(out) == (91.2, 10964.9)
+    assert _parse_cold_1m(out) == (91.2, 10964.9, 6)
     assert _parse_cold_1m("no json here\nat all") is None
     assert _parse_cold_1m("") is None
