@@ -158,3 +158,95 @@ def test_near_dedup_sink_matches_batch_deduper(spark, tmp_path):
     sink_fn(spark.createDataFrame(batches[0], DOC_SCHEMA), replay_bid)
     again = {r.doc_id for r in read_sink(spark, out_dir).collect()}
     assert again == got
+
+
+_S1 = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+
+
+def _merge_spans(spans):
+    out, by_doc = set(), {}
+    for d, s, e in spans:
+        by_doc.setdefault(d, []).append((s, e))
+    for d, ivs in by_doc.items():
+        ivs.sort()
+        cs, ce = ivs[0]
+        for s, e in ivs[1:]:
+            if s <= ce + 1:
+                ce = max(ce, e)
+            else:
+                out.add((d, cs, ce))
+                cs, ce = s, e
+        out.add((d, cs, ce))
+    return out
+
+
+def test_substring_sink_kill_restart_union_equals_one_shot(spark, tmp_path):
+    """Kill the substring sink's query after its first committed
+    micro-batch, restart from the SAME checkpoint (Spark itself replays
+    the in-flight batch and drains the rest), and the merged union of
+    every committed span must equal one-shot duplicated_spans over all
+    ingested docs — the incremental gate's equality bar holding through
+    a real checkpoint-driven replay, including the retro emissions that
+    cross the kill boundary."""
+    from streamy_db_spark.operators.substring import duplicated_spans
+    from streamy_db_spark.streaming.sinks import (
+        read_sink,
+        substring_dedup_sink,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    # duplication crosses file (= micro-batch) boundaries on purpose:
+    # doc 20's copy retro-marks doc 1, which was committed before the
+    # kill
+    files = [
+        [(1, f"intro words here {_S1} trailing one two three")],
+        [(10, "nothing here repeats anywhere at all in this document")],
+        [(20, f"{_S1} completely different continuation of text here")],
+        [(30, f"third copy arrives {_S1} in the final file now")],
+    ]
+    all_rows = [r for part in files for r in part]
+    for f, part in enumerate(files):
+        spark.createDataFrame(part, DOC_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(in_dir, f"part{f}"))
+
+    def start(sink):
+        return (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with substring_dedup_sink(spark, state, out_dir, window=8) as sink:
+        q = start(sink)
+        deadline = time.time() + 60
+        while time.time() < deadline and not q.recentProgress:
+            time.sleep(0.2)
+        q.stop()  # kill mid-stream: checkpoint sits between batches
+        q.awaitTermination(60)
+
+    with substring_dedup_sink(spark, state, out_dir, window=8) as sink:
+        q = start(sink)
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    got = _merge_spans(
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in read_sink(spark, out_dir).collect()
+    )
+    one_shot = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in duplicated_spans(
+            spark.createDataFrame(all_rows, DOC_SCHEMA), window=8
+        ).collect()
+    }
+    assert one_shot  # three copies of _S1 planted — non-vacuous
+    assert got == one_shot
