@@ -167,6 +167,34 @@ def _spans_of_windows(
     return _spans_from_hits(hits, window, id_col)
 
 
+def merge_spans(spans: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Canonicalize a span frame: merge each doc's overlapping-or-
+    adjacent (start_tok, end_tok) spans into maximal spans — the
+    consumer-side companion of the incremental gate's changelog output
+    (incremental_substring.py / substring_dedup_sink): the union of all
+    emitted batch directories, merged per doc with THIS function,
+    equals one-shot duplicated_spans over everything ingested. Same
+    JVM fold as the one-shot path (_merge_intervals), so the two can
+    never drift. Idempotent on already-canonical frames."""
+    ivs = spans.groupBy(id_col).agg(
+        _merge_intervals(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("start_tok").alias("pos"),
+                        F.col("end_tok").alias("end"),
+                    )
+                )
+            )
+        ).alias("spans")
+    )
+    return ivs.select(id_col, F.explode("spans").alias("s")).select(
+        id_col,
+        F.col("s.pos").alias("start_tok"),
+        F.col("s.end").alias("end_tok"),
+    )
+
+
 def strip_duplicated_spans(
     docs: DataFrame,
     spans: DataFrame,

@@ -355,3 +355,22 @@ def test_natural_corpus_multi_batch_equals_one_shot(spark, tmp_path):
     one_shot = _spans(duplicated_spans(docs, window=W))
     assert one_shot  # the harness plants duplicate families — non-vacuous
     assert _merge(emitted) == one_shot
+
+
+def test_merge_spans_canonicalizes_changelog_output(spark, tmp_path):
+    """substring.merge_spans over the union of per-batch emissions
+    equals one-shot duplicated_spans — the JVM consumer-side merge
+    (the Python _merge in these tests is the independent model)."""
+    from streamy_db_spark.operators.substring import merge_spans
+
+    batches = [[CORPUS[i] for i in idxs] for idxs in ([0, 2, 4], [1, 3, 5], [6])]
+    d = IncrementalSubstrDeduper(spark, str(tmp_path / "s"), window=W)
+    union = None
+    for i, rows in enumerate(batches):
+        out = d.process_batch(_docs(spark, rows), batch_id=i)
+        union = out if union is None else union.unionByName(out)
+    got = _spans(merge_spans(union))
+    one_shot = _spans(duplicated_spans(_docs(spark, CORPUS), window=W))
+    assert got == one_shot == _merge(_spans(union))
+    # idempotent on an already-canonical frame
+    assert _spans(merge_spans(duplicated_spans(_docs(spark, CORPUS), window=W))) == one_shot
