@@ -26,12 +26,18 @@ backfill and the streaming ``substring_dedup_sink`` twin):
 
 - ``ids/``  — (doc_id, batch_seq): membership (re-send drop) + replay
   classification, same contract as the other incremental gates.
-- ``wins/`` — (h, doc_id, pos, batch_seq): every ingested window
-  occurrence, the 8 B xxhash64 key from substring._window_hashes.
+- ``wins/`` — (h, doc_id, pos, batch_seq): ingested window
+  occurrences, the 8 B xxhash64 key from substring._window_hashes.
   ``compact_state`` re-clusters on h and persists per-file [min, max]
   h ranges to ``wins_index/`` so the per-batch probe is FILE-PRUNED —
   files read scale with the batch's hash coverage, not state size
   (the same r8/r9 discipline as IncrementalNearDeduper's bands/).
+  Compaction also DROPS rows whose hash is already duplicated-and-
+  emitted (see compact_state's ``drop_emitted_wins``): steady-state
+  wins/ holds only the STILL-SINGLETON occurrences plus the newest
+  batch — without the drop, window state would rival the corpus
+  itself at 100 TB on the duplicate-heavy corpora ExactSubstr
+  exists for.
 - ``dup/``  — (h, batch_seq): hashes already known duplicated (their
   prior occurrences already emitted). Pure fetch-avoidance: for
   h ∈ dup the probe never fetches state occurrences (a boilerplate
@@ -447,6 +453,32 @@ class IncrementalSubstrDeduper:
         ).parquet(self._ids_path)
 
     # -- maintenance ----------------------------------------------------------
+    def _droppable_wins_hashes(self) -> DataFrame | None:
+        """Hashes whose wins/ occurrences are provably DEAD state: h is
+        in dup/ (its prior occurrences were already emitted, so no
+        future arrival ever fetches them — new copies take the dup fast
+        path and emit batch rows only) AND its dup transition landed in
+        a batch STRICTLY BEFORE the newest ids/ batch. The second
+        condition protects crash-replay of the newest batch: a replay
+        excludes that batch's own dup rows (batch_seq == bid), treats
+        its transition hashes as not-yet-dup, and re-fetches their
+        prior occurrences — which therefore must still exist. Batches
+        replay in order under monotone ids, so only the newest batch
+        can ever replay against this state. None-bid appends never
+        write dup/ rows, so nothing is ever dropped for them."""
+        dup = _read_state(self.spark, self._dup_path)
+        ids = _read_state(self.spark, self._ids_path)
+        if dup is None or ids is None:
+            return None
+        max_seq = ids.agg(F.max("batch_seq")).collect()[0][0]
+        if max_seq is None:
+            return None
+        return (
+            dup.filter(F.col("batch_seq") < int(max_seq))
+            .select("h")
+            .distinct()
+        )
+
     def compact_state(
         self,
         target_file_mb: int = 128,
@@ -454,6 +486,7 @@ class IncrementalSubstrDeduper:
         stream_heartbeat_max_age_s: float = 600.0,
         wins_min_files: int = 1,
         dup_min_files: int = 1,
+        drop_emitted_wins: bool = True,
     ) -> int:
         """Rewrite the append-only state components, re-clustering
         wins/ and dup/ on h and persisting the per-file [min, max] h
@@ -461,7 +494,17 @@ class IncrementalSubstrDeduper:
         the family: heartbeat-guarded with the pre-swap re-check,
         exact-row dedupe drops crash-replay artifacts, min_files floors
         give the tests a pruning observable). Returns the total output
-        file count."""
+        file count.
+
+        ``drop_emitted_wins`` (default ON) additionally drops wins/
+        rows for already-emitted hashes (_droppable_wins_hashes): the
+        gate's dominant state component shrinks from O(all ingested
+        tokens) to O(still-singleton tokens + the newest batch) — on a
+        duplicate-heavy corpus (what ExactSubstr exists for) most of
+        the window state is dead the moment its hash enters dup/, and
+        carrying it forever would make wins/ rival the corpus itself
+        at 100 TB. Runs inside compact_parquet's write-then-swap, so a
+        crash mid-rewrite loses nothing."""
         from streamy_db_spark.sources.files import compact_parquet
 
         def _recheck() -> None:
@@ -470,15 +513,26 @@ class IncrementalSubstrDeduper:
             )
 
         _recheck()
+        wins_transform = None
+        if drop_emitted_wins:
+            droppable = self._droppable_wins_hashes()
+            if droppable is not None:
+                droppable = droppable.localCheckpoint(eager=True)
+                # anti-join on h — AQE picks broadcast vs shuffle by
+                # the dup set's actual size at compaction time
+                wins_transform = lambda df: df.join(  # noqa: E731
+                    droppable, "h", "left_anti"
+                )
         total = 0
-        for path, cluster, min_files, index_path, cache_attr in (
-            (self._ids_path, None, 1, None, None),
+        for path, cluster, min_files, index_path, cache_attr, transform in (
+            (self._ids_path, None, 1, None, None, None),
             (
                 self._wins_path,
                 ["h"],
                 wins_min_files,
                 self._wins_index_path,
                 "_wins_index_cache",
+                wins_transform,
             ),
             (
                 self._dup_path,
@@ -486,6 +540,7 @@ class IncrementalSubstrDeduper:
                 dup_min_files,
                 self._dup_index_path,
                 "_dup_index_cache",
+                None,
             ),
         ):
             if _read_state(self.spark, path) is None:
@@ -499,6 +554,7 @@ class IncrementalSubstrDeduper:
                 merge_schema=True,
                 min_files=min_files,
                 pre_swap_check=_recheck,
+                transform=transform,
             )
             if index_path is not None:
                 setattr(self, cache_attr, "unset")

@@ -374,3 +374,58 @@ def test_merge_spans_canonicalizes_changelog_output(spark, tmp_path):
     assert got == one_shot == _merge(_spans(union))
     # idempotent on an already-canonical frame
     assert _spans(merge_spans(duplicated_spans(_docs(spark, CORPUS), window=W))) == one_shot
+
+
+def test_compact_drops_emitted_wins_and_preserves_semantics(spark, tmp_path):
+    """compact_state(drop_emitted_wins=True, the default) removes
+    wins/ rows for already-emitted hashes once a NEWER batch exists —
+    the state-size observable — while every later verdict (dup fast
+    path for new copies, retro emission for still-singleton hashes)
+    matches a never-compacted reference gate."""
+    state, ref = str(tmp_path / "s"), str(tmp_path / "ref")
+    a = IncrementalSubstrDeduper(spark, state, window=W)
+    b = IncrementalSubstrDeduper(spark, ref, window=W)
+    emitted_a: set = set()
+    emitted_b: set = set()
+    # batch 0: docs 1+2 transition SHARED's hashes into dup/;
+    # doc 5 plants still-singleton SHARED2 windows that must SURVIVE
+    batches = [[CORPUS[0], CORPUS[1], CORPUS[4]], [CORPUS[2]]]
+    for i, rows in enumerate(batches):
+        emitted_a |= _spans(a.process_batch(_docs(spark, rows), batch_id=i))
+        emitted_b |= _spans(b.process_batch(_docs(spark, rows), batch_id=i))
+
+    def _wins_rows(path):
+        return spark.read.option("mergeSchema", "true").parquet(
+            f"{path}/wins"
+        ).count()
+
+    before = _wins_rows(state)
+    a.compact_state(force=True)
+    after = _wins_rows(state)
+    assert after < before  # emitted SHARED occurrences dropped
+    # the still-singleton SHARED2 occurrences survived: doc 6's copy
+    # must fire the RETRO emission for doc 5 post-compaction
+    for i, rows in enumerate(([CORPUS[5]], [CORPUS[6]]), start=2):
+        emitted_a |= _spans(a.process_batch(_docs(spark, rows), batch_id=i))
+        emitted_b |= _spans(b.process_batch(_docs(spark, rows), batch_id=i))
+    assert _merge(emitted_a) == _merge(emitted_b)
+    one_shot = _spans(
+        duplicated_spans(_docs(spark, CORPUS[:3] + CORPUS[4:]), window=W)
+    )
+    assert _merge(emitted_a) == one_shot
+
+
+def test_compact_preserves_newest_batch_transition_for_replay(spark, tmp_path):
+    """The drop rule keeps wins/ rows for hashes whose dup transition
+    is in the NEWEST ids/ batch: that batch can still crash-replay,
+    and its replay re-derives the retro emission from those rows."""
+    state = str(tmp_path / "s")
+    d = IncrementalSubstrDeduper(spark, state, window=W)
+    d.process_batch(_docs(spark, [CORPUS[0]]), batch_id=0)
+    first = _spans(d.process_batch(_docs(spark, [CORPUS[1]]), batch_id=1))
+    assert first == {(1, 3, 10), (2, 0, 7)}
+    # compact while batch 1 (the transition batch) is newest: doc 1's
+    # SHARED rows must NOT be dropped (dup.batch_seq == max ids seq)
+    d.compact_state(force=True)
+    replay = _spans(d.process_batch(_docs(spark, [CORPUS[1]]), batch_id=1))
+    assert replay == first
