@@ -105,10 +105,13 @@ class IncrementalSubstrDeduper:
     state views exclude the batch's own crashed appends, so the replay
     re-emits the original spans verbatim (the idempotent-sink
     contract). Without ``batch_id``, any id match is treated as replay
-    and the dup/ fast path is bypassed entirely (reads and writes) —
-    correctness is preserved by pure wins-count classification, at the
-    cost of re-fetching known-dup hashes' occurrences; monotone batch
-    ids are strongly recommended."""
+    and dup/ is READ unfiltered but never WRITTEN — the read is
+    load-bearing after a ``drop_emitted_wins`` compaction (the dropped
+    occurrences are only represented by their dup/ entry), and the
+    write skip keeps None-bid replays deterministic (the view cannot
+    contain a crashed None-bid run's own rows). Monotone batch ids are
+    strongly recommended: they enable the dup fast-path writes and the
+    re-send/replay distinction."""
 
     def __init__(
         self,
@@ -328,22 +331,29 @@ class IncrementalSubstrDeduper:
             needles = sorted(r["h"] for r in batch_h.select("h").collect())
 
         # dup/ view: hashes already known duplicated, excluding this
-        # batch's own crashed appends (batch_seq == batch_id); the dup
-        # fast path is bypassed entirely when batch_id is None (class
-        # docstring)
+        # batch's own crashed appends (batch_seq == batch_id). None-bid
+        # batches READ dup/ unfiltered — MANDATORY, not an optimization,
+        # once compaction has dropped emitted wins/ rows (r11 review:
+        # a None-bid batch classifying by wins counts alone would see
+        # n_prior=0 for a dropped-but-duplicated hash and never emit
+        # its span). Safe for None-bid replays because None-bid runs
+        # never WRITE dup/ (below), so the view is identical between a
+        # crashed run and its replay.
         dup_hits = None
-        if batch_id is not None:
-            dup_state = self._state_scan("dup", needles)
-            if dup_state is not None:
-                dup_hits = (
-                    dup_state.filter(F.col("batch_seq") != int(batch_id))
-                    .join(maybe_b(batch_h.select("h")), "h", "left_semi")
-                    .select("h")
-                    .distinct()
-                    .localCheckpoint(eager=True)
+        dup_state = self._state_scan("dup", needles)
+        if dup_state is not None:
+            if batch_id is not None:
+                dup_state = dup_state.filter(
+                    F.col("batch_seq") != int(batch_id)
                 )
-                if dup_hits.isEmpty():
-                    dup_hits = None
+            dup_hits = (
+                dup_state.join(maybe_b(batch_h.select("h")), "h", "left_semi")
+                .select("h")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if dup_hits.isEmpty():
+                dup_hits = None
 
         # wins/ probe: state occurrences of batch hashes NOT already
         # dup, excluding the batch's OWN docs (replay exclusion by
@@ -465,7 +475,10 @@ class IncrementalSubstrDeduper:
         prior occurrences — which therefore must still exist. Batches
         replay in order under monotone ids, so only the newest batch
         can ever replay against this state. None-bid appends never
-        write dup/ rows, so nothing is ever dropped for them."""
+        write dup/ rows, so nothing is ever dropped for them — and
+        None-bid batches READ dup/ (unfiltered), so a dropped hash's
+        duplication is still visible to them (r11 review: the drop
+        would otherwise falsify their wins-count classification)."""
         dup = _read_state(self.spark, self._dup_path)
         ids = _read_state(self.spark, self._ids_path)
         if dup is None or ids is None:
@@ -517,9 +530,14 @@ class IncrementalSubstrDeduper:
         if drop_emitted_wins:
             droppable = self._droppable_wins_hashes()
             if droppable is not None:
-                droppable = droppable.localCheckpoint(eager=True)
-                # anti-join on h — AQE picks broadcast vs shuffle by
-                # the dup set's actual size at compaction time
+                # LAZY on purpose (r11 review): the dup-hash set is
+                # corpus-history-scale on duplicate-heavy corpora, and
+                # the transform executes exactly once (inside the
+                # wins/ rewrite, while dup/'s files still exist — dup/
+                # compacts after wins/), so materializing it would pin
+                # executor storage for zero reuse. The anti-join on h
+                # lets AQE pick broadcast vs shuffle from the set's
+                # actual size.
                 wins_transform = lambda df: df.join(  # noqa: E731
                     droppable, "h", "left_anti"
                 )

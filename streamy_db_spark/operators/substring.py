@@ -124,6 +124,24 @@ def duplicated_spans(
         wins.unpersist()
 
 
+def _merged_span_frame(ivs: DataFrame, id_col: str) -> DataFrame:
+    """(_id, iv struct<pos,end>) rows → merged (id_col, start_tok,
+    end_tok) spans. THE one copy of the fold+projection tail (r11
+    review: _spans_from_hits and merge_spans each had a verbatim copy,
+    which is exactly the drift the sharing exists to prevent)."""
+    merged = ivs.groupBy("_id").agg(
+        _merge_intervals(F.sort_array(F.collect_list("iv"))).alias("spans")
+    )
+    return merged.select(
+        F.col("_id").alias(id_col),
+        F.explode("spans").alias("s"),
+    ).select(
+        id_col,
+        F.col("s.pos").alias("start_tok"),
+        F.col("s.end").alias("end_tok"),
+    )
+
+
 def _spans_from_hits(hits: DataFrame, window: int, id_col: str) -> DataFrame:
     """(_id, pos) hit occurrences → merged (id_col, start_tok, end_tok)
     spans: each hit covers tokens [pos, pos+window-1], overlapping-or-
@@ -137,17 +155,7 @@ def _spans_from_hits(hits: DataFrame, window: int, id_col: str) -> DataFrame:
             F.col("pos"), (F.col("pos") + window - 1).alias("end")
         ).alias("iv"),
     )
-    merged = ivs.groupBy("_id").agg(
-        _merge_intervals(F.sort_array(F.collect_list("iv"))).alias("spans")
-    )
-    return merged.select(
-        F.col("_id").alias(id_col),
-        F.explode("spans").alias("s"),
-    ).select(
-        id_col,
-        F.col("s.pos").alias("start_tok"),
-        F.col("s.end").alias("end_tok"),
-    )
+    return _merged_span_frame(ivs, id_col)
 
 
 def _spans_of_windows(
@@ -174,25 +182,15 @@ def merge_spans(spans: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (incremental_substring.py / substring_dedup_sink): the union of all
     emitted batch directories, merged per doc with THIS function,
     equals one-shot duplicated_spans over everything ingested. Same
-    JVM fold as the one-shot path (_merge_intervals), so the two can
+    JVM fold as the one-shot path (_merged_span_frame), so the two can
     never drift. Idempotent on already-canonical frames."""
-    ivs = spans.groupBy(id_col).agg(
-        _merge_intervals(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("start_tok").alias("pos"),
-                        F.col("end_tok").alias("end"),
-                    )
-                )
-            )
-        ).alias("spans")
+    ivs = spans.select(
+        F.col(id_col).alias("_id"),
+        F.struct(
+            F.col("start_tok").alias("pos"), F.col("end_tok").alias("end")
+        ).alias("iv"),
     )
-    return ivs.select(id_col, F.explode("spans").alias("s")).select(
-        id_col,
-        F.col("s.pos").alias("start_tok"),
-        F.col("s.end").alias("end_tok"),
-    )
+    return _merged_span_frame(ivs, id_col)
 
 
 def strip_duplicated_spans(

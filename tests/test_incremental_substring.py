@@ -32,26 +32,9 @@ def _spans(df) -> set:
     return {(r.doc_id, r.start_tok, r.end_tok) for r in df.collect()}
 
 
-def _merge(spans: set) -> set:
-    """Merge per-doc overlapping-or-adjacent spans — the family's
-    equality bar compares MERGED UNIONS (the merge rule depends only on
-    token coverage, so merging pre-merged per-batch spans equals
-    merging the raw hit windows)."""
-    out = set()
-    by_doc: dict = {}
-    for d, s, e in spans:
-        by_doc.setdefault(d, []).append((s, e))
-    for d, ivs in by_doc.items():
-        ivs.sort()
-        cur_s, cur_e = ivs[0]
-        for s, e in ivs[1:]:
-            if s <= cur_e + 1:
-                cur_e = max(cur_e, e)
-            else:
-                out.add((d, cur_s, cur_e))
-                cur_s, cur_e = s, e
-        out.add((d, cur_s, cur_e))
-    return out
+# the family's equality bar compares MERGED UNIONS — one shared
+# independent model of the merge rule (tests/span_model.py)
+from tests.span_model import merge_spans_model as _merge  # noqa: E402
 
 
 def _ingest(spark, state, batches, **kw) -> set:
@@ -429,3 +412,24 @@ def test_compact_preserves_newest_batch_transition_for_replay(spark, tmp_path):
     d.compact_state(force=True)
     replay = _spans(d.process_batch(_docs(spark, [CORPUS[1]]), batch_id=1))
     assert replay == first
+
+
+def test_none_bid_batch_sees_duplication_after_drop_compaction(spark, tmp_path):
+    """The r11-review hole, pinned closed: numbered batches transition
+    a passage into dup/, a later batch advances max ids seq, compaction
+    drops the passage's wins/ rows — a subsequent batch_id=None batch
+    carrying a new copy must STILL emit its span (it reads dup/
+    unfiltered; wins-count classification alone would see n_prior=0
+    and stay silent forever)."""
+    state = str(tmp_path / "s")
+    d = IncrementalSubstrDeduper(spark, state, window=W)
+    d.process_batch(_docs(spark, [CORPUS[0]]), batch_id=0)
+    d.process_batch(_docs(spark, [CORPUS[1]]), batch_id=1)  # SHARED -> dup/
+    d.process_batch(_docs(spark, [CORPUS[2]]), batch_id=2)  # advances max seq
+    d.compact_state(force=True)  # drops SHARED's wins/ occurrences
+
+    none_bid = [(99, f"a none-bid copy {SHARED} arrives over here")]
+    got = _spans(d.process_batch(_docs(spark, none_bid)))
+    assert got == {(99, 3, 10)}
+    # and nothing was double-emitted for the earlier docs
+    assert not any(doc != 99 for doc, _, _ in got)

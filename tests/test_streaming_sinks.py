@@ -162,22 +162,7 @@ def test_near_dedup_sink_matches_batch_deduper(spark, tmp_path):
 
 _S1 = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
 
-
-def _merge_spans(spans):
-    out, by_doc = set(), {}
-    for d, s, e in spans:
-        by_doc.setdefault(d, []).append((s, e))
-    for d, ivs in by_doc.items():
-        ivs.sort()
-        cs, ce = ivs[0]
-        for s, e in ivs[1:]:
-            if s <= ce + 1:
-                ce = max(ce, e)
-            else:
-                out.add((d, cs, ce))
-                cs, ce = s, e
-        out.add((d, cs, ce))
-    return out
+from tests.span_model import merge_spans_model as _merge_spans  # noqa: E402
 
 
 def test_substring_sink_kill_restart_union_equals_one_shot(spark, tmp_path):
@@ -187,7 +172,16 @@ def test_substring_sink_kill_restart_union_equals_one_shot(spark, tmp_path):
     every committed span must equal one-shot duplicated_spans over all
     ingested docs — the incremental gate's equality bar holding through
     a real checkpoint-driven replay, including the retro emissions that
-    cross the kill boundary."""
+    cross the kill boundary.
+
+    Non-vacuity guard (r11 review; same class as the follow-join
+    deflake): a fast first query can drain EVERYTHING before stop()
+    lands, leaving the restart nothing to do and the replay path
+    unexercised. The observable is the RESTART's own progress —
+    numInputRows > 0 across its committed batches (output-dir counts
+    are incidental to Spark's internal batching and proved flaky) —
+    with fresh directories per attempt until a kill genuinely lands
+    mid-stream."""
     from streamy_db_spark.operators.substring import duplicated_spans
     from streamy_db_spark.streaming.sinks import (
         read_sink,
@@ -195,9 +189,6 @@ def test_substring_sink_kill_restart_union_equals_one_shot(spark, tmp_path):
     )
 
     in_dir = str(tmp_path / "in")
-    out_dir = str(tmp_path / "out")
-    ckpt = str(tmp_path / "ckpt")
-    state = str(tmp_path / "state")
     # duplication crosses file (= micro-batch) boundaries on purpose:
     # doc 20's copy retro-marks doc 1, which was committed before the
     # kill
@@ -213,7 +204,7 @@ def test_substring_sink_kill_restart_union_equals_one_shot(spark, tmp_path):
             "overwrite"
         ).parquet(os.path.join(in_dir, f"part{f}"))
 
-    def start(sink):
+    def start(sink, ckpt):
         return (
             spark.readStream.schema(DOC_SCHEMA)
             .option("maxFilesPerTrigger", "1")
@@ -225,18 +216,31 @@ def test_substring_sink_kill_restart_union_equals_one_shot(spark, tmp_path):
             .start()
         )
 
-    with substring_dedup_sink(spark, state, out_dir, window=8) as sink:
-        q = start(sink)
-        deadline = time.time() + 60
-        while time.time() < deadline and not q.recentProgress:
-            time.sleep(0.2)
-        q.stop()  # kill mid-stream: checkpoint sits between batches
-        q.awaitTermination(60)
-
-    with substring_dedup_sink(spark, state, out_dir, window=8) as sink:
-        q = start(sink)
-        q.awaitTermination(120)
-        assert q.exception() is None
+    out_dir = None
+    drained = 0
+    for attempt in range(4):
+        out_dir = str(tmp_path / f"out{attempt}")
+        ckpt = str(tmp_path / f"ckpt{attempt}")
+        state = str(tmp_path / f"state{attempt}")
+        with substring_dedup_sink(spark, state, out_dir, window=8) as sink:
+            q = start(sink, ckpt)
+            deadline = time.time() + 60
+            while time.time() < deadline and not q.recentProgress:
+                time.sleep(0.05)
+            q.stop()  # kill mid-stream: checkpoint between batches
+            q.awaitTermination(60)
+        with substring_dedup_sink(spark, state, out_dir, window=8) as sink:
+            q = start(sink, ckpt)
+            q.awaitTermination(120)
+            assert q.exception() is None
+            drained = sum(p.numInputRows for p in q.recentProgress)
+        if drained > 0:
+            break  # the restart genuinely replayed/drained input
+    assert drained > 0, (
+        "restart never had input to drain in 4 attempts — every kill "
+        "landed after the first query finished, so the checkpoint-"
+        "replay path was not exercised"
+    )
 
     got = _merge_spans(
         (r.doc_id, r.start_tok, r.end_tok)
