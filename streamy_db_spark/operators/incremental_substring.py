@@ -288,8 +288,15 @@ class IncrementalSubstrDeduper:
         if n_windows == 0:
             out = self._empty_spans(docs)
         else:
+            # newest COMMITTED batch seq (None when no state): the
+            # None-bid dup-trust horizon (see _spans_of_batch)
+            max_seq = (
+                None
+                if ids is None or "batch_seq" not in ids.columns
+                else ids.agg(F.max("batch_seq")).collect()[0][0]
+            )
             out, decisions = self._spans_of_batch(
-                wins_b, batch_doc_ids, batch_id, n_windows
+                wins_b, batch_doc_ids, batch_id, n_windows, max_seq
             )
         self._append_state(wins_b, batch_doc_ids, batch_id, ids, decisions)
         return out
@@ -314,10 +321,11 @@ class IncrementalSubstrDeduper:
         )
 
     def _spans_of_batch(
-        self, wins_b, batch_doc_ids, batch_id, n_windows
+        self, wins_b, batch_doc_ids, batch_id, n_windows, max_seq=None
     ) -> tuple[DataFrame, DataFrame]:
         """(spans, per-hash decision frame) — the decisions feed the
-        dup/ append."""
+        dup/ append. ``max_seq`` is the newest COMMITTED ids/ batch
+        (the None-bid dup-trust horizon below)."""
         bcast = n_windows <= self.broadcast_batch_max_windows
         maybe_b = F.broadcast if bcast else (lambda df: df)
 
@@ -330,15 +338,22 @@ class IncrementalSubstrDeduper:
         if 0 < n_windows <= self.prune_max_windows:
             needles = sorted(r["h"] for r in batch_h.select("h").collect())
 
-        # dup/ view: hashes already known duplicated, excluding this
-        # batch's own crashed appends (batch_seq == batch_id). None-bid
-        # batches READ dup/ unfiltered — MANDATORY, not an optimization,
-        # once compaction has dropped emitted wins/ rows (r11 review:
-        # a None-bid batch classifying by wins counts alone would see
+        # dup/ view — MANDATORY for None-bid batches too, not an
+        # optimization, once compaction has dropped emitted wins/ rows
+        # (r11 review: wins-count classification alone would see
         # n_prior=0 for a dropped-but-duplicated hash and never emit
-        # its span). Safe for None-bid replays because None-bid runs
-        # never WRITE dup/ (below), so the view is identical between a
-        # crashed run and its replay.
+        # its span). Trust horizon:
+        # - numbered batch bid: exclude batch_seq == bid (its own
+        #   crashed appends; later seqs cannot exist under monotone
+        #   in-order replay);
+        # - None-bid batch: trust ONLY batch_seq < max_seq (the newest
+        #   COMMITTED ids/ batch). A dup row at or past the horizon may
+        #   come from a numbered batch whose emission never committed
+        #   (r11 third review) — distrusting it re-derives duplication
+        #   from wins/ counts, whose rows the drop rule PROVABLY kept
+        #   (it only drops below the same horizon), and any double
+        #   emission is idempotent under the union-merge contract;
+        #   only LOST emission is unsafe.
         dup_hits = None
         dup_state = self._state_scan("dup", needles)
         if dup_state is not None:
@@ -346,6 +361,12 @@ class IncrementalSubstrDeduper:
                 dup_state = dup_state.filter(
                     F.col("batch_seq") != int(batch_id)
                 )
+            elif max_seq is not None:
+                dup_state = dup_state.filter(
+                    F.col("batch_seq") < int(max_seq)
+                )
+            else:
+                dup_state = dup_state.limit(0)  # no committed horizon
             dup_hits = (
                 dup_state.join(maybe_b(batch_h.select("h")), "h", "left_semi")
                 .select("h")
@@ -525,58 +546,68 @@ class IncrementalSubstrDeduper:
                 self.spark, self.state_path, force, stream_heartbeat_max_age_s
             )
 
+        from pyspark.storagelevel import StorageLevel
+
         _recheck()
         wins_transform = None
+        droppable = None
         if drop_emitted_wins:
             droppable = self._droppable_wins_hashes()
             if droppable is not None:
-                # LAZY on purpose (r11 review): the dup-hash set is
-                # corpus-history-scale on duplicate-heavy corpora, and
-                # the transform executes exactly once (inside the
-                # wins/ rewrite, while dup/'s files still exist — dup/
-                # compacts after wins/), so materializing it would pin
-                # executor storage for zero reuse. The anti-join on h
-                # lets AQE pick broadcast vs shuffle from the set's
-                # actual size.
+                # DISK_ONLY persist, not localCheckpoint and not lazy
+                # (r11 third review): the transformed wins frame is
+                # evaluated TWICE inside compact_parquet —
+                # repartitionByRange's RangePartitioner sampling pass
+                # plus the write — so a lazy dup-hash set would scan
+                # dup/ twice; and the set is corpus-history-scale on
+                # duplicate-heavy corpora, so the repo's corpus-frame
+                # discipline applies (recomputable on executor loss,
+                # released in the finally below). The anti-join on h
+                # lets AQE pick broadcast vs shuffle from its size.
+                droppable = droppable.persist(StorageLevel.DISK_ONLY)
                 wins_transform = lambda df: df.join(  # noqa: E731
                     droppable, "h", "left_anti"
                 )
         total = 0
-        for path, cluster, min_files, index_path, cache_attr, transform in (
-            (self._ids_path, None, 1, None, None, None),
-            (
-                self._wins_path,
-                ["h"],
-                wins_min_files,
-                self._wins_index_path,
-                "_wins_index_cache",
-                wins_transform,
-            ),
-            (
-                self._dup_path,
-                ["h"],
-                dup_min_files,
-                self._dup_index_path,
-                "_dup_index_cache",
-                None,
-            ),
-        ):
-            if _read_state(self.spark, path) is None:
-                continue
-            total += compact_parquet(
-                self.spark,
-                path,
-                target_file_mb,
-                cluster_cols=cluster,
-                dedupe_rows=True,
-                merge_schema=True,
-                min_files=min_files,
-                pre_swap_check=_recheck,
-                transform=transform,
-            )
-            if index_path is not None:
-                setattr(self, cache_attr, "unset")
-                _write_file_range_index(
-                    self.spark, self.state_path, path, index_path, "h"
+        try:
+            for path, cluster, min_files, index_path, cache_attr, transform in (
+                (self._ids_path, None, 1, None, None, None),
+                (
+                    self._wins_path,
+                    ["h"],
+                    wins_min_files,
+                    self._wins_index_path,
+                    "_wins_index_cache",
+                    wins_transform,
+                ),
+                (
+                    self._dup_path,
+                    ["h"],
+                    dup_min_files,
+                    self._dup_index_path,
+                    "_dup_index_cache",
+                    None,
+                ),
+            ):
+                if _read_state(self.spark, path) is None:
+                    continue
+                total += compact_parquet(
+                    self.spark,
+                    path,
+                    target_file_mb,
+                    cluster_cols=cluster,
+                    dedupe_rows=True,
+                    merge_schema=True,
+                    min_files=min_files,
+                    pre_swap_check=_recheck,
+                    transform=transform,
                 )
+                if index_path is not None:
+                    setattr(self, cache_attr, "unset")
+                    _write_file_range_index(
+                        self.spark, self.state_path, path, index_path, "h"
+                    )
+        finally:
+            if droppable is not None:
+                droppable.unpersist()
         return total

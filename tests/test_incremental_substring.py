@@ -430,6 +430,36 @@ def test_none_bid_batch_sees_duplication_after_drop_compaction(spark, tmp_path):
 
     none_bid = [(99, f"a none-bid copy {SHARED} arrives over here")]
     got = _spans(d.process_batch(_docs(spark, none_bid)))
+    # exactly the new copy's span: the dup fast path fires (no silent
+    # miss) and the earlier docs' spans are not re-emitted
     assert got == {(99, 3, 10)}
-    # and nothing was double-emitted for the earlier docs
-    assert not any(doc != 99 for doc, _, _ in got)
+
+
+def test_none_bid_replay_of_crashed_numbered_batch_keeps_retro(spark, tmp_path):
+    """r11 third-review hole, pinned closed: a numbered batch crashes
+    AFTER its dup/ append but before its ids/ append and before its
+    output committed; the caller replays it batch_id=None. The dup row
+    sits at/past the committed-ids horizon, so the None-bid read must
+    DISTRUST it and re-derive duplication from wins/ (whose rows the
+    drop rule provably kept) — emitting BOTH the doc's span and the
+    retro span. Trusting the crashed dup row would suppress the retro
+    emission forever."""
+    state = str(tmp_path / "s")
+    d = IncrementalSubstrDeduper(spark, state, window=W)
+    d.process_batch(_docs(spark, [CORPUS[0]]), batch_id=0)
+    doc50 = [(50, f"{SHARED} completely different continuation of text here")]
+    first = _spans(d.process_batch(_docs(spark, doc50), batch_id=1))
+    assert first == {(1, 3, 10), (50, 0, 7)}
+
+    # simulate the crash: batch 1's wins/ and dup/ appends landed (they
+    # did, above) but its ids/ append did not — rewrite ids/ without it
+    ids = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{state}/ids")
+        .filter("batch_seq != 1")
+        .localCheckpoint(eager=True)
+    )
+    ids.write.mode("overwrite").parquet(f"{state}/ids")
+
+    got = _spans(d.process_batch(_docs(spark, doc50)))  # batch_id=None
+    assert _merge(got) == _merge(first)

@@ -217,7 +217,7 @@ def test_substring_sink_kill_restart_union_equals_one_shot(spark, tmp_path):
         )
 
     out_dir = None
-    drained = 0
+    pre = drained = 0
     for attempt in range(4):
         out_dir = str(tmp_path / f"out{attempt}")
         ckpt = str(tmp_path / f"ckpt{attempt}")
@@ -229,17 +229,21 @@ def test_substring_sink_kill_restart_union_equals_one_shot(spark, tmp_path):
                 time.sleep(0.05)
             q.stop()  # kill mid-stream: checkpoint between batches
             q.awaitTermination(60)
+            # two-sided (r11 third review): the kill must land AFTER
+            # the first query committed something — a from-scratch
+            # restart exercises no replay
+            pre = sum(p.numInputRows for p in q.recentProgress)
         with substring_dedup_sink(spark, state, out_dir, window=8) as sink:
             q = start(sink, ckpt)
             q.awaitTermination(120)
             assert q.exception() is None
             drained = sum(p.numInputRows for p in q.recentProgress)
-        if drained > 0:
-            break  # the restart genuinely replayed/drained input
-    assert drained > 0, (
-        "restart never had input to drain in 4 attempts — every kill "
-        "landed after the first query finished, so the checkpoint-"
-        "replay path was not exercised"
+        if pre > 0 and drained > 0:
+            break  # a real mid-stream kill: committed prefix + remainder
+    assert pre > 0 and drained > 0, (
+        f"no attempt produced a genuine mid-stream kill in 4 tries "
+        f"(pre-kill rows {pre}, restart rows {drained}) — the "
+        "checkpoint-replay path was not exercised"
     )
 
     got = _merge_spans(
