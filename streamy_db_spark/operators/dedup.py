@@ -332,6 +332,38 @@ ORACLE_SEMANTIC_COS = 0.40  # oracle threshold (random-gaussian fixtures;
 # is unchanged structurally.
 SEMANTIC_SEED_K = 32
 
+# K ∝ N sizing: target per-cluster block size B for semantic_dedup's
+# O(N·B) scoring pass. 256 matches the FAISS IVF training heuristic
+# (≤256 points per centroid) and keeps each cluster's O(B²) numpy
+# matmul in the sub-millisecond range at dim 128. The sf0.1→sf1 scale
+# probe (BASELINE §8) measured the failure mode this prevents: a
+# PINNED K under 10× data grows B 10× and the scoring ~100×/K
+# (11.8× wall for 10× rows); re-sizing K ∝ N restored 3.6×.
+SEMANTIC_TARGET_BLOCK = 256
+
+
+def semantic_cluster_count(
+    n_docs: int,
+    target_block: int = SEMANTIC_TARGET_BLOCK,
+    min_clusters: int = SEMANTIC_SEED_K,
+) -> int:
+    """The production n_clusters sizing rule: K = ceil(N / B) for a
+    target per-cluster block size B, floored at ``min_clusters`` (tiny
+    corpora still get enough clusters that one hot cluster can't
+    dominate) and capped at N (more centroids than points is
+    degenerate). Scoring work is then O(N·B) — linear in the corpus —
+    instead of O(N²/K) with a pinned K.
+
+    Note the trainer bound: ivf_train_centroids seeds from its
+    ≤ max_train_rows driver sample, so an auto-sized K beyond that cap
+    silently trains fewer, coarser centroids; deployments past
+    ~max_train_rows·B docs raise max_train_rows (or train
+    hierarchically) along with K."""
+    if n_docs <= 0:
+        return min_clusters
+    k = -(-n_docs // target_block)  # ceil div
+    return max(1, min(n_docs, max(min_clusters, k)))
+
 
 def assign_clusters(
     emb: DataFrame,

@@ -245,13 +245,156 @@ class IncrementalDeduper:
     never correctness — membership is an EXISTS.
     """
 
-    def __init__(self, spark: SparkSession, state_path: str, id_col: str = "doc_id"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        id_col: str = "doc_id",
+        broadcast_batch_max_docs: int = 2_000_000,
+        prune_max_docs: int = 50_000,
+        prune_min_indexed_files: int = 4,
+    ):
         self.spark = spark
-        self.state_path = state_path
+        self.state_path = state_path.rstrip("/")
         self.id_col = id_col
+        # a probe key is one 32-hex fingerprint (~44 B on the wire) —
+        # the default caps the broadcast at ~90 MB; micro-batches are
+        # far below it, giant backfill batches fall back to the
+        # shuffle join (use one-shot dedupe_exact for those instead)
+        self.broadcast_batch_max_docs = broadcast_batch_max_docs
+        # File-level probe pruning (the near gate's bands_index
+        # discipline): compact_state clusters the state on fingerprint
+        # and persists per-file [min, max] ranges to a SIBLING sidecar
+        # (the state dir itself is a flat parquet directory — a nested
+        # sidecar would be swept into the state read). md5 fingerprints
+        # are uniform, so pruning only bites while the batch's distinct
+        # fingerprints are fewer than the state's files — exactly the
+        # streaming micro-batch shape; backfill batches saturate every
+        # range and take the full scan via ``prune_max_docs``.
+        self.prune_max_docs = prune_max_docs
+        self.prune_min_indexed_files = prune_min_indexed_files
+        self.last_probe_scan: dict | None = None
+        self._index_path = self.state_path + ".fingerprint_index"
+        self._index_cache: dict[str, tuple[str, str]] | None | str = "unset"
 
     def _seen(self) -> DataFrame | None:
         return _read_state(self.spark, self.state_path)
+
+    def _probe_hits(
+        self, fp: DataFrame, n_batch_docs: int
+    ) -> DataFrame | None:
+        """State rows matching this batch's fingerprints — ONE state
+        scan with the state side STREAMED through a hash join against
+        the batch's (broadcast) distinct fingerprints, so there is no
+        Exchange on the state side and probe traffic is O(batch), not
+        O(state), per micro-batch. (v1 distinct'd and anti-joined the
+        ENTIRE seen-set every batch — a full-state shuffle per
+        micro-batch at 1B accepted docs; this is the near gate's r8 v2
+        broadcast-probe discipline applied to the exact gate.) Both the
+        novelty verdict (EXISTS over the hit fingerprints) and the
+        replay lookup ((fingerprint, accepted_id, batch_seq) match)
+        derive from this one small frame. Batches above
+        ``broadcast_batch_max_docs`` (backfill shape) fall back to the
+        shuffle join — same verdicts, different physical plan
+        (plan-gated in tests/test_incremental_dedup.py). None when no
+        state has ever been written, or when file pruning PROVES no
+        state file can contain a batch fingerprint (all-novel batch).
+
+        The state scan is FILE-PRUNED when the compaction-time
+        fingerprint-range index allows it (``_state_for_probe``):
+        files read per micro-batch scale with the batch's distinct
+        fingerprints, not accepted-state size, whenever the batch is
+        smaller than the state's file count."""
+        seen = self._state_for_probe(fp, n_batch_docs)
+        if seen is None:
+            return None
+        cols = ["fingerprint"]
+        if "accepted_id" in seen.columns:
+            cols.append("accepted_id")
+        if "batch_seq" in seen.columns:
+            cols.append("batch_seq")
+        # fp is the fingerprinted output of dedupe_exact — one row per
+        # fingerprint by construction, so no distinct (and no batch-side
+        # Exchange) is needed before the broadcast
+        keys = fp.select("fingerprint")
+        if n_batch_docs <= self.broadcast_batch_max_docs:
+            keys = F.broadcast(keys)
+        return seen.select(*cols).join(keys, "fingerprint")
+
+    def _state_for_probe(
+        self, fp: DataFrame, n_batch_docs: int
+    ) -> DataFrame | None:
+        """The state scan for this batch's probe, file-pruned via the
+        compaction-time fingerprint-range sidecar when possible. Never
+        loses a hit, only over-reads (the bands_index contract,
+        _bands_state_for_probe): unindexed files are always read, an
+        indexed file's [min, max] brackets every fingerprint it holds,
+        and any prerequisite failure (Connect session, no/corrupt
+        index, listing error, oversized batch) degrades to the full
+        directory scan. Membership AND replay correctness both survive
+        pruning: every state row whose fingerprint is in the batch
+        lives in a kept file by construction, and rows in pruned files
+        cannot join the batch on fingerprint at all.
+        ``last_probe_scan`` records the accounting when pruning ran."""
+        self.last_probe_scan = None
+        if 0 < n_batch_docs <= self.prune_max_docs:
+            pruned = self._try_pruned_state(fp)
+            if pruned is not _PRUNE_UNAVAILABLE:
+                return pruned
+        return self._seen()
+
+    def _try_pruned_state(self, fp: DataFrame):
+        """A pruned state DataFrame, None (no state / provably zero
+        overlap), or ``_PRUNE_UNAVAILABLE`` when the full scan must
+        run instead."""
+        fs, mk = _state_fs(self.spark, self.state_path)
+        if fs is None:
+            return _PRUNE_UNAVAILABLE
+        ranges = self._index_ranges()
+        if ranges is None:
+            return _PRUNE_UNAVAILABLE
+        try:
+            if not fs.exists(mk(self.state_path)):
+                return None  # no state has ever been written
+            listing = fs.listStatus(mk(self.state_path))
+        except Exception:  # noqa: BLE001 - degraded mode: full scan
+            return _PRUNE_UNAVAILABLE
+        files = [
+            (st.getPath().getName(), st.getPath().toString())
+            for st in listing
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        ]
+        if not files:
+            return None  # empty dir (e.g. _SUCCESS only): no state rows
+        indexed = sum(1 for name, _ in files if name in ranges)
+        if indexed < self.prune_min_indexed_files:
+            # nothing (or too little) can be skipped: the key-collect
+            # job below would cost more than the reads it saves
+            return _PRUNE_UNAVAILABLE
+        # fp is one row per fingerprint (dedupe_exact output) and the
+        # caller bounded it by prune_max_docs — ≤ ~50k 32-hex strings
+        keys = sorted(r["fingerprint"] for r in fp.select("fingerprint").collect())
+        keep = prune_band_files(files, ranges, keys)
+        self.last_probe_scan = {
+            "files_total": len(files),
+            "files_read": len(keep),
+            "files_pruned": len(files) - len(keep),
+        }
+        if not keep:
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(*keep)
+
+    def _index_ranges(self) -> dict[str, tuple[str, str]] | None:
+        """The fingerprint_index sidecar as {file basename: (min, max)},
+        memoized per instance (invalidated by this instance's
+        compact_state); None when unusable — advisory, a miss costs a
+        full scan."""
+        if self._index_cache != "unset":
+            return self._index_cache
+        self._index_cache = _load_file_range_index(
+            self.spark, self._index_path, "fingerprint"
+        )
+        return self._index_cache
 
     def process_batch(
         self, docs: DataFrame, batch_id: int | None = None
@@ -269,10 +412,12 @@ class IncrementalDeduper:
         duplicated. Without ``batch_id`` (or over pre-batch_seq state)
         any (fingerprint, id) match re-emits, which is only safe when
         the upstream never re-sends an accepted doc in a later batch.
-        The state append and the returned rows materialize from ONE
-        localCheckpoint, so the output never lazily re-reads state (it
-        survives a subsequent compact_state) and the md5 fingerprint
-        scan runs once."""
+        The fingerprinted batch, the state-probe hits, and the tagged
+        output each materialize through one localCheckpoint, so the md5
+        scan runs once, the state files are read once (and never
+        lazily — the output survives a subsequent compact_state), and
+        the state append cannot re-trigger a scan that would see its
+        own output."""
         if batch_id is not None and batch_id < 0:
             raise ValueError(f"batch_id must be >= 0, got {batch_id}")
         if docs.isEmpty():
@@ -281,33 +426,36 @@ class IncrementalDeduper:
             # otherwise leave one empty commit file per empty
             # micro-batch (r8 review)
             return docs.localCheckpoint(eager=True)
-        fp = fingerprint_documents(dedupe_exact(docs, self.id_col))
-        seen = self._seen()
-        if seen is None:
+        fp = fingerprint_documents(
+            dedupe_exact(docs, self.id_col)
+        ).localCheckpoint(eager=True)
+        hits = self._probe_hits(fp, fp.count())
+        if hits is None:
             tagged = fp.withColumn("__novel", F.lit(True))
         else:
-            if "accepted_id" in seen.columns:
-                acc = seen.select(
-                    "fingerprint",
-                    F.col("accepted_id").alias(self.id_col),
-                    *( ["batch_seq"] if "batch_seq" in seen.columns else [] ),
-                )
-                if batch_id is not None and "batch_seq" in seen.columns:
+            # ≤ batch-sized (state rows whose fingerprint is in the
+            # batch; replay-duplicated appends add bounded copies) —
+            # checkpointed so the novelty anti-join and the replay
+            # lookup below share ONE state scan
+            hits = hits.localCheckpoint(eager=True)
+            if "accepted_id" in hits.columns:
+                acc = hits
+                if batch_id is not None and "batch_seq" in hits.columns:
                     acc = acc.filter(F.col("batch_seq") == int(batch_id))
-                acc = acc.select("fingerprint", self.id_col).distinct()
+                acc = acc.select(
+                    "fingerprint", F.col("accepted_id").alias(self.id_col)
+                ).distinct()
                 replayed = fp.join(acc, ["fingerprint", self.id_col])
             else:
                 replayed = fp.limit(0)
             novel = fp.join(
-                seen.select("fingerprint").distinct(), "fingerprint", "left_anti"
+                hits.select("fingerprint").distinct(),
+                "fingerprint",
+                "left_anti",
             )
             tagged = novel.withColumn("__novel", F.lit(True)).unionByName(
                 replayed.withColumn("__novel", F.lit(False))
             )
-        # ONE materialization: the state append must not re-trigger a
-        # scan that would see its own output, and the returned rows must
-        # not keep a lazy dependency on the state files (a later
-        # compact_state renames them away).
         tagged = tagged.localCheckpoint(eager=True)
         novel_rows = tagged.filter(F.col("__novel"))
         # skip the append entirely when nothing was admitted (all-replay
@@ -334,15 +482,22 @@ class IncrementalDeduper:
         target_file_mb: int = 128,
         force: bool = False,
         stream_heartbeat_max_age_s: float = 600.0,
+        min_files: int = 1,
     ) -> int:
         """Rewrite the append-only state into ~``target_file_mb`` files.
         Every process_batch appends its own parquet directory commit, so
         a long-running ingest accumulates one small file (or more) per
         batch — the classic small-files problem (sources/files
         compact_parquet docstring). Also drops exact-duplicate
-        fingerprints left by crash-replayed appends. Run it on whatever
-        cadence keeps state file counts sane (e.g. nightly); admission
-        verdicts are unaffected (membership is an EXISTS over a set).
+        fingerprints left by crash-replayed appends, CLUSTERS the
+        rewrite on fingerprint (disjoint per-file ranges), and persists
+        those ranges to the fingerprint_index sidecar so the per-batch
+        probe can skip files that cannot hold a batch fingerprint
+        (``_state_for_probe``; index written AFTER the swap — a crash
+        in between leaves a stale index, which degrades to a full scan,
+        never a missed hit). Run it on whatever cadence keeps state
+        file counts sane (e.g. nightly); admission verdicts are
+        unaffected (membership is an EXISTS over a set).
         mergeSchema on: the state schema evolved across versions and a
         single-footer read could silently strip the newer
         replay-metadata columns (r6 review). Refuses to run while a
@@ -361,14 +516,25 @@ class IncrementalDeduper:
             )
 
         _recheck()
-        return compact_parquet(
+        n = compact_parquet(
             self.spark,
             self.state_path,
             target_file_mb,
+            cluster_cols=["fingerprint"],
             dedupe_rows=True,
             merge_schema=True,
+            min_files=min_files,
             pre_swap_check=_recheck,
         )
+        self._index_cache = "unset"
+        _write_file_range_index(
+            self.spark,
+            self.state_path,
+            self.state_path,
+            self._index_path,
+            "fingerprint",
+        )
+        return n
 
 
 #: Sentinel: the pruning attempt could not run (missing prerequisite) —
@@ -1694,7 +1860,7 @@ class IncrementalSemanticDeduper:
     def recluster_state(
         self,
         centroids=None,
-        n_clusters: int | None = None,
+        n_clusters: int | str | None = None,
         target_file_mb: int = 128,
         force: bool = False,
         stream_heartbeat_max_age_s: float = 600.0,
@@ -1713,6 +1879,14 @@ class IncrementalSemanticDeduper:
         pass re-trains on the ACCEPTED vectors (the gate's own sample
         of the admitted corpus) via similarity.ivf_train_centroids,
         with ``n_clusters`` defaulting to the current space's K.
+        ``n_clusters="auto"`` re-sizes K ∝ accepted-state size
+        (dedup.semantic_cluster_count) — the growth-maintenance form:
+        state that accreted batches under a small first-batch K gets
+        its per-cluster blocks re-bounded to ~SEMANTIC_TARGET_BLOCK,
+        keeping the per-batch block join linear (the sf1 probe's
+        pinned-K super-linearity, BASELINE §8, applies to this gate's
+        state exactly as to the one-shot pass). Like an explicit
+        integer, "auto" is NEW intent and overrides a pending matrix.
         Re-assignment is map-side (the same Arrow closure as the
         per-batch gate — no join) inside compact_parquet's
         write-then-swap rewrite, clustered on the NEW cluster_id so
@@ -1786,7 +1960,18 @@ class IncrementalSemanticDeduper:
                 ivf_train_centroids,
             )
 
-            k = n_clusters if n_clusters is not None else len(self.centroids)
+            if n_clusters == "auto":
+                from streamy_db_spark.operators.dedup import (
+                    semantic_cluster_count,
+                )
+
+                k = semantic_cluster_count(acc.count())
+            else:
+                k = (
+                    n_clusters
+                    if n_clusters is not None
+                    else len(self.centroids)
+                )
             # train_fraction=1.0: max_train_rows already bounds driver
             # memory, and the default thinning fraction can sample a
             # small accepted set down to nothing

@@ -38,7 +38,7 @@ def build_corpus(
     bench_docs: int = 5,
     materialize_stages: bool = True,
     semantic_threshold: float | None = None,
-    semantic_clusters: int = 16,
+    semantic_clusters: int | None = None,
     substring_window: int | None = None,
 ) -> dict[str, int]:
     """Run the full corpus build on ``<sf_dir>/documents.parquet`` and
@@ -62,6 +62,11 @@ def build_corpus(
     embedding row pass through untouched (left-join keep-if-null) —
     lexical dedup already covered them. Off by default: the benched
     corpus_build budget and its row accounting predate this stage.
+    ``semantic_clusters`` defaults to the K ∝ N sizing rule
+    (dedup.semantic_cluster_count over the surviving embedding count) —
+    the per-cluster block stays ~SEMANTIC_TARGET_BLOCK as the corpus
+    grows, keeping the scoring pass linear; the chosen K is recorded
+    as ``semantic_clusters`` in the returned stats.
 
     ``substring_window`` (opt-in) adds an ExactSubstr stage after the
     doc-level dedups: token windows of that width repeated verbatim
@@ -136,6 +141,18 @@ def build_corpus(
         emb = load_table(spark, sf_dir, "embeddings").join(
             docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
         )
+        if semantic_clusters is None:
+            # K ∝ N (dedup.semantic_cluster_count): a pinned K is the
+            # one measured super-linear scaler in the whole pipeline
+            # (BASELINE §8 sf1 probe) — per-cluster blocks must stay
+            # ~constant as the corpus grows. Costs one count of the
+            # surviving embedding set (id-column scan).
+            from streamy_db_spark.operators.dedup import (
+                semantic_cluster_count,
+            )
+
+            semantic_clusters = semantic_cluster_count(emb.count())
+        stats["semantic_clusters"] = semantic_clusters
         centroids = ivf_train_centroids(emb, n_clusters=semantic_clusters)
         verdicts = semantic_dedup(emb, centroids, threshold=semantic_threshold)
         docs = (

@@ -486,3 +486,35 @@ def test_recluster_connect_fallback_consumes_pending_intent(
     monkeypatch.undo()
     d2 = IncrementalSemanticDeduper(spark, path, None, threshold=THRESH)
     assert np.array_equal(d2.centroids, d.centroids)
+
+
+def test_recluster_auto_resizes_k_to_state_size(spark, tmp_path):
+    """n_clusters="auto" re-sizes K ∝ accepted-state size via
+    dedup.semantic_cluster_count — the growth-maintenance form of the
+    lifecycle (the sf1 probe's pinned-K super-linearity applied to the
+    gate's own state). The tiny fixture sits in the rule's cap-at-N
+    region, so the retrained space has exactly one centroid per
+    accepted vector; verdicts, replay fidelity, and future gating all
+    hold under the re-sized space."""
+    from streamy_db_spark.operators.dedup import semantic_cluster_count
+
+    path = str(tmp_path / "state")
+    d = IncrementalSemanticDeduper(spark, path, CENTROIDS, threshold=THRESH)
+    assert _ids(d.process_batch(_emb(spark, B1), batch_id=0)) == {1, 3, 10}
+    assert _ids(d.process_batch(_emb(spark, B2), batch_id=1)) == {22}
+
+    n_accepted = spark.read.parquet(path + "/accepted").count()
+    assert d.recluster_state(n_clusters="auto") >= 1
+    assert len(d.centroids) == semantic_cluster_count(n_accepted)
+
+    # replay of a committed batch re-emits identically, appends nothing
+    assert _ids(d.process_batch(_emb(spark, B2), batch_id=1)) == {22}
+    assert spark.read.parquet(path + "/accepted").count() == n_accepted
+    # future gating still rejects a near-dup of an accepted doc: with
+    # one centroid per accepted vector, 2° lands on doc 1's centroid
+    assert _ids(
+        d.process_batch(_emb(spark, [(40, _xy(2.0))]), batch_id=2)
+    ) == set()
+    # "auto" is NEW intent: a fresh instance adopts the re-sized space
+    d2 = IncrementalSemanticDeduper(spark, path, None, threshold=THRESH)
+    assert len(d2.centroids) == semantic_cluster_count(n_accepted)

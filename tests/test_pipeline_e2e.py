@@ -208,10 +208,21 @@ def test_build_corpus_semantic_stage(spark, tmp_path_factory):
     assert s["rows_near_dedup"] >= s["rows_semantic_dedup"] > 0
     assert s["rows_semantic_dedup"] >= s["rows_decontaminated"]
     assert s["rows_semantic_dedup"] < s["rows_near_dedup"]  # stage binds
+    # K auto-sizes from the surviving embedding count (K ∝ N rule,
+    # dedup.semantic_cluster_count) and is recorded in the receipt.
+    # The surviving-embedding count isn't in the receipt, but it is
+    # bounded by rows_near_dedup, so K must sit in the rule's image
+    # over [1, rows_near_dedup]: between 1 and max(floor, N).
+    from streamy_db_spark.operators.dedup import SEMANTIC_SEED_K
+
+    assert 1 <= s["semantic_clusters"] <= max(
+        SEMANTIC_SEED_K, s["rows_near_dedup"]
+    )
 
     out2 = str(tmp_path_factory.mktemp("bc3") / "corpus_default")
     s2 = build_corpus(spark, SF, out2, mixture_total_tokens=10_000)
     assert "rows_semantic_dedup" not in s2
+    assert "semantic_clusters" not in s2
 
 
 def test_build_corpus_substring_stage(spark, tmp_path_factory):

@@ -149,3 +149,29 @@ def test_plan_is_single_shuffle_arrow(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_semantic_cluster_count_sizing():
+    """The K ∝ N production sizing rule (BASELINE §8 sf1 probe: a
+    pinned K is the pipeline's one super-linear scaler). Properties:
+    ceil(N/B) above the floor, floored at SEMANTIC_SEED_K, capped at N,
+    and the implied per-cluster block never exceeds the target once N
+    clears the floor region."""
+    B = dedup.SEMANTIC_TARGET_BLOCK
+    K0 = dedup.SEMANTIC_SEED_K
+    # floor region: tiny corpora get the seed K (capped at N)
+    assert dedup.semantic_cluster_count(5) == 5
+    assert dedup.semantic_cluster_count(K0) == K0
+    assert dedup.semantic_cluster_count(B * K0 // 2) == K0
+    # proportional region: exact ceil division
+    assert dedup.semantic_cluster_count(B * 1000) == 1000
+    assert dedup.semantic_cluster_count(B * 1000 + 1) == 1001
+    # the sf1 probe's numbers: 100k docs → K ≈ 391 (vs the pinned 32
+    # that scaled 11.8×); block size stays ≤ B
+    for n in (10_000, 100_000, 1_000_000):
+        k = dedup.semantic_cluster_count(n)
+        assert n / k <= B
+        # K ∝ N: doubling the corpus ~doubles K (within ceil slack)
+        assert abs(dedup.semantic_cluster_count(2 * n) - 2 * k) <= 1
+    # degenerate input falls back to the floor, never 0
+    assert dedup.semantic_cluster_count(0) == K0
