@@ -748,6 +748,24 @@ class IncrementalNearDeduper:
         self._index_cache: dict[str, tuple[str, str]] | None | str = "unset"
         self._legacy_checked = False
 
+    def _ids_hits(
+        self, ids: DataFrame, bkeys: DataFrame, broadcast: bool
+    ) -> DataFrame:
+        """ids/ state rows whose doc_id is in ``bkeys`` (the batch's
+        distinct ids, one column ``doc_id``): the membership/replay
+        lookup's ONE state scan, state side streamed, batch side
+        broadcast under ``broadcast_batch_max_docs`` (shuffle-join
+        fallback above — backfill shape). Output is ≤ batch-sized (plus
+        bounded replay-duplicated rows), so every membership-derived
+        frame downstream is batch-sized. Plan-gated in
+        tests/test_incremental_near_dedup.py."""
+        cols = ["doc_id"]
+        if "batch_seq" in ids.columns:
+            cols.append("batch_seq")
+        if broadcast:
+            bkeys = F.broadcast(bkeys)
+        return ids.select(*cols).join(bkeys, "doc_id")
+
     def _ids(self) -> DataFrame | None:
         self._migrate_legacy_state()
         return _read_state(self.spark, self._ids_path)
@@ -1132,12 +1150,28 @@ class IncrementalNearDeduper:
         ids = self._ids()
         replayed = None
         if ids is not None:
-            seen_ids = ids.select(
+            # Membership via the hits pattern (same discipline as the
+            # band probe): the ids/ scan streams through a hash join
+            # against the BROADCAST batch id set, so the check costs a
+            # state scan and never a state-sized Exchange. (The prior
+            # form distinct'd the ENTIRE ids/ state and anti-joined it
+            # against the batch — two full-state shuffles per
+            # micro-batch at 1B accepted docs, in the same gate whose
+            # band probe was redesigned to avoid exactly that.)
+            bkeys = (
+                docs.select(F.col(self.id_col).alias("doc_id"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            hits = self._ids_hits(
+                ids, bkeys, bkeys.count() <= self.broadcast_batch_max_docs
+            ).localCheckpoint(eager=True)  # ≤ batch-sized: ONE state scan
+            seen_ids = hits.select(
                 F.col("doc_id").alias(self.id_col)
             ).distinct()
-            if batch_id is not None and "batch_seq" in ids.columns:
+            if batch_id is not None and "batch_seq" in hits.columns:
                 rep_ids = (
-                    ids.filter(F.col("batch_seq") == int(batch_id))
+                    hits.filter(F.col("batch_seq") == int(batch_id))
                     .select(F.col("doc_id").alias(self.id_col))
                     .distinct()
                 )
@@ -1147,10 +1181,11 @@ class IncrementalNearDeduper:
             # Checkpoint the membership anti-join ONCE: three downstream
             # consumers read `docs` (the sig table, the trivial-id
             # anti-join, the output join) and would each lazily
-            # re-execute the state-sized seen_ids distinct + anti-join
-            # otherwise — and the emptiness probe below must not become
-            # an extra O(state) job per micro-batch (r8 second review;
-            # the v2 redesign's whole point is probe traffic O(batch)).
+            # re-execute the membership join otherwise — and the
+            # emptiness probe below must stay batch-sized (r8 second
+            # review; the v2 redesign's whole point is probe traffic
+            # O(batch)). seen_ids is batch-bounded off the checkpointed
+            # hits, so this anti-join auto-broadcasts its right side.
             docs = docs.join(
                 seen_ids, self.id_col, "left_anti"
             ).localCheckpoint(eager=True)

@@ -263,14 +263,39 @@ class IncrementalSubstrDeduper:
             return self._empty_spans(docs)
 
         ids = self._ids()
+        raw_ids = (
+            docs.select(F.col(self.id_col).alias("_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        batch_doc_ids = raw_ids
         if ids is not None:
             if batch_id is not None and "batch_seq" in ids.columns:
                 # re-sends (earlier batches) drop; this batch's own ids
-                # are crash-replay participants and stay in
-                resend = ids.filter(
-                    F.col("batch_seq") != int(batch_id)
-                ).select(F.col("doc_id").alias(self.id_col)).distinct()
+                # are crash-replay participants and stay in. The ids/
+                # scan STREAMS through a hash join against the batch's
+                # (broadcast) id set — the hits pattern the wins/ probe
+                # already uses, so the re-send lookup costs a state
+                # scan, never a state-sized Exchange (the prior form
+                # distinct'd nearly all of ids/ and anti-joined it
+                # state-sized against the batch, every micro-batch).
+                bkeys = raw_ids.select(F.col("_id").alias("doc_id"))
+                if raw_ids.count() <= self.broadcast_batch_max_windows:
+                    bkeys = F.broadcast(bkeys)
+                resend = (
+                    ids.select("doc_id", "batch_seq")
+                    .join(bkeys, "doc_id")
+                    .filter(F.col("batch_seq") != int(batch_id))
+                    .select(F.col("doc_id").alias(self.id_col))
+                    .distinct()
+                    .localCheckpoint(eager=True)  # ≤ batch-sized
+                )
                 docs = docs.join(resend, self.id_col, "left_anti")
+                batch_doc_ids = raw_ids.join(
+                    resend.select(F.col(self.id_col).alias("_id")),
+                    "_id",
+                    "left_anti",
+                ).localCheckpoint(eager=True)
             # without batch_id every id match is a replay participant:
             # it stays in the batch, its state rows are excluded by doc
             # below, and appends skip it via the novel-doc anti-join
@@ -280,9 +305,6 @@ class IncrementalSubstrDeduper:
         wins_b = _window_hashes(docs, self.window, self.id_col).localCheckpoint(
             eager=True
         )
-        batch_doc_ids = docs.select(
-            F.col(self.id_col).alias("_id")
-        ).distinct().localCheckpoint(eager=True)
         n_windows = wins_b.count()
         decisions = None
         if n_windows == 0:

@@ -810,3 +810,26 @@ def test_sink_lifetime_heartbeat_lapses_when_idle_and_resumes(spark, tmp_path):
             IncrementalNearDeduper(spark, str(state)).compact_state()
     finally:
         sink.close()
+
+
+def test_ids_membership_no_exchange_on_state_side(spark, tmp_path):
+    """The ids/ membership lookup follows the same 100 TB rule as the
+    band probe: ids/ streams through a hash join against the BROADCAST
+    batch id set — no Exchange on the state side (the prior form
+    distinct'd and anti-joined the ENTIRE ids/ state per micro-batch)."""
+    from pyspark.sql import functions as F
+
+    from streamy_db_spark.plans.inspect import executed_plan
+
+    d = IncrementalNearDeduper(spark, str(tmp_path / "state"))
+    d.process_batch(_docs(spark, B1), batch_id=0)
+    bkeys = (
+        _docs(spark, B2)
+        .select(F.col("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hits = d._ids_hits(d._ids(), bkeys, broadcast=True)
+    plan = executed_plan(hits)
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
