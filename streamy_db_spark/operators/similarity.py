@@ -200,9 +200,30 @@ def _cluster_udfs(centroids: np.ndarray, nprobe: int):
 IVF_MAX_TRAIN_ROWS = 50_000  # ≈ 50 MB at dim 128 — bounded driver memory
 
 
+def ivf_cluster_count(
+    n_vectors: int,
+    min_clusters: int = IVF_CLUSTERS,
+    max_clusters: int = IVF_MAX_TRAIN_ROWS // 4,
+) -> int:
+    """The production IVF list-count sizing rule: K ≈ 4·√N (the low end
+    of the published FAISS guideline 4√N–16√N — per-query probe work
+    nprobe·N/K balances the K-sized centroid scan near K ~ √N; the 4×
+    favors recall). Floored at IVF_CLUSTERS, capped at N and at a
+    quarter of the driver training sample so every centroid trains on
+    ≥4 points. A PINNED K has the same failure mode the semantic-dedup
+    sf1 probe measured for cluster-bounded scoring: lists grow with the
+    corpus and probe cost goes super-linear — size K with N instead."""
+    if n_vectors <= 0:
+        return min_clusters
+    import math
+
+    k = 4 * math.isqrt(n_vectors)
+    return max(1, min(n_vectors, max(min_clusters, min(k, max_clusters))))
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
-    n_clusters: int = IVF_CLUSTERS,
+    n_clusters: int | None = IVF_CLUSTERS,
     n_iters: int = IVF_ITERS,
     train_fraction: float = IVF_TRAIN_FRACTION,
     vec_col: str = "embedding",
@@ -225,7 +246,14 @@ def ivf_train_centroids(
 
     Deterministic: the seeded sample is sorted by id, seeds are the
     n_clusters lowest-id sampled vectors, argmax ties break to the
-    lowest cluster id (no RNG beyond the seeded sample)."""
+    lowest cluster id (no RNG beyond the seeded sample).
+
+    ``n_clusters=None`` auto-sizes K ≈ 4·√N via ``ivf_cluster_count``
+    (costs one count of the corpus — an id-column scan); explicit
+    values are used verbatim (the registered ANN queries pin constants
+    so their recall guards are reproducible)."""
+    if n_clusters is None:
+        n_clusters = ivf_cluster_count(corpus.count())
     s = corpus.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).cast("array<double>").alias("vec"),

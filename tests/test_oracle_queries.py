@@ -660,3 +660,23 @@ def test_incremental_near_dedup_matches_one_shot_on_natural_corpus(
         for r in groups.filter(F.col("doc_id") == F.col("keeper_id")).collect()
     }
     assert accepted == keepers
+
+
+def test_ivf_cluster_count_sizing(spark, sf_oracle):
+    """K ≈ 4·√N auto-sizing (n_clusters=None): floor, cap-at-N, the
+    proportional region, and the trained matrix's row count on real
+    embeddings."""
+    from streamy_db_spark.operators import similarity as sim
+    from streamy_db_spark.sources.tables import load_table
+
+    assert sim.ivf_cluster_count(0) == sim.IVF_CLUSTERS
+    assert sim.ivf_cluster_count(4) == 4  # capped at N
+    assert sim.ivf_cluster_count(16) == sim.IVF_CLUSTERS
+    assert sim.ivf_cluster_count(10_000) == 400  # 4·√10000
+    # cap: a quarter of the driver training sample
+    assert sim.ivf_cluster_count(10**9) == sim.IVF_MAX_TRAIN_ROWS // 4
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    n = emb.count()
+    C = sim.ivf_train_centroids(emb, n_clusters=None, train_fraction=1.0)
+    assert len(C) == sim.ivf_cluster_count(n)
