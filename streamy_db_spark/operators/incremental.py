@@ -346,43 +346,22 @@ class IncrementalDeduper:
     def _try_pruned_state(self, fp: DataFrame):
         """A pruned state DataFrame, None (no state / provably zero
         overlap), or ``_PRUNE_UNAVAILABLE`` when the full scan must
-        run instead."""
-        fs, mk = _state_fs(self.spark, self.state_path)
-        if fs is None:
-            return _PRUNE_UNAVAILABLE
-        ranges = self._index_ranges()
-        if ranges is None:
-            return _PRUNE_UNAVAILABLE
-        try:
-            if not fs.exists(mk(self.state_path)):
-                return None  # no state has ever been written
-            listing = fs.listStatus(mk(self.state_path))
-        except Exception:  # noqa: BLE001 - degraded mode: full scan
-            return _PRUNE_UNAVAILABLE
-        files = [
-            (st.getPath().getName(), st.getPath().toString())
-            for st in listing
-            if st.isFile() and st.getPath().getName().endswith(".parquet")
-        ]
-        if not files:
-            return None  # empty dir (e.g. _SUCCESS only): no state rows
-        indexed = sum(1 for name, _ in files if name in ranges)
-        if indexed < self.prune_min_indexed_files:
-            # nothing (or too little) can be skipped: the key-collect
-            # job below would cost more than the reads it saves
-            return _PRUNE_UNAVAILABLE
-        # fp is one row per fingerprint (dedupe_exact output) and the
-        # caller bounded it by prune_max_docs — ≤ ~50k 32-hex strings
-        keys = sorted(r["fingerprint"] for r in fp.select("fingerprint").collect())
-        keep = prune_band_files(files, ranges, keys)
-        self.last_probe_scan = {
-            "files_total": len(files),
-            "files_read": len(keep),
-            "files_pruned": len(files) - len(keep),
-        }
-        if not keep:
-            return None
-        return self.spark.read.option("mergeSchema", "true").parquet(*keep)
+        run instead (_attempt_pruned_read — the scaffold shared by all
+        four gates). fp is one row per fingerprint (dedupe_exact
+        output) and the caller bounded it by prune_max_docs, so the
+        key collect ships ≤ ~50k 32-hex strings."""
+        res, acct = _attempt_pruned_read(
+            self.spark,
+            self.state_path,
+            self._index_ranges(),
+            lambda: sorted(
+                r["fingerprint"] for r in fp.select("fingerprint").collect()
+            ),
+            self.prune_min_indexed_files,
+        )
+        if acct is not None:
+            self.last_probe_scan = acct
+        return res
 
     def _index_ranges(self) -> dict[str, tuple[str, str]] | None:
         """The fingerprint_index sidecar as {file basename: (min, max)},
@@ -420,6 +399,11 @@ class IncrementalDeduper:
         own output."""
         if batch_id is not None and batch_id < 0:
             raise ValueError(f"batch_id must be >= 0, got {batch_id}")
+        # reset the scan accounting at ENTRY, not only inside the probe:
+        # early exits (empty trigger) must not leave the previous
+        # batch's file accounting attributed to a batch that read
+        # nothing (the r9 rule the sibling gates follow)
+        self.last_probe_scan = None
         if docs.isEmpty():
             # empty trigger: nothing to admit, nothing to append — skip
             # the fingerprint scan and the state append, which would
@@ -577,6 +561,70 @@ def prune_band_files(
         if i < len(sorted_bkeys) and sorted_bkeys[i] <= hi:
             keep.append(path)
     return keep
+
+
+def _attempt_pruned_read(
+    spark,
+    data_path: str,
+    ranges: dict | None,
+    sorted_keys,
+    min_indexed_files: int,
+):
+    """The pruning attempt every file-range-indexed gate shares (exact
+    fingerprint state, near-dup bands/ and ids-adjacent scans, semantic
+    accepted/, substring wins//dup/) — one implementation so a fix to
+    the degradation ladder cannot silently miss a sibling gate (the r11
+    review found this scaffold copied four times).
+
+    Returns ``(result, accounting)``:
+
+    - ``(_PRUNE_UNAVAILABLE, None)`` — the full scan must run (Connect
+      session, unusable/absent index, listing failure, fewer than
+      ``min_indexed_files`` indexed live files);
+    - ``(None, None)`` — no state rows exist at all (never written, or
+      an empty/_SUCCESS-only directory);
+    - ``(None, accounting)`` — pruning PROVED zero overlap;
+    - ``(DataFrame, accounting)`` — the pruned mergeSchema read over
+      exactly the keep-files (the full-directory frame is never
+      constructed: its mergeSchema analysis alone is a footer job over
+      every state file — r9 review).
+
+    ``sorted_keys`` may be the ascending key list or a zero-arg
+    callable producing it — the callable is invoked only after the
+    cheap prerequisites pass, so degraded outcomes never pay the
+    key-collect Spark job."""
+    fs, mk = _state_fs(spark, data_path)
+    if fs is None:
+        return _PRUNE_UNAVAILABLE, None
+    if ranges is None:
+        return _PRUNE_UNAVAILABLE, None
+    try:
+        if not fs.exists(mk(data_path)):
+            return None, None  # never written
+        listing = fs.listStatus(mk(data_path))
+    except Exception:  # noqa: BLE001 - degraded mode: full scan
+        return _PRUNE_UNAVAILABLE, None
+    files = [
+        (st.getPath().getName(), st.getPath().toString())
+        for st in listing
+        if st.isFile() and st.getPath().getName().endswith(".parquet")
+    ]
+    if not files:
+        return None, None  # empty dir (e.g. _SUCCESS only): no rows
+    if sum(1 for name, _ in files if name in ranges) < min_indexed_files:
+        # nothing (or too little) can be skipped: the key-collect job
+        # would cost more than the reads it saves
+        return _PRUNE_UNAVAILABLE, None
+    keys = sorted_keys() if callable(sorted_keys) else sorted_keys
+    keep = prune_band_files(files, ranges, keys)
+    accounting = {
+        "files_total": len(files),
+        "files_read": len(keep),
+        "files_pruned": len(files) - len(keep),
+    }
+    if not keep:
+        return None, accounting
+    return spark.read.option("mergeSchema", "true").parquet(*keep), accounting
 
 
 def _load_file_range_index(spark, index_path: str, key_col: str):
@@ -1004,46 +1052,22 @@ class IncrementalNearDeduper:
         missing (Connect session, no usable index, listing failure) —
         the caller then takes the full scan."""
         self._migrate_legacy_state()
-        fs, mk = _state_fs(self.spark, self._bands_path)
-        if fs is None:
-            return _PRUNE_UNAVAILABLE
-        ranges = self._index_ranges()
-        if ranges is None:
-            return _PRUNE_UNAVAILABLE
-        try:
-            if not fs.exists(mk(self._bands_path)):
-                return None  # no banded state has ever been written
-            listing = fs.listStatus(mk(self._bands_path))
-        except Exception:  # noqa: BLE001 - degraded mode: full scan
-            return _PRUNE_UNAVAILABLE
-        files = [
-            (st.getPath().getName(), st.getPath().toString())
-            for st in listing
-            if st.isFile() and st.getPath().getName().endswith(".parquet")
-        ]
-        if not files:
-            return None  # empty dir (e.g. _SUCCESS only): no state rows
-        indexed = sum(1 for name, _ in files if name in ranges)
-        if indexed < self.prune_min_indexed_files:
-            # nothing (or too little) can be skipped: the bkey-collect
-            # job below would cost more than the reads it saves
-            return _PRUNE_UNAVAILABLE
-        bkeys = sorted(
-            r["bkey"]
-            for r in self._explode_bands(sigs, "id_a", "sig_a")
-            .select("bkey")
-            .distinct()
-            .collect()
+        res, acct = _attempt_pruned_read(
+            self.spark,
+            self._bands_path,
+            self._index_ranges(),
+            lambda: sorted(
+                r["bkey"]
+                for r in self._explode_bands(sigs, "id_a", "sig_a")
+                .select("bkey")
+                .distinct()
+                .collect()
+            ),
+            self.prune_min_indexed_files,
         )
-        keep = prune_band_files(files, ranges, bkeys)
-        self.last_probe_scan = {
-            "files_total": len(files),
-            "files_read": len(keep),
-            "files_pruned": len(files) - len(keep),
-        }
-        if not keep:
-            return None
-        return self.spark.read.option("mergeSchema", "true").parquet(*keep)
+        if acct is not None:
+            self.last_probe_scan = acct
+        return res
 
     def _index_ranges(self) -> dict[str, tuple[str, str]] | None:
         """The bands_index contents as {file basename: (min_bkey,
@@ -1650,41 +1674,19 @@ class IncrementalSemanticDeduper:
         return self._accepted()
 
     def _try_pruned_accepted(self, assigned: DataFrame):
-        fs, mk = _state_fs(self.spark, self._accepted_path)
-        if fs is None:
-            return _PRUNE_UNAVAILABLE
-        ranges = self._index_ranges()
-        if ranges is None:
-            return _PRUNE_UNAVAILABLE
-        try:
-            if not fs.exists(mk(self._accepted_path)):
-                return None  # no accepted state yet
-            listing = fs.listStatus(mk(self._accepted_path))
-        except Exception:  # noqa: BLE001 - degraded mode: full scan
-            return _PRUNE_UNAVAILABLE
-        files = [
-            (st.getPath().getName(), st.getPath().toString())
-            for st in listing
-            if st.isFile() and st.getPath().getName().endswith(".parquet")
-        ]
-        if not files:
-            return None
-        indexed = sum(1 for name, _ in files if name in ranges)
-        if indexed < self.prune_min_indexed_files:
-            return _PRUNE_UNAVAILABLE
-        clusters = sorted(
-            r["cluster_id"]
-            for r in assigned.select("cluster_id").distinct().collect()
+        res, acct = _attempt_pruned_read(
+            self.spark,
+            self._accepted_path,
+            self._index_ranges(),
+            lambda: sorted(
+                r["cluster_id"]
+                for r in assigned.select("cluster_id").distinct().collect()
+            ),
+            self.prune_min_indexed_files,
         )
-        keep = prune_band_files(files, ranges, clusters)
-        self.last_probe_scan = {
-            "files_total": len(files),
-            "files_read": len(keep),
-            "files_pruned": len(files) - len(keep),
-        }
-        if not keep:
-            return None
-        return self.spark.read.option("mergeSchema", "true").parquet(*keep)
+        if acct is not None:
+            self.last_probe_scan = acct
+        return res
 
     def _state_blocked(
         self, assigned: DataFrame, n_batch_docs: int
@@ -1955,6 +1957,16 @@ class IncrementalSemanticDeduper:
 
         from streamy_db_spark.operators.dedup import assign_clusters
         from streamy_db_spark.sources.files import compact_parquet
+
+        if isinstance(n_clusters, str) and n_clusters != "auto":
+            # validate BEFORE any state work: a typo'd "Auto" would
+            # otherwise skip the pending-intent resume (str is not
+            # None) and die deep in numpy after the guard, the state
+            # scan, and the training collect have already run
+            raise ValueError(
+                f'n_clusters must be an int, None, or "auto"; '
+                f"got {n_clusters!r}"
+            )
 
         def _recheck() -> None:
             _guard_compact_vs_stream(

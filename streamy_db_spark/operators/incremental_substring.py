@@ -73,12 +73,11 @@ from pyspark.sql import functions as F
 
 from streamy_db_spark.operators.incremental import (
     _PRUNE_UNAVAILABLE,
+    _attempt_pruned_read,
     _guard_compact_vs_stream,
     _load_file_range_index,
     _read_state,
-    _state_fs,
     _write_file_range_index,
-    prune_band_files,
 )
 from streamy_db_spark.operators.substring import (
     SUBSTR_WINDOW,
@@ -199,38 +198,18 @@ class IncrementalSubstrDeduper:
         return _read_state(self.spark, data_path)
 
     def _try_pruned(self, which: str, data_path: str, sorted_hashes: list):
-        fs, mk = _state_fs(self.spark, data_path)
-        if fs is None:
-            return _PRUNE_UNAVAILABLE
-        ranges = self._index_ranges(which)
-        if ranges is None:
-            return _PRUNE_UNAVAILABLE
-        try:
-            if not fs.exists(mk(data_path)):
-                return None  # never written
-            listing = fs.listStatus(mk(data_path))
-        except Exception:  # noqa: BLE001 - degraded mode: full scan
-            return _PRUNE_UNAVAILABLE
-        files = [
-            (st.getPath().getName(), st.getPath().toString())
-            for st in listing
-            if st.isFile() and st.getPath().getName().endswith(".parquet")
-        ]
-        if not files:
-            return None
-        if sum(1 for n, _ in files if n in ranges) < self.prune_min_indexed_files:
-            return _PRUNE_UNAVAILABLE
-        keep = prune_band_files(files, ranges, sorted_hashes)
-        if self.last_probe_scan is None:
-            self.last_probe_scan = {}
-        self.last_probe_scan[which] = {
-            "files_total": len(files),
-            "files_read": len(keep),
-            "files_pruned": len(files) - len(keep),
-        }
-        if not keep:
-            return None
-        return self.spark.read.option("mergeSchema", "true").parquet(*keep)
+        res, acct = _attempt_pruned_read(
+            self.spark,
+            data_path,
+            self._index_ranges(which),
+            sorted_hashes,
+            self.prune_min_indexed_files,
+        )
+        if acct is not None:
+            if self.last_probe_scan is None:
+                self.last_probe_scan = {}
+            self.last_probe_scan[which] = acct
+        return res
 
     # -- the per-batch computation ------------------------------------------
     def _empty_spans(self, docs: DataFrame) -> DataFrame:

@@ -210,7 +210,9 @@ def ivf_cluster_count(
     nprobe·N/K balances the K-sized centroid scan near K ~ √N; the 4×
     favors recall). Floored at IVF_CLUSTERS, capped at N and at a
     quarter of the driver training sample so every centroid trains on
-    ≥4 points. A PINNED K has the same failure mode the semantic-dedup
+    ≥4 points (the floor outranks the cap, so a degenerately tiny
+    sample still gets IVF_CLUSTERS seeds — some may coincide, which
+    Lloyd tolerates). A PINNED K has the same failure mode the semantic-dedup
     sf1 probe measured for cluster-bounded scoring: lists grow with the
     corpus and probe cost goes super-linear — size K with N instead."""
     if n_vectors <= 0:
@@ -249,11 +251,12 @@ def ivf_train_centroids(
     lowest cluster id (no RNG beyond the seeded sample).
 
     ``n_clusters=None`` auto-sizes K ≈ 4·√N via ``ivf_cluster_count``
-    (costs one count of the corpus — an id-column scan); explicit
-    values are used verbatim (the registered ANN queries pin constants
-    so their recall guards are reproducible)."""
-    if n_clusters is None:
-        n_clusters = ivf_cluster_count(corpus.count())
+    (costs one count of the corpus — an id-column scan), capped at a
+    quarter of the ACTUAL collected sample so the ≥4-points-per-centroid
+    rationale holds under any max_train_rows/train_fraction the caller
+    picked; explicit values are used verbatim (the registered ANN
+    queries pin constants so their recall guards are reproducible)."""
+    n_total = corpus.count() if n_clusters is None else None
     s = corpus.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -262,6 +265,10 @@ def ivf_train_centroids(
         s = s.sample(fraction=train_fraction, seed=seed)
     rows = s.orderBy("nid").limit(max_train_rows).collect()
     X = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
+    if n_clusters is None:
+        n_clusters = ivf_cluster_count(
+            n_total, max_clusters=max(1, len(X) // 4)
+        )
     C = X[:n_clusters].copy()
 
     Xn = np.linalg.norm(X, axis=1, keepdims=True)

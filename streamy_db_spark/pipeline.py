@@ -152,8 +152,14 @@ def build_corpus(
             )
 
             semantic_clusters = semantic_cluster_count(emb.count())
-        stats["semantic_clusters"] = semantic_clusters
         centroids = ivf_train_centroids(emb, n_clusters=semantic_clusters)
+        # record the TRAINED cluster count, not the requested one: past
+        # ~4·max_train_rows surviving docs the driver training sample
+        # caps the matrix below the requested K (the sizing helper's
+        # documented trainer bound — raise max_train_rows with the
+        # corpus), and the receipt must state what the space actually
+        # has, or downstream accounting of the scale knob is wrong
+        stats["semantic_clusters"] = len(centroids)
         verdicts = semantic_dedup(emb, centroids, threshold=semantic_threshold)
         docs = (
             docs.join(

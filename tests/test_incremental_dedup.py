@@ -286,3 +286,18 @@ def test_exact_probe_prunes_state_files_with_verdict_parity(spark, tmp_path):
         for r in d.process_batch(_docs(spark, batch), batch_id=1).collect()
     }
     assert out3 == {101}
+
+
+def test_empty_trigger_resets_probe_accounting(spark, tmp_path):
+    """An empty trigger after a pruned batch must not leave the prior
+    batch's file accounting attributed to a batch that read nothing
+    (the r9 rule the near/substr gates follow)."""
+    path = str(tmp_path / "state")
+    d = IncrementalDeduper(spark, path)
+    rows = [(i, f"doc number {i} unique content {i * 7}") for i in range(40)]
+    d.process_batch(_docs(spark, rows), batch_id=0)
+    d.compact_state(min_files=8, force=True)
+    d.process_batch(_docs(spark, [(100, rows[3][1])]), batch_id=1)
+    assert d.last_probe_scan is not None
+    d.process_batch(_docs(spark, []), batch_id=2)
+    assert d.last_probe_scan is None

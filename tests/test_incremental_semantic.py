@@ -518,3 +518,16 @@ def test_recluster_auto_resizes_k_to_state_size(spark, tmp_path):
     # "auto" is NEW intent: a fresh instance adopts the re-sized space
     d2 = IncrementalSemanticDeduper(spark, path, None, threshold=THRESH)
     assert len(d2.centroids) == semantic_cluster_count(n_accepted)
+
+
+def test_recluster_rejects_unknown_string_intent(spark, tmp_path):
+    """Only the exact literal "auto" is a string intent; anything else
+    raises BEFORE the heartbeat guard / state scan / training run (a
+    typo'd "Auto" would otherwise die deep in numpy after skipping the
+    pending-intent resume)."""
+    d = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "state"), CENTROIDS, threshold=THRESH
+    )
+    d.process_batch(_emb(spark, B1), batch_id=0)
+    with pytest.raises(ValueError, match='"auto"'):
+        d.recluster_state(n_clusters="Auto")

@@ -679,4 +679,13 @@ def test_ivf_cluster_count_sizing(spark, sf_oracle):
     emb = load_table(spark, sf_oracle, "embeddings")
     n = emb.count()
     C = sim.ivf_train_centroids(emb, n_clusters=None, train_fraction=1.0)
-    assert len(C) == sim.ivf_cluster_count(n)
+    # the auto path caps at a quarter of the ACTUAL sample (here the
+    # whole corpus, well under max_train_rows, so the cap is slack)
+    assert len(C) == sim.ivf_cluster_count(
+        n, max_clusters=max(1, min(n, sim.IVF_MAX_TRAIN_ROWS) // 4)
+    )
+    # a tiny caller-bounded sample caps K at sample//4 (floor permitting)
+    C2 = sim.ivf_train_centroids(
+        emb, n_clusters=None, train_fraction=1.0, max_train_rows=200
+    )
+    assert len(C2) == sim.ivf_cluster_count(n, max_clusters=50)
