@@ -353,7 +353,7 @@ class IncrementalDeduper:
         res, acct = _attempt_pruned_read(
             self.spark,
             self.state_path,
-            self._index_ranges(),
+            self._index_ranges,
             lambda: sorted(
                 r["fingerprint"] for r in fp.select("fingerprint").collect()
             ),
@@ -592,10 +592,15 @@ def _attempt_pruned_read(
     ``sorted_keys`` may be the ascending key list or a zero-arg
     callable producing it — the callable is invoked only after the
     cheap prerequisites pass, so degraded outcomes never pay the
-    key-collect Spark job."""
+    key-collect Spark job. ``ranges`` takes the same two forms for the
+    same reason: a Connect session (no FS handle) must return before
+    the index-sidecar parquet read is issued, exactly as the pre-hoist
+    inline code did."""
     fs, mk = _state_fs(spark, data_path)
     if fs is None:
         return _PRUNE_UNAVAILABLE, None
+    if callable(ranges):
+        ranges = ranges()
     if ranges is None:
         return _PRUNE_UNAVAILABLE, None
     try:
@@ -1055,7 +1060,7 @@ class IncrementalNearDeduper:
         res, acct = _attempt_pruned_read(
             self.spark,
             self._bands_path,
-            self._index_ranges(),
+            self._index_ranges,
             lambda: sorted(
                 r["bkey"]
                 for r in self._explode_bands(sigs, "id_a", "sig_a")
@@ -1677,7 +1682,7 @@ class IncrementalSemanticDeduper:
         res, acct = _attempt_pruned_read(
             self.spark,
             self._accepted_path,
-            self._index_ranges(),
+            self._index_ranges,
             lambda: sorted(
                 r["cluster_id"]
                 for r in assigned.select("cluster_id").distinct().collect()
@@ -1958,13 +1963,25 @@ class IncrementalSemanticDeduper:
         from streamy_db_spark.operators.dedup import assign_clusters
         from streamy_db_spark.sources.files import compact_parquet
 
-        if isinstance(n_clusters, str) and n_clusters != "auto":
-            # validate BEFORE any state work: a typo'd "Auto" would
-            # otherwise skip the pending-intent resume (str is not
-            # None) and die deep in numpy after the guard, the state
-            # scan, and the training collect have already run
+        # validate BEFORE any state work: a typo'd "Auto", a float, or
+        # a negative int would otherwise skip the pending-intent resume
+        # (non-None) and either die deep in numpy after the guard, the
+        # state scan, and the training collect have already run, or —
+        # worse, for a negative int — silently train a truncated matrix
+        # and promote it over the whole accepted state
+        if isinstance(n_clusters, str):
+            if n_clusters != "auto":
+                raise ValueError(
+                    f'n_clusters must be a positive int, None, or '
+                    f'"auto"; got {n_clusters!r}'
+                )
+        elif n_clusters is not None and (
+            isinstance(n_clusters, bool)
+            or not isinstance(n_clusters, int)
+            or n_clusters < 1
+        ):
             raise ValueError(
-                f'n_clusters must be an int, None, or "auto"; '
+                f'n_clusters must be a positive int, None, or "auto"; '
                 f"got {n_clusters!r}"
             )
 

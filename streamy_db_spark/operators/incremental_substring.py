@@ -201,7 +201,7 @@ class IncrementalSubstrDeduper:
         res, acct = _attempt_pruned_read(
             self.spark,
             data_path,
-            self._index_ranges(which),
+            lambda: self._index_ranges(which),
             sorted_hashes,
             self.prune_min_indexed_files,
         )

@@ -210,9 +210,10 @@ def ivf_cluster_count(
     nprobe·N/K balances the K-sized centroid scan near K ~ √N; the 4×
     favors recall). Floored at IVF_CLUSTERS, capped at N and at a
     quarter of the driver training sample so every centroid trains on
-    ≥4 points (the floor outranks the cap, so a degenerately tiny
-    sample still gets IVF_CLUSTERS seeds — some may coincide, which
-    Lloyd tolerates). A PINNED K has the same failure mode the semantic-dedup
+    ≥4 points (the floor outranks the ≥4-points cap for degenerately
+    thin samples, where the trainer's own len(sample) clamp then binds
+    instead — the returned matrix always has exactly the K the auto
+    path settles on). A PINNED K has the same failure mode the semantic-dedup
     sf1 probe measured for cluster-bounded scoring: lists grow with the
     corpus and probe cost goes super-linear — size K with N instead."""
     if n_vectors <= 0:
@@ -266,8 +267,13 @@ def ivf_train_centroids(
     rows = s.orderBy("nid").limit(max_train_rows).collect()
     X = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
     if n_clusters is None:
-        n_clusters = ivf_cluster_count(
-            n_total, max_clusters=max(1, len(X) // 4)
+        # the sample cap (len(X)//4) sits below the IVF_CLUSTERS floor
+        # for degenerately thin samples, so clamp at len(X) explicitly:
+        # X[:K] would otherwise silently return fewer rows than the
+        # sizing rule reported (second review pass)
+        n_clusters = min(
+            ivf_cluster_count(n_total, max_clusters=max(1, len(X) // 4)),
+            max(1, len(X)),
         )
     C = X[:n_clusters].copy()
 

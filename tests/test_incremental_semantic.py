@@ -531,3 +531,12 @@ def test_recluster_rejects_unknown_string_intent(spark, tmp_path):
     d.process_batch(_emb(spark, B1), batch_id=0)
     with pytest.raises(ValueError, match='"auto"'):
         d.recluster_state(n_clusters="Auto")
+    # non-str junk is rejected just as early: a negative int would
+    # otherwise silently train a truncated matrix and PROMOTE it over
+    # the whole accepted state; a float dies deep in numpy post-guard
+    with pytest.raises(ValueError, match="positive int"):
+        d.recluster_state(n_clusters=-1)
+    with pytest.raises(ValueError, match="positive int"):
+        d.recluster_state(n_clusters=16.0)
+    with pytest.raises(ValueError, match="positive int"):
+        d.recluster_state(n_clusters=True)

@@ -689,3 +689,10 @@ def test_ivf_cluster_count_sizing(spark, sf_oracle):
         emb, n_clusters=None, train_fraction=1.0, max_train_rows=200
     )
     assert len(C2) == sim.ivf_cluster_count(n, max_clusters=50)
+    # degenerately thin sample: the IVF_CLUSTERS floor exceeds the
+    # sample, and the trainer's len(sample) clamp binds — the matrix
+    # has exactly as many centroids as the auto path settled on
+    C3 = sim.ivf_train_centroids(
+        emb, n_clusters=None, train_fraction=1.0, max_train_rows=8
+    )
+    assert len(C3) == 8
