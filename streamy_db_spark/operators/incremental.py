@@ -27,6 +27,7 @@ the training-data dedup family (operators/dedup.py).
 from __future__ import annotations
 
 import time
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -566,7 +567,7 @@ def prune_band_files(
 def _attempt_pruned_read(
     spark,
     data_path: str,
-    ranges: dict | None,
+    ranges: dict | None | Callable[[], dict | None],
     sorted_keys,
     min_indexed_files: int,
 ):
@@ -1975,15 +1976,22 @@ class IncrementalSemanticDeduper:
                     f'n_clusters must be a positive int, None, or '
                     f'"auto"; got {n_clusters!r}'
                 )
-        elif n_clusters is not None and (
-            isinstance(n_clusters, bool)
-            or not isinstance(n_clusters, int)
-            or n_clusters < 1
-        ):
-            raise ValueError(
-                f'n_clusters must be a positive int, None, or "auto"; '
-                f"got {n_clusters!r}"
-            )
+        elif n_clusters is not None:
+            import numbers
+
+            # numbers.Integral, not int: numpy/pandas-derived integer
+            # K values (np.int64 from a count or a ceil) are valid and
+            # worked before the guard existed (third review pass)
+            if (
+                isinstance(n_clusters, bool)
+                or not isinstance(n_clusters, numbers.Integral)
+                or n_clusters < 1
+            ):
+                raise ValueError(
+                    f"n_clusters must be a positive int, None, or "
+                    f'"auto"; got {n_clusters!r}'
+                )
+            n_clusters = int(n_clusters)
 
         def _recheck() -> None:
             _guard_compact_vs_stream(
@@ -2038,7 +2046,16 @@ class IncrementalSemanticDeduper:
                 )
             # train_fraction=1.0: max_train_rows already bounds driver
             # memory, and the default thinning fraction can sample a
-            # small accepted set down to nothing
+            # small accepted set down to nothing. The training sample
+            # grows WITH an auto-sized K (4 points per centroid, the
+            # trainer's rationale): on a >12.8M-row accepted state the
+            # default 50k cap would otherwise silently clamp K and the
+            # "auto" intent — per-cluster blocks super-linear again —
+            # would quietly not be honored (third review pass).
+            from streamy_db_spark.operators.similarity import (
+                IVF_MAX_TRAIN_ROWS,
+            )
+
             new_mat = ivf_train_centroids(
                 acc.select(
                     F.col("accepted_id").alias("vec_id"),
@@ -2046,6 +2063,7 @@ class IncrementalSemanticDeduper:
                 ),
                 n_clusters=k,
                 train_fraction=1.0,
+                max_train_rows=max(IVF_MAX_TRAIN_ROWS, 4 * k),
             )
 
         # 1. persist the next matrix FIRST (centroids/ untouched): from

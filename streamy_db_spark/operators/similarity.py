@@ -255,8 +255,11 @@ def ivf_train_centroids(
     (costs one count of the corpus — an id-column scan), capped at a
     quarter of the ACTUAL collected sample so the ≥4-points-per-centroid
     rationale holds under any max_train_rows/train_fraction the caller
-    picked; explicit values are used verbatim (the registered ANN
-    queries pin constants so their recall guards are reproducible)."""
+    picked; explicit values are used as given, clamped only at the
+    collected sample size — X[:K] would silently return fewer rows
+    anyway; the clamp makes len(result) == the settled K a reliable
+    invariant (the registered ANN queries pin constants well under
+    their sample, so their recall guards are unchanged)."""
     n_total = corpus.count() if n_clusters is None else None
     s = corpus.select(
         F.col(id_col).alias("nid"),
@@ -267,14 +270,13 @@ def ivf_train_centroids(
     rows = s.orderBy("nid").limit(max_train_rows).collect()
     X = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
     if n_clusters is None:
-        # the sample cap (len(X)//4) sits below the IVF_CLUSTERS floor
-        # for degenerately thin samples, so clamp at len(X) explicitly:
-        # X[:K] would otherwise silently return fewer rows than the
-        # sizing rule reported (second review pass)
-        n_clusters = min(
-            ivf_cluster_count(n_total, max_clusters=max(1, len(X) // 4)),
-            max(1, len(X)),
-        )
+        n_clusters = ivf_cluster_count(n_total, max_clusters=max(1, len(X) // 4))
+    # clamp EVERY path at the sample size (X[:K] silently returns fewer
+    # rows anyway — this just makes len(result) == the settled K an
+    # invariant a caller can rely on; reviews 2+3). Callers whose K
+    # must be honored at scale grow max_train_rows with it, as
+    # recluster_state's auto path does.
+    n_clusters = min(int(n_clusters), max(1, len(X)))
     C = X[:n_clusters].copy()
 
     Xn = np.linalg.norm(X, axis=1, keepdims=True)

@@ -540,3 +540,7 @@ def test_recluster_rejects_unknown_string_intent(spark, tmp_path):
         d.recluster_state(n_clusters=16.0)
     with pytest.raises(ValueError, match="positive int"):
         d.recluster_state(n_clusters=True)
+    # numpy integers are valid K values (third review pass: the guard
+    # must not narrow what X[:k] always accepted)
+    assert d.recluster_state(n_clusters=np.int64(2)) >= 1
+    assert len(d.centroids) == 2
