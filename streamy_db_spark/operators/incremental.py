@@ -795,11 +795,17 @@ class IncrementalNearDeduper:
         #: "files_pruned"} — the observable tests/test_probe_pruning.py
         #: gates on.
         self.last_probe_scan: dict | None = None
+        #: Scan accounting of the LAST ids/ membership lookup (None
+        #: when it did not attempt pruning) — separate from the bands
+        #: accounting above so neither clobbers the other's observable.
+        self.last_ids_scan: dict | None = None
         self._ids_path = state_path.rstrip("/") + "/ids"
         self._bands_path = state_path.rstrip("/") + "/bands"
         self._index_path = state_path.rstrip("/") + "/bands_index"
+        self._ids_index_path = state_path.rstrip("/") + "/ids_index"
         # "unset" = not yet loaded; None = no usable index; dict = ranges
         self._index_cache: dict[str, tuple[str, str]] | None | str = "unset"
+        self._ids_index_cache: dict | None | str = "unset"
         self._legacy_checked = False
 
     def _ids_hits(
@@ -823,6 +829,43 @@ class IncrementalNearDeduper:
     def _ids(self) -> DataFrame | None:
         self._migrate_legacy_state()
         return _read_state(self.spark, self._ids_path)
+
+    def _ids_for_probe(self, bkeys: DataFrame, n_keys: int) -> DataFrame | None:
+        """The ids/ scan for the membership/replay lookup, FILE-PRUNED
+        via the compaction-time doc_id-range sidecar (ids_index/) when
+        possible — doc ids are usually quasi-ordered (crawl sequence),
+        so id ranges prune far better than the hashed band keys do.
+        None when no ids/ state exists OR pruning proves no state file
+        can hold a batch id (membership and replay both provably
+        empty). Same never-loses-a-hit ladder as the other sidecars
+        (_attempt_pruned_read). ``last_ids_scan`` records accounting
+        when pruning ran."""
+        self._migrate_legacy_state()
+        self.last_ids_scan = None
+        if 0 < n_keys <= self.prune_max_docs:
+            res, acct = _attempt_pruned_read(
+                self.spark,
+                self._ids_path,
+                self._ids_index_ranges,
+                lambda: sorted(r["doc_id"] for r in bkeys.collect()),
+                self.prune_min_indexed_files,
+            )
+            if acct is not None:
+                self.last_ids_scan = acct
+            if res is not _PRUNE_UNAVAILABLE:
+                return res
+        return self._ids()
+
+    def _ids_index_ranges(self) -> dict | None:
+        """ids_index/ as {file: (min_doc_id, max_doc_id)}, memoized per
+        instance (invalidated by this instance's compact_state);
+        advisory like every range sidecar."""
+        if self._ids_index_cache != "unset":
+            return self._ids_index_cache
+        self._ids_index_cache = _load_file_range_index(
+            self.spark, self._ids_index_path, "doc_id"
+        )
+        return self._ids_index_cache
 
     def _state_bands(self) -> DataFrame | None:
         self._migrate_legacy_state()
@@ -1177,24 +1220,26 @@ class IncrementalNearDeduper:
         self.last_probe_scan = None
         from streamy_db_spark.operators.dedup import connected_components
 
-        ids = self._ids()
+        # Membership via the hits pattern (same discipline as the
+        # band probe): the ids/ scan — FILE-PRUNED by the doc_id-range
+        # sidecar when possible (_ids_for_probe) — streams through a
+        # hash join against the BROADCAST batch id set, so the check
+        # costs a (pruned) state scan and never a state-sized Exchange.
+        # (The prior form distinct'd the ENTIRE ids/ state and
+        # anti-joined it against the batch — two full-state shuffles
+        # per micro-batch at 1B accepted docs, in the same gate whose
+        # band probe was redesigned to avoid exactly that.)
+        bkeys = (
+            docs.select(F.col(self.id_col).alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_keys = bkeys.count()
+        ids = self._ids_for_probe(bkeys, n_keys)
         replayed = None
         if ids is not None:
-            # Membership via the hits pattern (same discipline as the
-            # band probe): the ids/ scan streams through a hash join
-            # against the BROADCAST batch id set, so the check costs a
-            # state scan and never a state-sized Exchange. (The prior
-            # form distinct'd the ENTIRE ids/ state and anti-joined it
-            # against the batch — two full-state shuffles per
-            # micro-batch at 1B accepted docs, in the same gate whose
-            # band probe was redesigned to avoid exactly that.)
-            bkeys = (
-                docs.select(F.col(self.id_col).alias("doc_id"))
-                .distinct()
-                .localCheckpoint(eager=True)
-            )
             hits = self._ids_hits(
-                ids, bkeys, bkeys.count() <= self.broadcast_batch_max_docs
+                ids, bkeys, n_keys <= self.broadcast_batch_max_docs
             ).localCheckpoint(eager=True)  # ≤ batch-sized: ONE state scan
             seen_ids = hits.select(
                 F.col("doc_id").alias(self.id_col)
@@ -1330,6 +1375,7 @@ class IncrementalNearDeduper:
         force: bool = False,
         stream_heartbeat_max_age_s: float = 600.0,
         bands_min_files: int = 1,
+        ids_min_files: int = 1,
     ) -> int:
         """Same maintenance pass as IncrementalDeduper.compact_state —
         one parquet directory per processed batch otherwise accumulates
@@ -1366,7 +1412,11 @@ class IncrementalNearDeduper:
         self._migrate_legacy_state()
         total = 0
         for path, cluster, min_files in (
-            (self._ids_path, None, 1),
+            # ids/ is re-clustered on doc_id (ids range-prune far
+            # better than hashed band keys — crawl ids are
+            # quasi-ordered) so the membership lookup can skip files
+            # via ids_index/ (_ids_for_probe)
+            (self._ids_path, ["doc_id"], ids_min_files),
             (self._bands_path, ["bkey"], bands_min_files),
         ):
             if _read_state(self.spark, path) is None:
@@ -1382,6 +1432,14 @@ class IncrementalNearDeduper:
                 pre_swap_check=_recheck,
             )
         self._write_bands_index()
+        self._ids_index_cache = "unset"
+        _write_file_range_index(
+            self.spark,
+            self.state_path,
+            self._ids_path,
+            self._ids_index_path,
+            "doc_id",
+        )
         return total
 
 

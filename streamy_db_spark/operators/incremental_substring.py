@@ -148,6 +148,7 @@ class IncrementalSubstrDeduper:
         self.last_probe_scan: dict | None = None
         root = state_path.rstrip("/")
         self._ids_path = root + "/ids"
+        self._ids_index_path = root + "/ids_index"
         self._wins_path = root + "/wins"
         self._wins_index_path = root + "/wins_index"
         self._dup_path = root + "/dup"
@@ -155,10 +156,50 @@ class IncrementalSubstrDeduper:
         # "unset" = not yet loaded; None = no usable index; dict = ranges
         self._wins_index_cache: dict | None | str = "unset"
         self._dup_index_cache: dict | None | str = "unset"
+        self._ids_index_cache: dict | None | str = "unset"
 
     # -- state access ------------------------------------------------------
     def _ids(self) -> DataFrame | None:
         return _read_state(self.spark, self._ids_path)
+
+    def _ids_for_probe(
+        self, raw_ids: DataFrame, n_keys: int
+    ) -> DataFrame | None:
+        """The ids/ scan for the membership/re-send lookup, FILE-PRUNED
+        via the compaction-time doc_id-range sidecar when possible
+        (ids_index/ — doc ids are quasi-ordered, so id ranges prune far
+        better than the hashed window keys). None = no ids/ state, or
+        pruning PROVED no state file can hold a batch id. NOT suitable
+        for the None-bid ``max_seq`` horizon, which must be the GLOBAL
+        ids/ max (a pruned-subset max could understate it past the
+        drop-rule's horizon and lose a retro emission) — that rare
+        path reads the full frame. Accounting lands under
+        ``last_probe_scan["ids"]``."""
+        if 0 < n_keys <= self.prune_max_windows:
+            res, acct = _attempt_pruned_read(
+                self.spark,
+                self._ids_path,
+                self._ids_index_ranges,
+                lambda: sorted(r["_id"] for r in raw_ids.collect()),
+                self.prune_min_indexed_files,
+            )
+            if acct is not None:
+                if self.last_probe_scan is None:
+                    self.last_probe_scan = {}
+                self.last_probe_scan["ids"] = acct
+            if res is not _PRUNE_UNAVAILABLE:
+                return res
+        return self._ids()
+
+    def _ids_index_ranges(self) -> dict | None:
+        """ids_index/ as {file: (min, max) doc_id}, memoized like the
+        wins/dup indexes (advisory; invalidated by compact_state)."""
+        if self._ids_index_cache != "unset":
+            return self._ids_index_cache
+        self._ids_index_cache = _load_file_range_index(
+            self.spark, self._ids_index_path, "doc_id"
+        )
+        return self._ids_index_cache
 
     def seen_count(self) -> int:
         ids = self._ids()
@@ -241,33 +282,40 @@ class IncrementalSubstrDeduper:
         if docs.isEmpty():
             return self._empty_spans(docs)
 
-        ids = self._ids()
         raw_ids = (
             docs.select(F.col(self.id_col).alias("_id"))
             .distinct()
             .localCheckpoint(eager=True)
         )
+        n_keys = raw_ids.count()
         batch_doc_ids = raw_ids
+        # ONE (file-pruned) ids/ scan serves the re-send filter AND the
+        # append's novel-doc classification: the state scan STREAMS
+        # through a hash join against the batch's (broadcast) id set —
+        # the hits pattern the wins/ probe already uses, so neither
+        # lookup ever distincts or shuffles full state (the prior form
+        # did both, every micro-batch).
+        ids = self._ids_for_probe(raw_ids, n_keys)
+        id_hits = None
         if ids is not None:
-            if batch_id is not None and "batch_seq" in ids.columns:
+            bkeys = raw_ids.select(F.col("_id").alias("doc_id"))
+            if n_keys <= self.broadcast_batch_max_windows:
+                bkeys = F.broadcast(bkeys)
+            cols = ["doc_id"]
+            if "batch_seq" in ids.columns:
+                cols.append("batch_seq")
+            id_hits = (
+                ids.select(*cols).join(bkeys, "doc_id")
+                .localCheckpoint(eager=True)  # ≤ batch-sized
+            )
+            if batch_id is not None and "batch_seq" in id_hits.columns:
                 # re-sends (earlier batches) drop; this batch's own ids
-                # are crash-replay participants and stay in. The ids/
-                # scan STREAMS through a hash join against the batch's
-                # (broadcast) id set — the hits pattern the wins/ probe
-                # already uses, so the re-send lookup costs a state
-                # scan, never a state-sized Exchange (the prior form
-                # distinct'd nearly all of ids/ and anti-joined it
-                # state-sized against the batch, every micro-batch).
-                bkeys = raw_ids.select(F.col("_id").alias("doc_id"))
-                if raw_ids.count() <= self.broadcast_batch_max_windows:
-                    bkeys = F.broadcast(bkeys)
+                # are crash-replay participants and stay in
                 resend = (
-                    ids.select("doc_id", "batch_seq")
-                    .join(bkeys, "doc_id")
-                    .filter(F.col("batch_seq") != int(batch_id))
+                    id_hits.filter(F.col("batch_seq") != int(batch_id))
                     .select(F.col("doc_id").alias(self.id_col))
                     .distinct()
-                    .localCheckpoint(eager=True)  # ≤ batch-sized
+                    .localCheckpoint(eager=True)
                 )
                 docs = docs.join(resend, self.id_col, "left_anti")
                 batch_doc_ids = raw_ids.join(
@@ -290,16 +338,22 @@ class IncrementalSubstrDeduper:
             out = self._empty_spans(docs)
         else:
             # newest COMMITTED batch seq (None when no state): the
-            # None-bid dup-trust horizon (see _spans_of_batch)
-            max_seq = (
-                None
-                if ids is None or "batch_seq" not in ids.columns
-                else ids.agg(F.max("batch_seq")).collect()[0][0]
-            )
+            # None-bid dup-trust horizon (see _spans_of_batch).
+            # Numbered batches never consult it — skip the agg entirely
+            # (it was a full ids/ column scan per trigger on the hot
+            # streaming path). When needed it MUST come from the FULL
+            # frame, never the pruned probe view: a pruned-subset max
+            # could understate the horizon past the drop-rule's, and a
+            # dropped hash's retro emission would be lost.
+            max_seq = None
+            if batch_id is None:
+                full_ids = self._ids()
+                if full_ids is not None and "batch_seq" in full_ids.columns:
+                    max_seq = full_ids.agg(F.max("batch_seq")).collect()[0][0]
             out, decisions = self._spans_of_batch(
                 wins_b, batch_doc_ids, batch_id, n_windows, max_seq
             )
-        self._append_state(wins_b, batch_doc_ids, batch_id, ids, decisions)
+        self._append_state(wins_b, batch_doc_ids, batch_id, id_hits, decisions)
         return out
 
     def _probe_prior(
@@ -454,14 +508,20 @@ class IncrementalSubstrDeduper:
         ).localCheckpoint(eager=True)
         return spans, d
 
-    def _append_state(self, wins_b, batch_doc_ids, batch_id, ids, decisions) -> None:
+    def _append_state(
+        self, wins_b, batch_doc_ids, batch_id, id_hits, decisions
+    ) -> None:
         """wins/ → dup/ → ids/, ids LAST (module docstring). Only novel
         docs (not in ids/ under ANY batch) append; a pure replay
-        appends nothing."""
+        appends nothing. ``id_hits`` is process_batch's checkpointed
+        batch↔ids/ hit set (≤ batch-sized) — the novel classification
+        anti-joins against it instead of re-distincting the full ids/
+        state (hits ∩ batch ids == state ids ∩ batch ids, so the
+        verdict is identical and the join's right side is tiny)."""
         novel = batch_doc_ids
-        if ids is not None:
+        if id_hits is not None:
             novel = novel.join(
-                ids.select(F.col("doc_id").alias("_id")).distinct(),
+                id_hits.select(F.col("doc_id").alias("_id")).distinct(),
                 "_id",
                 "left_anti",
             )
@@ -521,6 +581,7 @@ class IncrementalSubstrDeduper:
         stream_heartbeat_max_age_s: float = 600.0,
         wins_min_files: int = 1,
         dup_min_files: int = 1,
+        ids_min_files: int = 1,
         drop_emitted_wins: bool = True,
     ) -> int:
         """Rewrite the append-only state components, re-clustering
@@ -571,8 +632,18 @@ class IncrementalSubstrDeduper:
                 )
         total = 0
         try:
-            for path, cluster, min_files, index_path, cache_attr, transform in (
-                (self._ids_path, None, 1, None, None, None),
+            for path, cluster, min_files, index_path, cache_attr, transform, key in (
+                # ids/ clustered + indexed on doc_id so the membership/
+                # re-send lookup can file-prune like the other scans
+                (
+                    self._ids_path,
+                    ["doc_id"],
+                    ids_min_files,
+                    self._ids_index_path,
+                    "_ids_index_cache",
+                    None,
+                    "doc_id",
+                ),
                 (
                     self._wins_path,
                     ["h"],
@@ -580,6 +651,7 @@ class IncrementalSubstrDeduper:
                     self._wins_index_path,
                     "_wins_index_cache",
                     wins_transform,
+                    "h",
                 ),
                 (
                     self._dup_path,
@@ -588,6 +660,7 @@ class IncrementalSubstrDeduper:
                     self._dup_index_path,
                     "_dup_index_cache",
                     None,
+                    "h",
                 ),
             ):
                 if _read_state(self.spark, path) is None:
@@ -606,7 +679,7 @@ class IncrementalSubstrDeduper:
                 if index_path is not None:
                     setattr(self, cache_attr, "unset")
                     _write_file_range_index(
-                        self.spark, self.state_path, path, index_path, "h"
+                        self.spark, self.state_path, path, index_path, key
                     )
         finally:
             if droppable is not None:

@@ -833,3 +833,40 @@ def test_ids_membership_no_exchange_on_state_side(spark, tmp_path):
     plan = executed_plan(hits)
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_ids_membership_prunes_files_with_verdict_parity(spark, tmp_path):
+    """compact_state clusters ids/ on doc_id + persists ids_index/; a
+    small batch's membership lookup then reads only the files whose id
+    range can match (last_ids_scan accounting) — with verdicts equal to
+    the full-scan gate's."""
+    path = str(tmp_path / "state")
+    d = IncrementalNearDeduper(spark, path)
+    rows = [
+        (i, f"totally unrelated text number {i} salt {i * 13}")
+        for i in range(0, 400, 10)
+    ]
+    d.process_batch(_docs(spark, rows), batch_id=0)
+    d.compact_state(force=True, ids_min_files=8)
+
+    # low-id probe batch: 10 is a re-send of an accepted doc (drops),
+    # 77777 is novel — two ids against 8 disjoint id-range files
+    batch = [(10, rows[1][1]), (77777, "fresh text nobody wrote")]
+    out = {
+        r.doc_id
+        for r in d.process_batch(_docs(spark, batch), batch_id=1).collect()
+    }
+    assert out == {77777}
+    assert d.last_ids_scan is not None
+    assert d.last_ids_scan["files_total"] >= 8
+    assert d.last_ids_scan["files_pruned"] >= 1
+    assert d.last_ids_scan["files_read"] >= 1
+
+    # full-scan reference gate: same verdicts on the replay, no accounting
+    ref = IncrementalNearDeduper(spark, path, prune_max_docs=0)
+    out2 = {
+        r.doc_id
+        for r in ref.process_batch(_docs(spark, batch), batch_id=1).collect()
+    }
+    assert out2 == {77777}
+    assert ref.last_ids_scan is None

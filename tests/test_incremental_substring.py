@@ -463,3 +463,34 @@ def test_none_bid_replay_of_crashed_numbered_batch_keeps_retro(spark, tmp_path):
 
     got = _spans(d.process_batch(_docs(spark, doc50)))  # batch_id=None
     assert _merge(got) == _merge(first)
+
+
+def test_ids_membership_prunes_and_resend_parity(spark, tmp_path):
+    """The substring gate's re-send lookup file-prunes ids/ after a
+    compaction (accounting under last_probe_scan["ids"]) and re-send
+    verdicts match the full-scan gate's; numbered batches no longer pay
+    the global max(batch_seq) aggregation at all (it is a None-bid-only
+    horizon)."""
+    path = str(tmp_path / "state")
+    d = IncrementalSubstrDeduper(spark, path, window=3)
+    rows = [
+        (i, f"alpha bravo charlie delta echo tag{i} marker{i * 7}")
+        for i in range(0, 320, 10)
+    ]
+    d.process_batch(_docs(spark, rows), batch_id=0)
+    d.compact_state(force=True, ids_min_files=8)
+
+    # 10 is a re-send (drops from the batch); 9999 is novel and shares
+    # the boilerplate prefix, so it gains a span against state
+    batch = [(10, rows[1][1]), (9999, "alpha bravo charlie delta echo x y")]
+    out = d.process_batch(_docs(spark, batch), batch_id=1)
+    spans = {(r[0]) for r in out.select(d.id_col).collect()}
+    assert 10 not in spans  # re-send dropped, no self-duplication
+    assert d.last_probe_scan is not None and "ids" in d.last_probe_scan
+    acct = d.last_probe_scan["ids"]
+    assert acct["files_total"] >= 8 and acct["files_pruned"] >= 1
+
+    ref = IncrementalSubstrDeduper(spark, path, window=3, prune_max_windows=0)
+    out2 = ref.process_batch(_docs(spark, batch), batch_id=1)
+    spans2 = {(r[0]) for r in out2.select(ref.id_col).collect()}
+    assert spans == spans2  # replay under the full scan agrees
