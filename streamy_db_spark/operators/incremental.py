@@ -355,8 +355,13 @@ class IncrementalDeduper:
             self.spark,
             self.state_path,
             self._index_ranges,
+            # NULL keys (null text -> null fingerprint) never join and
+            # are uncomparable in the sort: exclude them — exact, since
+            # no state row can equi-join a null key
             lambda: sorted(
-                r["fingerprint"] for r in fp.select("fingerprint").collect()
+                r["fingerprint"]
+                for r in fp.select("fingerprint").collect()
+                if r["fingerprint"] is not None
             ),
             self.prune_min_indexed_files,
         )
@@ -643,10 +648,16 @@ def _load_file_range_index(spark, index_path: str, key_col: str):
         index = _read_state(spark, index_path)
         if index is None:
             return None
-        return {
-            r["file"]: (r["min_" + key_col], r["max_" + key_col])
-            for r in index.collect()
-        }
+        # a file whose min/max came out NULL (all-null keys — min/max
+        # skip nulls) is unindexable: omit its entry so it reads as
+        # unindexed (always-read), instead of poisoning the bisect in
+        # prune_band_files with None bounds
+        out = {}
+        for r in index.collect():
+            lo, hi = r["min_" + key_col], r["max_" + key_col]
+            if lo is not None and hi is not None:
+                out[r["file"]] = (lo, hi)
+        return out
     except Exception:  # noqa: BLE001 - advisory sidecar: degrade
         return None
 
@@ -846,8 +857,15 @@ class IncrementalNearDeduper:
             res, acct = _attempt_pruned_read(
                 self.spark,
                 self._ids_path,
-                self._ids_index_ranges,
-                lambda: sorted(r["doc_id"] for r in bkeys.collect()),
+                lambda: self._ranges(
+                    "_ids_index_cache", self._ids_index_path, "doc_id"
+                ),
+                # NULL ids never equi-join and break the sort: exclude
+                lambda: sorted(
+                    r["doc_id"]
+                    for r in bkeys.collect()
+                    if r["doc_id"] is not None
+                ),
                 self.prune_min_indexed_files,
             )
             if acct is not None:
@@ -856,16 +874,16 @@ class IncrementalNearDeduper:
                 return res
         return self._ids()
 
-    def _ids_index_ranges(self) -> dict | None:
-        """ids_index/ as {file: (min_doc_id, max_doc_id)}, memoized per
-        instance (invalidated by this instance's compact_state);
-        advisory like every range sidecar."""
-        if self._ids_index_cache != "unset":
-            return self._ids_index_cache
-        self._ids_index_cache = _load_file_range_index(
-            self.spark, self._ids_index_path, "doc_id"
-        )
-        return self._ids_index_cache
+    def _ranges(self, cache_attr: str, path: str, key: str) -> dict | None:
+        """One memoized-loader body for both sidecars (bands_index/ and
+        ids_index/) — advisory; each cache is invalidated by this
+        instance's compact_state, and a stale cache only over-reads."""
+        cached = getattr(self, cache_attr)
+        if cached != "unset":
+            return cached
+        val = _load_file_range_index(self.spark, path, key)
+        setattr(self, cache_attr, val)
+        return val
 
     def _state_bands(self) -> DataFrame | None:
         self._migrate_legacy_state()
@@ -1132,12 +1150,7 @@ class IncrementalNearDeduper:
         directory listing and new files read as unindexed. Without the
         memo every 500 ms-trigger micro-batch would pay a Spark read +
         driver collect of the index (review finding)."""
-        if self._index_cache != "unset":
-            return self._index_cache
-        self._index_cache = _load_file_range_index(
-            self.spark, self._index_path, "bkey"
-        )
-        return self._index_cache
+        return self._ranges("_index_cache", self._index_path, "bkey")
 
     def _write_bands_index(self) -> None:
         """Persist per-file (min_bkey, max_bkey) of the just-compacted
@@ -1745,6 +1758,7 @@ class IncrementalSemanticDeduper:
             lambda: sorted(
                 r["cluster_id"]
                 for r in assigned.select("cluster_id").distinct().collect()
+                if r["cluster_id"] is not None
             ),
             self.prune_min_indexed_files,
         )

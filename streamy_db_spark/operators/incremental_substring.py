@@ -179,8 +179,11 @@ class IncrementalSubstrDeduper:
             res, acct = _attempt_pruned_read(
                 self.spark,
                 self._ids_path,
-                self._ids_index_ranges,
-                lambda: sorted(r["_id"] for r in raw_ids.collect()),
+                lambda: self._index_ranges("ids"),
+                # NULL ids never equi-join and break the sort: exclude
+                lambda: sorted(
+                    r["_id"] for r in raw_ids.collect() if r["_id"] is not None
+                ),
                 self.prune_min_indexed_files,
             )
             if acct is not None:
@@ -191,31 +194,26 @@ class IncrementalSubstrDeduper:
                 return res
         return self._ids()
 
-    def _ids_index_ranges(self) -> dict | None:
-        """ids_index/ as {file: (min, max) doc_id}, memoized like the
-        wins/dup indexes (advisory; invalidated by compact_state)."""
-        if self._ids_index_cache != "unset":
-            return self._ids_index_cache
-        self._ids_index_cache = _load_file_range_index(
-            self.spark, self._ids_index_path, "doc_id"
-        )
-        return self._ids_index_cache
-
     def seen_count(self) -> int:
         ids = self._ids()
         return 0 if ids is None else ids.select("doc_id").distinct().count()
 
+    #: index key column per state component (the _index_ranges map)
+    _INDEX_KEYS = {"wins": "h", "dup": "h", "ids": "doc_id"}
+
     def _index_ranges(self, which: str) -> dict | None:
-        """Memoized advisory file-range index for wins/ or dup/ (same
-        staleness argument as IncrementalNearDeduper._index_ranges: the
-        index only changes under THIS instance's compact_state, and a
-        stale cache only over-reads)."""
+        """Memoized advisory file-range index for wins/, dup/ or ids/
+        (same staleness argument as IncrementalNearDeduper._index_ranges:
+        the index only changes under THIS instance's compact_state, and
+        a stale cache only over-reads)."""
         cache_attr = f"_{which}_index_cache"
         cached = getattr(self, cache_attr)
         if cached != "unset":
             return cached
         ranges = _load_file_range_index(
-            self.spark, getattr(self, f"_{which}_index_path"), "h"
+            self.spark,
+            getattr(self, f"_{which}_index_path"),
+            self._INDEX_KEYS[which],
         )
         setattr(self, cache_attr, ranges)
         return ranges
@@ -581,8 +579,8 @@ class IncrementalSubstrDeduper:
         stream_heartbeat_max_age_s: float = 600.0,
         wins_min_files: int = 1,
         dup_min_files: int = 1,
-        ids_min_files: int = 1,
         drop_emitted_wins: bool = True,
+        ids_min_files: int = 1,
     ) -> int:
         """Rewrite the append-only state components, re-clustering
         wins/ and dup/ on h and persisting the per-file [min, max] h

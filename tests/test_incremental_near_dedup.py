@@ -870,3 +870,25 @@ def test_ids_membership_prunes_files_with_verdict_parity(spark, tmp_path):
     }
     assert out2 == {77777}
     assert ref.last_ids_scan is None
+
+
+def test_null_doc_id_survives_pruned_membership(spark, tmp_path):
+    """A dirty record with a NULL doc_id must not kill the micro-batch
+    once ids pruning is active (review repro: sorted() over None+int
+    raised TypeError); null ids never equi-join, so they are excluded
+    from the prune key set — exactly what the full scan's join
+    semantics do."""
+    path = str(tmp_path / "state")
+    d = IncrementalNearDeduper(spark, path)
+    rows = [
+        (i, f"totally unrelated text number {i} salt {i * 13}")
+        for i in range(0, 200, 10)
+    ]
+    d.process_batch(_docs(spark, rows), batch_id=0)
+    d.compact_state(force=True, ids_min_files=8)
+    out = d.process_batch(
+        _docs(spark, [(None, "dirty record"), (88888, "clean new text")]),
+        batch_id=1,
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert 88888 in ids  # batch processed; the clean novel doc admitted

@@ -494,3 +494,24 @@ def test_ids_membership_prunes_and_resend_parity(spark, tmp_path):
     out2 = ref.process_batch(_docs(spark, batch), batch_id=1)
     spans2 = {(r[0]) for r in out2.select(ref.id_col).collect()}
     assert spans == spans2  # replay under the full scan agrees
+
+
+def test_null_doc_id_survives_pruned_membership(spark, tmp_path):
+    """Same null-id hardening as the near gate: a NULL doc_id row must
+    not crash the pruned re-send lookup."""
+    path = str(tmp_path / "state")
+    d = IncrementalSubstrDeduper(spark, path, window=3)
+    rows = [
+        (i, f"alpha bravo charlie delta echo tag{i} marker{i * 7}")
+        for i in range(0, 160, 10)
+    ]
+    d.process_batch(_docs(spark, rows), batch_id=0)
+    d.compact_state(force=True, ids_min_files=8)
+    out = d.process_batch(
+        _docs(
+            spark,
+            [(None, "dirty record"), (9999, "alpha bravo charlie delta echo")],
+        ),
+        batch_id=1,
+    )
+    assert out.count() >= 1  # batch processed; the shared span found
