@@ -26,208 +26,25 @@ the training-data dedup family (operators/dedup.py).
 
 from __future__ import annotations
 
-import time
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamy_db_spark.operators.dedup import dedupe_exact, fingerprint_documents
-
-#: Name of the stream-ownership heartbeat file inside a state directory.
-#: The leading underscore makes Spark's parquet reader skip it (like
-#: _SUCCESS), so it can live at the state root without poisoning reads.
-STREAM_HEARTBEAT = "_stream_heartbeat"
-
-
-def _state_fs(spark: SparkSession, path: str):
-    """(fs, Path-factory) for ``path``, or (None, None) under Spark
-    Connect. Thin delegate to sources/files.hadoop_fs — heartbeat
-    guards and legacy migration are classic-session features, the same
-    gate compact_parquet has, and the Connect-detection logic must live
-    in exactly one place (r8 review)."""
-    from streamy_db_spark.sources.files import hadoop_fs
-
-    return hadoop_fs(spark, path)
-
-
-def touch_stream_heartbeat(
-    spark: SparkSession, state_path: str, only_if_exists: bool = False
-) -> None:
-    """Record 'a live stream owns this state dir right now'. Called by
-    streaming/sinks.near_dedup_sink on EVERY micro-batch; compact_state
-    refuses to run while the heartbeat is fresh (see
-    ``_guard_compact_vs_stream``), closing the r6 race where a compact's
-    write-then-swap could rename state files out from under an in-flight
-    ``process_batch``. The file's mtime IS the signal; the epoch-seconds
-    content is for humans debugging a refused compaction. No-op under
-    Spark Connect, where compact_state cannot run anyway.
-    ``only_if_exists`` makes the touch refuse to create the state root
-    — periodic keeper RE-touches use it so a background heartbeat can
-    never resurrect a state directory its owner deleted (r9 review).
-    The refusal is ATOMIC where the filesystem supports
-    ``createNonRecursive`` (fails when the parent is missing — no
-    check-then-create window); filesystems without it fall back to an
-    exists-probe + create, whose microseconds-wide race worst-case is
-    an empty directory holding only a heartbeat file, never state."""
-    fs, mk = _state_fs(spark, state_path)
-    if fs is None:
-        return
-    p = mk(state_path.rstrip("/") + "/" + STREAM_HEARTBEAT)
-    if only_if_exists:
-        try:
-            out = fs.createNonRecursive(
-                p,
-                True,
-                4096,
-                fs.getDefaultReplication(p),
-                fs.getDefaultBlockSize(p),
-                None,
-            )
-        except Exception:  # noqa: BLE001
-            # parent missing (the refusal working) — or an FS without
-            # createNonRecursive, where the non-atomic probe is the
-            # documented fallback
-            if not fs.exists(mk(state_path)):
-                return
-            out = fs.create(p, True)
-    else:
-        out = fs.create(p, True)
-    out.write(bytearray(str(int(time.time())), "ascii"))
-    out.close()
-
-
-class stream_heartbeat_keeper:
-    """Context manager: re-touch the stream heartbeat every
-    ``interval_s`` from a daemon thread while the body runs. Without it
-    the guard's freshness window is only as good as the heartbeat
-    CADENCE — a micro-batch that runs longer than
-    ``stream_heartbeat_max_age_s`` would let a concurrent compact_state
-    pass the age check and swap files under the in-flight batch (r8
-    review). With the keeper, heartbeat staleness while a batch is
-    processing is bounded by ``interval_s`` regardless of batch
-    duration. Exceptions in the touch are swallowed (a transient FS
-    blip must not kill the batch; the NEXT touch refreshes)."""
-
-    def __init__(self, spark: SparkSession, state_path: str, interval_s: float = 60.0):
-        self.spark = spark
-        self.state_path = state_path
-        self.interval_s = interval_s
-
-    def __enter__(self):
-        import threading
-
-        self._stop = threading.Event()
-
-        def beat() -> None:
-            while not self._stop.wait(self.interval_s):
-                try:
-                    # re-touches never resurrect a deleted state dir
-                    touch_stream_heartbeat(
-                        self.spark, self.state_path, only_if_exists=True
-                    )
-                except Exception:  # noqa: BLE001 - next beat retries
-                    pass
-
-        touch_stream_heartbeat(self.spark, self.state_path)
-        self._thread = threading.Thread(target=beat, daemon=True)
-        self._thread.start()
-        return self
-
-    def __exit__(self, *exc) -> None:
-        self._stop.set()
-        self._thread.join(timeout=5)
-
-
-def _fs_now_ms(fs, mk, dir_path: str) -> int | None:
-    """The FILESYSTEM's clock, read as the mtime of a transient probe
-    file created (and immediately deleted) inside ``dir_path``. On
-    remote filesystems (HDFS namenode, object stores) the server stamps
-    mtimes with ITS clock, not the driver's — comparing a heartbeat
-    mtime against driver ``time.time()`` measures clock skew as age
-    (skew one way makes a live stream look stale; the other blocks
-    compaction indefinitely — r8 advice). A probe written through the
-    same filesystem gets the same clock as the heartbeat writer, so the
-    difference is a true age. None when the probe cannot be created
-    (caller falls back to the driver clock)."""
-    import uuid
-
-    probe = mk(dir_path.rstrip("/") + "/_hb_probe_" + uuid.uuid4().hex)
-    try:
-        fs.create(probe, True).close()
-        return fs.getFileStatus(probe).getModificationTime()
-    except Exception:  # noqa: BLE001 - degraded mode, not an error
-        return None
-    finally:
-        try:
-            fs.delete(probe, False)
-        except Exception:  # noqa: BLE001
-            pass
-
-
-def stream_heartbeat_age_s(spark: SparkSession, state_path: str) -> float | None:
-    """Seconds since the last stream heartbeat on ``state_path``, or None
-    when no heartbeat exists (never streamed, or Spark Connect). 'Now'
-    comes from the filesystem's own clock (``_fs_now_ms`` probe file)
-    so heartbeat-writer and age-reader use the SAME clock even when the
-    filesystem is remote; the driver wall clock is only the fallback
-    when the probe cannot be written (e.g. read-only mount), where the
-    documented assumption is driver/filesystem skew well under the
-    compact guard's ``max_age_s``."""
-    fs, mk = _state_fs(spark, state_path)
-    if fs is None:
-        return None
-    p = mk(state_path.rstrip("/") + "/" + STREAM_HEARTBEAT)
-    if not fs.exists(p):
-        return None
-    mtime_ms = fs.getFileStatus(p).getModificationTime()
-    now_ms = _fs_now_ms(fs, mk, state_path)
-    if now_ms is None:
-        now_ms = int(time.time() * 1000)
-    return max(0.0, (now_ms - mtime_ms) / 1000.0)
-
-
-def _guard_compact_vs_stream(
-    spark: SparkSession, state_path: str, force: bool, max_age_s: float
-) -> None:
-    """Refuse to compact state a live stream appears to own. 'Live' =
-    heartbeat younger than ``max_age_s`` (default 600 s — micro-batches
-    heartbeat every trigger, so a 10-minute-stale heartbeat means the
-    stream is stopped or wedged). ``force=True`` overrides for operators
-    who KNOW the stream is down (e.g. after a kill whose heartbeat is
-    still warm)."""
-    if force:
-        return
-    age = stream_heartbeat_age_s(spark, state_path)
-    if age is not None and age < max_age_s:
-        raise RuntimeError(
-            f"compact_state refused: a stream heartbeat on {state_path} is "
-            f"{age:.0f}s old (< {max_age_s:.0f}s). Compacting under a live "
-            "near_dedup_sink stream races the write-then-swap against "
-            "in-flight process_batch reads. Stop the stream first, or pass "
-            "force=True if you know it is down."
-        )
-
-
-def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
-    """State reader for incremental dedup: None ONLY when no state has
-    ever been written — the path is missing, or is an empty directory
-    (e.g. mkdir'd by an orchestrator). Any OTHER failure (corrupt
-    footer, permissions, transient FS fault) propagates: swallowing it
-    would silently re-admit duplicates against an empty seen-set AND
-    append their fingerprints, corrupting state. Delegates to
-    sources/files.read_parquet_if_exists (JVM FS probe, Spark Connect
-    read-and-classify fallback) so the error-class knowledge lives in
-    one place. mergeSchema is ON: state directories EVOLVE (r6 added
-    accepted_id / batch_seq columns) and a single arbitrary footer
-    would make column visibility — and therefore replay semantics —
-    nondeterministic over mixed-version state. Old rows surface the
-    new columns as NULL, which every consumer treats as
-    'no replay metadata recorded'."""
-    from streamy_db_spark.sources.files import read_parquet_if_exists
-
-    return read_parquet_if_exists(spark, path, merge_schema=True)
-
+from streamy_db_spark.operators.incremental_base import (  # noqa: F401
+    # re-used here AND part of this module's historical import surface
+    # (tests and streaming/sinks import several of these from here)
+    _PRUNE_UNAVAILABLE,
+    _read_state,
+    _state_fs,
+    STREAM_HEARTBEAT,
+    StateComponent,
+    compact_guard,
+    membership_hits,
+    prune_band_files,
+    stream_heartbeat_age_s,
+    stream_heartbeat_keeper,
+    touch_stream_heartbeat,
+)
 
 class IncrementalDeduper:
     """Exact-dedup gate with a parquet-backed seen-fingerprint set.
@@ -275,11 +92,17 @@ class IncrementalDeduper:
         self.prune_max_docs = prune_max_docs
         self.prune_min_indexed_files = prune_min_indexed_files
         self.last_probe_scan: dict | None = None
-        self._index_path = self.state_path + ".fingerprint_index"
-        self._index_cache: dict[str, tuple[str, str]] | None | str = "unset"
+        # shared lifecycle scaffold (incremental_base.StateComponent):
+        # directory + sidecar + memo + pruned-read ladder in one place
+        self._fp = StateComponent(
+            self.spark,
+            self.state_path,
+            self.state_path + ".fingerprint_index",
+            "fingerprint",
+        )
 
     def _seen(self) -> DataFrame | None:
-        return _read_state(self.spark, self.state_path)
+        return self._fp.read()
 
     def _probe_hits(
         self, fp: DataFrame, n_batch_docs: int
@@ -309,18 +132,16 @@ class IncrementalDeduper:
         seen = self._state_for_probe(fp, n_batch_docs)
         if seen is None:
             return None
-        cols = ["fingerprint"]
-        if "accepted_id" in seen.columns:
-            cols.append("accepted_id")
-        if "batch_seq" in seen.columns:
-            cols.append("batch_seq")
         # fp is the fingerprinted output of dedupe_exact — one row per
         # fingerprint by construction, so no distinct (and no batch-side
         # Exchange) is needed before the broadcast
-        keys = fp.select("fingerprint")
-        if n_batch_docs <= self.broadcast_batch_max_docs:
-            keys = F.broadcast(keys)
-        return seen.select(*cols).join(keys, "fingerprint")
+        return membership_hits(
+            seen,
+            fp.select("fingerprint"),
+            "fingerprint",
+            extra_cols=("accepted_id", "batch_seq"),
+            broadcast=n_batch_docs <= self.broadcast_batch_max_docs,
+        )
 
     def _state_for_probe(
         self, fp: DataFrame, n_batch_docs: int
@@ -338,48 +159,30 @@ class IncrementalDeduper:
         cannot join the batch on fingerprint at all.
         ``last_probe_scan`` records the accounting when pruning ran."""
         self.last_probe_scan = None
+        keys = None
         if 0 < n_batch_docs <= self.prune_max_docs:
-            pruned = self._try_pruned_state(fp)
-            if pruned is not _PRUNE_UNAVAILABLE:
-                return pruned
-        return self._seen()
-
-    def _try_pruned_state(self, fp: DataFrame):
-        """A pruned state DataFrame, None (no state / provably zero
-        overlap), or ``_PRUNE_UNAVAILABLE`` when the full scan must
-        run instead (_attempt_pruned_read — the scaffold shared by all
-        four gates). fp is one row per fingerprint (dedupe_exact
-        output) and the caller bounded it by prune_max_docs, so the
-        key collect ships ≤ ~50k 32-hex strings."""
-        res, acct = _attempt_pruned_read(
-            self.spark,
-            self.state_path,
-            self._index_ranges,
-            # NULL keys (null text -> null fingerprint) never join and
-            # are uncomparable in the sort: exclude them — exact, since
-            # no state row can equi-join a null key
-            lambda: sorted(
+            # fp is one row per fingerprint (dedupe_exact output) and
+            # bounded by prune_max_docs, so the key collect ships
+            # ≤ ~50k 32-hex strings. NULL keys (null text -> null
+            # fingerprint) never join and are uncomparable in the
+            # sort: exclude them — exact, since no state row can
+            # equi-join a null key.
+            keys = lambda: sorted(  # noqa: E731
                 r["fingerprint"]
                 for r in fp.select("fingerprint").collect()
                 if r["fingerprint"] is not None
-            ),
-            self.prune_min_indexed_files,
-        )
+            )
+        df, acct = self._fp.scan_or_full(keys, self.prune_min_indexed_files)
         if acct is not None:
             self.last_probe_scan = acct
-        return res
+        return df
 
     def _index_ranges(self) -> dict[str, tuple[str, str]] | None:
         """The fingerprint_index sidecar as {file basename: (min, max)},
-        memoized per instance (invalidated by this instance's
-        compact_state); None when unusable — advisory, a miss costs a
-        full scan."""
-        if self._index_cache != "unset":
-            return self._index_cache
-        self._index_cache = _load_file_range_index(
-            self.spark, self._index_path, "fingerprint"
-        )
-        return self._index_cache
+        memoized per instance (StateComponent.ranges; invalidated by
+        this instance's compact_state); None when unusable — advisory,
+        a miss costs a full scan."""
+        return self._fp.ranges()
 
     def process_batch(
         self, docs: DataFrame, batch_id: int | None = None
@@ -492,203 +295,22 @@ class IncrementalDeduper:
         single-footer read could silently strip the newer
         replay-metadata columns (r6 review). Refuses to run while a
         stream heartbeat on this state dir is fresh (see
-        ``_guard_compact_vs_stream``) unless ``force``. Returns the
+        incremental_base._guard_compact_vs_stream) unless ``force``.
+        Returns the
         output file count."""
-        from streamy_db_spark.sources.files import compact_parquet
-
-        def _recheck() -> None:
-            # re-validated immediately before each swap: a stream that
-            # came alive DURING the rewrite aborts the swap instead of
-            # racing it (r9 second review — the idle-released lifetime
-            # heartbeat makes 'stale at entry, live at swap' reachable)
-            _guard_compact_vs_stream(
-                self.spark, self.state_path, force, stream_heartbeat_max_age_s
-            )
-
+        _recheck = compact_guard(
+            self.spark, self.state_path, force, stream_heartbeat_max_age_s
+        )
         _recheck()
-        n = compact_parquet(
-            self.spark,
+        return self._fp.compact(
             self.state_path,
             target_file_mb,
-            cluster_cols=["fingerprint"],
-            dedupe_rows=True,
-            merge_schema=True,
-            min_files=min_files,
-            pre_swap_check=_recheck,
+            min_files,
+            _recheck,
+            # this gate's compact has always run unconditionally (its
+            # state root IS the data dir, created on first append)
+            skip_if_empty=False,
         )
-        self._index_cache = "unset"
-        _write_file_range_index(
-            self.spark,
-            self.state_path,
-            self.state_path,
-            self._index_path,
-            "fingerprint",
-        )
-        return n
-
-
-#: Sentinel: the pruning attempt could not run (missing prerequisite) —
-#: distinct from None, which means 'no state / provably zero overlap'.
-_PRUNE_UNAVAILABLE = object()
-
-
-def prune_band_files(
-    files: list[tuple[str, str]],
-    ranges: dict[str, tuple[str, str]],
-    sorted_bkeys: list[str],
-) -> list[str]:
-    """The pure pruning decision behind the near-dedup probe's
-    file-level state pruning (``_bands_state_for_probe``): which of the
-    actual bands/ ``files`` [(basename, full_path)] must be read for a
-    batch touching ``sorted_bkeys`` (ascending), given the
-    compaction-time per-file [min, max] ``ranges``.
-
-    Contract (hypothesis-tested in tests/test_probe_pruning.py):
-
-    - a file absent from ``ranges`` is ALWAYS kept (unindexed append or
-      stale index — must read);
-    - an indexed file is kept iff some batch bkey lies in its
-      [min, max] (binary search: first bkey ≥ min, then ≤ max?);
-    - therefore NO file that can contain a batch bkey is ever dropped —
-      pruning only over-reads, never misses candidates.
-
-    Driver-side O(F log B); both F (state files) and B (≤ 4 ×
-    prune_max_docs batch band keys) are bounded."""
-    import bisect
-
-    keep: list[str] = []
-    for name, path in files:
-        rng = ranges.get(name)
-        if rng is None:
-            keep.append(path)  # unindexed: must read
-            continue
-        lo, hi = rng
-        i = bisect.bisect_left(sorted_bkeys, lo)
-        if i < len(sorted_bkeys) and sorted_bkeys[i] <= hi:
-            keep.append(path)
-    return keep
-
-
-def _attempt_pruned_read(
-    spark,
-    data_path: str,
-    ranges: dict | None | Callable[[], dict | None],
-    sorted_keys,
-    min_indexed_files: int,
-):
-    """The pruning attempt every file-range-indexed gate shares (exact
-    fingerprint state, near-dup bands/ and ids-adjacent scans, semantic
-    accepted/, substring wins//dup/) — one implementation so a fix to
-    the degradation ladder cannot silently miss a sibling gate (the r11
-    review found this scaffold copied four times).
-
-    Returns ``(result, accounting)``:
-
-    - ``(_PRUNE_UNAVAILABLE, None)`` — the full scan must run (Connect
-      session, unusable/absent index, listing failure, fewer than
-      ``min_indexed_files`` indexed live files);
-    - ``(None, None)`` — no state rows exist at all (never written, or
-      an empty/_SUCCESS-only directory);
-    - ``(None, accounting)`` — pruning PROVED zero overlap;
-    - ``(DataFrame, accounting)`` — the pruned mergeSchema read over
-      exactly the keep-files (the full-directory frame is never
-      constructed: its mergeSchema analysis alone is a footer job over
-      every state file — r9 review).
-
-    ``sorted_keys`` may be the ascending key list or a zero-arg
-    callable producing it — the callable is invoked only after the
-    cheap prerequisites pass, so degraded outcomes never pay the
-    key-collect Spark job. ``ranges`` takes the same two forms for the
-    same reason: a Connect session (no FS handle) must return before
-    the index-sidecar parquet read is issued, exactly as the pre-hoist
-    inline code did."""
-    fs, mk = _state_fs(spark, data_path)
-    if fs is None:
-        return _PRUNE_UNAVAILABLE, None
-    if callable(ranges):
-        ranges = ranges()
-    if ranges is None:
-        return _PRUNE_UNAVAILABLE, None
-    try:
-        if not fs.exists(mk(data_path)):
-            return None, None  # never written
-        listing = fs.listStatus(mk(data_path))
-    except Exception:  # noqa: BLE001 - degraded mode: full scan
-        return _PRUNE_UNAVAILABLE, None
-    files = [
-        (st.getPath().getName(), st.getPath().toString())
-        for st in listing
-        if st.isFile() and st.getPath().getName().endswith(".parquet")
-    ]
-    if not files:
-        return None, None  # empty dir (e.g. _SUCCESS only): no rows
-    if sum(1 for name, _ in files if name in ranges) < min_indexed_files:
-        # nothing (or too little) can be skipped: the key-collect job
-        # would cost more than the reads it saves
-        return _PRUNE_UNAVAILABLE, None
-    keys = sorted_keys() if callable(sorted_keys) else sorted_keys
-    keep = prune_band_files(files, ranges, keys)
-    accounting = {
-        "files_total": len(files),
-        "files_read": len(keep),
-        "files_pruned": len(files) - len(keep),
-    }
-    if not keep:
-        return None, accounting
-    return spark.read.option("mergeSchema", "true").parquet(*keep), accounting
-
-
-def _load_file_range_index(spark, index_path: str, key_col: str):
-    """A file-range index sidecar as {file basename: (min, max)}, or
-    None when unusable (absent, torn by a killed compaction,
-    unreadable). ADVISORY by contract: any failure costs a full scan,
-    never a failed micro-batch. Shared by the lexical gate (bands_index,
-    key bkey) and the semantic gate (accepted_index, key cluster_id)."""
-    try:
-        index = _read_state(spark, index_path)
-        if index is None:
-            return None
-        # a file whose min/max came out NULL (all-null keys — min/max
-        # skip nulls) is unindexable: omit its entry so it reads as
-        # unindexed (always-read), instead of poisoning the bisect in
-        # prune_band_files with None bounds
-        out = {}
-        for r in index.collect():
-            lo, hi = r["min_" + key_col], r["max_" + key_col]
-            if lo is not None and hi is not None:
-                out[r["file"]] = (lo, hi)
-        return out
-    except Exception:  # noqa: BLE001 - advisory sidecar: degrade
-        return None
-
-
-def _write_file_range_index(
-    spark, state_root: str, data_path: str, index_path: str, key_col: str
-) -> None:
-    """Persist per-file (min, max) of ``key_col`` over the (just
-    re-clustered) ``data_path`` to the ``index_path`` sidecar. Written
-    AFTER the compaction swap on purpose: a crash in between leaves an
-    index naming vanished files, which degrades to a full scan, never a
-    missed candidate. One row per state file; the scan is free in
-    context — compaction just rewrote every row anyway."""
-    data = _read_state(spark, data_path)
-    fs, mk = _state_fs(spark, state_root)
-    if data is None:
-        if fs is not None:  # drop a stale index alongside dead state
-            fs.delete(mk(index_path), True)
-        return
-    (
-        data.groupBy(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file")
-        )
-        .agg(
-            F.min(key_col).alias("min_" + key_col),
-            F.max(key_col).alias("max_" + key_col),
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(index_path)
-    )
 
 
 # --- incremental NEAR-dup dedup (batch-over-batch MinHash admission) ---------
@@ -812,11 +434,23 @@ class IncrementalNearDeduper:
         self.last_ids_scan: dict | None = None
         self._ids_path = state_path.rstrip("/") + "/ids"
         self._bands_path = state_path.rstrip("/") + "/bands"
-        self._index_path = state_path.rstrip("/") + "/bands_index"
-        self._ids_index_path = state_path.rstrip("/") + "/ids_index"
-        # "unset" = not yet loaded; None = no usable index; dict = ranges
-        self._index_cache: dict[str, tuple[str, str]] | None | str = "unset"
-        self._ids_index_cache: dict | None | str = "unset"
+        # shared lifecycle scaffold (incremental_base.StateComponent):
+        # each component owns its directory, sidecar, memo and the
+        # pruned-read ladder; the gate keeps only admission policy
+        self._comp = {
+            "ids": StateComponent(
+                self.spark,
+                self._ids_path,
+                state_path.rstrip("/") + "/ids_index",
+                "doc_id",
+            ),
+            "bands": StateComponent(
+                self.spark,
+                self._bands_path,
+                state_path.rstrip("/") + "/bands_index",
+                "bkey",
+            ),
+        }
         self._legacy_checked = False
 
     def _ids_hits(
@@ -830,16 +464,11 @@ class IncrementalNearDeduper:
         bounded replay-duplicated rows), so every membership-derived
         frame downstream is batch-sized. Plan-gated in
         tests/test_incremental_near_dedup.py."""
-        cols = ["doc_id"]
-        if "batch_seq" in ids.columns:
-            cols.append("batch_seq")
-        if broadcast:
-            bkeys = F.broadcast(bkeys)
-        return ids.select(*cols).join(bkeys, "doc_id")
+        return membership_hits(ids, bkeys, "doc_id", broadcast=broadcast)
 
     def _ids(self) -> DataFrame | None:
         self._migrate_legacy_state()
-        return _read_state(self.spark, self._ids_path)
+        return self._comp["ids"].read()
 
     def _ids_for_probe(self, bkeys: DataFrame, n_keys: int) -> DataFrame | None:
         """The ids/ scan for the membership/replay lookup, FILE-PRUNED
@@ -849,41 +478,23 @@ class IncrementalNearDeduper:
         None when no ids/ state exists OR pruning proves no state file
         can hold a batch id (membership and replay both provably
         empty). Same never-loses-a-hit ladder as the other sidecars
-        (_attempt_pruned_read). ``last_ids_scan`` records accounting
+        (incremental_base._attempt_pruned_read). ``last_ids_scan``
+        records accounting
         when pruning ran."""
         self._migrate_legacy_state()
         self.last_ids_scan = None
+        keys = None
         if 0 < n_keys <= self.prune_max_docs:
-            res, acct = _attempt_pruned_read(
-                self.spark,
-                self._ids_path,
-                lambda: self._ranges(
-                    "_ids_index_cache", self._ids_index_path, "doc_id"
-                ),
-                # NULL ids never equi-join and break the sort: exclude
-                lambda: sorted(
-                    r["doc_id"]
-                    for r in bkeys.collect()
-                    if r["doc_id"] is not None
-                ),
-                self.prune_min_indexed_files,
+            # NULL ids never equi-join and break the sort: exclude
+            keys = lambda: sorted(  # noqa: E731
+                r["doc_id"] for r in bkeys.collect() if r["doc_id"] is not None
             )
-            if acct is not None:
-                self.last_ids_scan = acct
-            if res is not _PRUNE_UNAVAILABLE:
-                return res
-        return self._ids()
-
-    def _ranges(self, cache_attr: str, path: str, key: str) -> dict | None:
-        """One memoized-loader body for both sidecars (bands_index/ and
-        ids_index/) — advisory; each cache is invalidated by this
-        instance's compact_state, and a stale cache only over-reads."""
-        cached = getattr(self, cache_attr)
-        if cached != "unset":
-            return cached
-        val = _load_file_range_index(self.spark, path, key)
-        setattr(self, cache_attr, val)
-        return val
+        df, acct = self._comp["ids"].scan_or_full(
+            keys, self.prune_min_indexed_files
+        )
+        if acct is not None:
+            self.last_ids_scan = acct
+        return df
 
     def _state_bands(self) -> DataFrame | None:
         self._migrate_legacy_state()
@@ -1106,35 +717,23 @@ class IncrementalNearDeduper:
         (r9 review). Existence comes from the directory listing; the
         fallback paths build the full scan lazily."""
         self.last_probe_scan = None
+        keys = None
         if 0 < n_batch_docs <= self.prune_max_docs:
-            pruned = self._try_pruned_bands(sigs)
-            if pruned is not _PRUNE_UNAVAILABLE:
-                return pruned
-        return self._state_bands()
-
-    def _try_pruned_bands(self, sigs: DataFrame):
-        """The pruning attempt of ``_bands_state_for_probe``: a pruned
-        DataFrame, None (no state / zero possible overlap), or the
-        ``_PRUNE_UNAVAILABLE`` sentinel when any prerequisite is
-        missing (Connect session, no usable index, listing failure) —
-        the caller then takes the full scan."""
-        self._migrate_legacy_state()
-        res, acct = _attempt_pruned_read(
-            self.spark,
-            self._bands_path,
-            self._index_ranges,
-            lambda: sorted(
+            self._migrate_legacy_state()
+            keys = lambda: sorted(  # noqa: E731
                 r["bkey"]
                 for r in self._explode_bands(sigs, "id_a", "sig_a")
                 .select("bkey")
                 .distinct()
                 .collect()
-            ),
-            self.prune_min_indexed_files,
-        )
-        if acct is not None:
-            self.last_probe_scan = acct
-        return res
+            )
+            df, acct = self._comp["bands"].scan_or_full(
+                keys, self.prune_min_indexed_files
+            )
+            if acct is not None:
+                self.last_probe_scan = acct
+            return df
+        return self._state_bands()
 
     def _index_ranges(self) -> dict[str, tuple[str, str]] | None:
         """The bands_index contents as {file basename: (min_bkey,
@@ -1150,22 +749,7 @@ class IncrementalNearDeduper:
         directory listing and new files read as unindexed. Without the
         memo every 500 ms-trigger micro-batch would pay a Spark read +
         driver collect of the index (review finding)."""
-        return self._ranges("_index_cache", self._index_path, "bkey")
-
-    def _write_bands_index(self) -> None:
-        """Persist per-file (min_bkey, max_bkey) of the just-compacted
-        bands/ to bands_index/ — the sidecar ``_bands_state_for_probe``
-        prunes with. Written AFTER the compaction swap on purpose: a
-        crash in between leaves an index whose file names no longer
-        exist, which degrades to a full scan, never to a missed
-        candidate. The index is tiny (one row per state file) and the
-        scan to build it is free in context — compaction just rewrote
-        every row anyway."""
-        self._index_cache = "unset"  # whatever happens below changes it
-        _write_file_range_index(
-            self.spark, self.state_path, self._bands_path,
-            self._index_path, "bkey",
-        )
+        return self._comp["bands"].ranges()
 
     def _probe_join(self, sigs: DataFrame, n_batch_docs: int) -> DataFrame | None:
         """The batch↔accepted-state candidate join — THE operation whose
@@ -1399,7 +983,7 @@ class IncrementalNearDeduper:
         (range-partition + sort, sources/files.compact_parquet
         cluster_cols): each rewritten file then covers a disjoint bkey
         range — and the per-file ranges are persisted to bands_index/
-        (``_write_bands_index``) so the per-batch probe can skip files
+        (StateComponent.compact) so the per-batch probe can skip files
         whose range holds none of the batch's band keys (r8 verdict:
         the probe otherwise reads ALL of bands/ every micro-batch).
         ``bands_min_files`` floors the bands/ output file count below
@@ -1411,48 +995,24 @@ class IncrementalNearDeduper:
         write-then-swap would otherwise race in-flight process_batch
         reads (r6 review). Returns the total output file count across
         both components."""
-        from streamy_db_spark.sources.files import compact_parquet
-
-        def _recheck() -> None:
-            # re-validated immediately before each component's swap: a
-            # stream that came alive DURING the rewrite aborts the swap
-            # instead of racing it (r9 second review)
-            _guard_compact_vs_stream(
-                self.spark, self.state_path, force, stream_heartbeat_max_age_s
-            )
-
+        _recheck = compact_guard(
+            self.spark, self.state_path, force, stream_heartbeat_max_age_s
+        )
         _recheck()
         self._migrate_legacy_state()
         total = 0
-        for path, cluster, min_files in (
-            # ids/ is re-clustered on doc_id (ids range-prune far
-            # better than hashed band keys — crawl ids are
-            # quasi-ordered) so the membership lookup can skip files
-            # via ids_index/ (_ids_for_probe)
-            (self._ids_path, ["doc_id"], ids_min_files),
-            (self._bands_path, ["bkey"], bands_min_files),
+        # ids/ is re-clustered on doc_id (ids range-prune far better
+        # than hashed band keys — crawl ids are quasi-ordered) so the
+        # membership lookup can skip files via ids_index/
+        # (_ids_for_probe); each component's compact handles the
+        # sidecar rewrite + memo invalidation (incremental_base)
+        for which, min_files in (
+            ("ids", ids_min_files),
+            ("bands", bands_min_files),
         ):
-            if _read_state(self.spark, path) is None:
-                continue
-            total += compact_parquet(
-                self.spark,
-                path,
-                target_file_mb,
-                cluster_cols=cluster,
-                dedupe_rows=True,
-                merge_schema=True,
-                min_files=min_files,
-                pre_swap_check=_recheck,
+            total += self._comp[which].compact(
+                self.state_path, target_file_mb, min_files, _recheck
             )
-        self._write_bands_index()
-        self._ids_index_cache = "unset"
-        _write_file_range_index(
-            self.spark,
-            self.state_path,
-            self._ids_path,
-            self._ids_index_path,
-            "doc_id",
-        )
         return total
 
 
@@ -1570,8 +1130,13 @@ class IncrementalSemanticDeduper:
         self._accepted_path = self.state_path + "/accepted"
         self._centroids_path = self.state_path + "/centroids"
         self._centroids_next_path = self.state_path + "/centroids.__next__"
-        self._index_path = self.state_path + "/accepted_index"
-        self._index_cache: dict | None | str = "unset"
+        # shared lifecycle scaffold (incremental_base.StateComponent)
+        self._acc = StateComponent(
+            self.spark,
+            self._accepted_path,
+            self.state_path + "/accepted_index",
+            "cluster_id",
+        )
 
         persisted = self._load_centroids()
         if persisted is None:
@@ -1704,7 +1269,7 @@ class IncrementalSemanticDeduper:
 
     # -- state access ----------------------------------------------------
     def _accepted(self) -> DataFrame | None:
-        return _read_state(self.spark, self._accepted_path)
+        return self._acc.read()
 
     def seen_count(self) -> int:
         acc = self._accepted()
@@ -1728,12 +1293,7 @@ class IncrementalSemanticDeduper:
     def _index_ranges(self):
         """Memoized accepted_index ranges (see the lexical gate's
         _index_ranges for the memo rationale — same contract)."""
-        if self._index_cache != "unset":
-            return self._index_cache
-        self._index_cache = _load_file_range_index(
-            self.spark, self._index_path, "cluster_id"
-        )
-        return self._index_cache
+        return self._acc.ranges()
 
     def _accepted_state_for_probe(self, assigned: DataFrame):
         """The accepted/ scan for the block join, FILE-PRUNED by the
@@ -1751,10 +1311,7 @@ class IncrementalSemanticDeduper:
         return self._accepted()
 
     def _try_pruned_accepted(self, assigned: DataFrame):
-        res, acct = _attempt_pruned_read(
-            self.spark,
-            self._accepted_path,
-            self._index_ranges,
+        res, acct = self._acc.attempt_pruned(
             lambda: sorted(
                 r["cluster_id"]
                 for r in assigned.select("cluster_id").distinct().collect()
@@ -1943,34 +1500,15 @@ class IncrementalSemanticDeduper:
         observable). Heartbeat-guarded like the other gates, with the
         pre-swap re-check; centroids/ is a single immutable file and is
         left alone."""
-        from streamy_db_spark.sources.files import compact_parquet
-
-        def _recheck() -> None:
-            _guard_compact_vs_stream(
-                self.spark, self.state_path, force, stream_heartbeat_max_age_s
-            )
-
+        _recheck = compact_guard(
+            self.spark, self.state_path, force, stream_heartbeat_max_age_s
+        )
         _recheck()
-        if self._accepted() is None:
-            return 0
-        n = compact_parquet(
-            self.spark,
-            self._accepted_path,
-            target_file_mb,
-            cluster_cols=["cluster_id"],
-            dedupe_rows=True,
-            merge_schema=True,
-            min_files=accepted_min_files,
-            pre_swap_check=_recheck,
+        # the component persists the per-file cluster ranges the block
+        # join prunes with and invalidates this instance's memo
+        return self._acc.compact(
+            self.state_path, target_file_mb, accepted_min_files, _recheck
         )
-        # persist the per-file cluster ranges the block join prunes
-        # with, and invalidate this instance's memo
-        self._index_cache = "unset"
-        _write_file_range_index(
-            self.spark, self.state_path, self._accepted_path,
-            self._index_path, "cluster_id",
-        )
-        return n
 
     def recluster_state(
         self,
@@ -2065,11 +1603,9 @@ class IncrementalSemanticDeduper:
                 )
             n_clusters = int(n_clusters)
 
-        def _recheck() -> None:
-            _guard_compact_vs_stream(
-                self.spark, self.state_path, force, stream_heartbeat_max_age_s
-            )
-
+        _recheck = compact_guard(
+            self.spark, self.state_path, force, stream_heartbeat_max_age_s
+        )
         _recheck()
         acc = self._accepted()
         if acc is None:
@@ -2080,7 +1616,7 @@ class IncrementalSemanticDeduper:
                 )
             self.centroids = np.asarray(centroids, dtype=np.float64)
             self._persist_centroids()
-            self._index_cache = "unset"
+            self._acc.invalidate()
             return 0
         resuming = None
         if centroids is None and n_clusters is None:
@@ -2210,9 +1746,5 @@ class IncrementalSemanticDeduper:
             # drift-refresh lifecycle silently stops (r10 advice).
             # Consume it in place with the promoted matrix + marker.
             self._neutralize_next(new_mat)
-        self._index_cache = "unset"
-        _write_file_range_index(
-            self.spark, self.state_path, self._accepted_path,
-            self._index_path, "cluster_id",
-        )
+        self._acc.write_index(self.state_path)
         return n

@@ -71,13 +71,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streamy_db_spark.operators.incremental import (
-    _PRUNE_UNAVAILABLE,
-    _attempt_pruned_read,
-    _guard_compact_vs_stream,
-    _load_file_range_index,
-    _read_state,
-    _write_file_range_index,
+from streamy_db_spark.operators.incremental_base import (
+    StateComponent,
+    compact_guard,
 )
 from streamy_db_spark.operators.substring import (
     SUBSTR_WINDOW,
@@ -148,19 +144,26 @@ class IncrementalSubstrDeduper:
         self.last_probe_scan: dict | None = None
         root = state_path.rstrip("/")
         self._ids_path = root + "/ids"
-        self._ids_index_path = root + "/ids_index"
         self._wins_path = root + "/wins"
-        self._wins_index_path = root + "/wins_index"
         self._dup_path = root + "/dup"
-        self._dup_index_path = root + "/dup_index"
-        # "unset" = not yet loaded; None = no usable index; dict = ranges
-        self._wins_index_cache: dict | None | str = "unset"
-        self._dup_index_cache: dict | None | str = "unset"
-        self._ids_index_cache: dict | None | str = "unset"
+        # shared lifecycle scaffold (incremental_base.StateComponent):
+        # each component owns its directory, sidecar, memo and the
+        # pruned-read ladder; this gate keeps only admission policy
+        self._comp = {
+            "ids": StateComponent(
+                self.spark, self._ids_path, root + "/ids_index", "doc_id"
+            ),
+            "wins": StateComponent(
+                self.spark, self._wins_path, root + "/wins_index", "h"
+            ),
+            "dup": StateComponent(
+                self.spark, self._dup_path, root + "/dup_index", "h"
+            ),
+        }
 
     # -- state access ------------------------------------------------------
     def _ids(self) -> DataFrame | None:
-        return _read_state(self.spark, self._ids_path)
+        return self._comp["ids"].read()
 
     def _ids_for_probe(
         self, raw_ids: DataFrame, n_keys: int
@@ -175,80 +178,49 @@ class IncrementalSubstrDeduper:
         drop-rule's horizon and lose a retro emission) — that rare
         path reads the full frame. Accounting lands under
         ``last_probe_scan["ids"]``."""
+        keys = None
         if 0 < n_keys <= self.prune_max_windows:
-            res, acct = _attempt_pruned_read(
-                self.spark,
-                self._ids_path,
-                lambda: self._index_ranges("ids"),
-                # NULL ids never equi-join and break the sort: exclude
-                lambda: sorted(
-                    r["_id"] for r in raw_ids.collect() if r["_id"] is not None
-                ),
-                self.prune_min_indexed_files,
+            # NULL ids never equi-join and break the sort: exclude
+            keys = lambda: sorted(  # noqa: E731
+                r["_id"] for r in raw_ids.collect() if r["_id"] is not None
             )
-            if acct is not None:
-                if self.last_probe_scan is None:
-                    self.last_probe_scan = {}
-                self.last_probe_scan["ids"] = acct
-            if res is not _PRUNE_UNAVAILABLE:
-                return res
-        return self._ids()
+        df, acct = self._comp["ids"].scan_or_full(
+            keys, self.prune_min_indexed_files
+        )
+        self._record_scan("ids", acct)
+        return df
 
     def seen_count(self) -> int:
         ids = self._ids()
         return 0 if ids is None else ids.select("doc_id").distinct().count()
 
-    #: index key column per state component (the _index_ranges map)
-    _INDEX_KEYS = {"wins": "h", "dup": "h", "ids": "doc_id"}
-
-    def _index_ranges(self, which: str) -> dict | None:
-        """Memoized advisory file-range index for wins/, dup/ or ids/
-        (same staleness argument as IncrementalNearDeduper._index_ranges:
-        the index only changes under THIS instance's compact_state, and
-        a stale cache only over-reads)."""
-        cache_attr = f"_{which}_index_cache"
-        cached = getattr(self, cache_attr)
-        if cached != "unset":
-            return cached
-        ranges = _load_file_range_index(
-            self.spark,
-            getattr(self, f"_{which}_index_path"),
-            self._INDEX_KEYS[which],
-        )
-        setattr(self, cache_attr, ranges)
-        return ranges
-
-    def _state_scan(self, which: str, sorted_hashes: list | None):
-        """The wins/ or dup/ scan for this batch's probe, FILE-PRUNED
-        when possible. Returns a DataFrame, None (no state rows / zero
-        possible overlap), or falls back to the full scan internally.
-        ``sorted_hashes`` None ⇒ pruning not attempted (oversized
-        batch). Never loses candidates, only over-reads (the
-        prune_band_files contract — unindexed files always read).
-        When pruning succeeds the full-directory DataFrame is never
-        constructed (its mergeSchema analysis alone is a footer job
-        over every state file — r9 review)."""
-        data_path = getattr(self, f"_{which}_path")
-        pruned = _PRUNE_UNAVAILABLE
-        if sorted_hashes is not None:
-            pruned = self._try_pruned(which, data_path, sorted_hashes)
-        if pruned is not _PRUNE_UNAVAILABLE:
-            return pruned
-        return _read_state(self.spark, data_path)
-
-    def _try_pruned(self, which: str, data_path: str, sorted_hashes: list):
-        res, acct = _attempt_pruned_read(
-            self.spark,
-            data_path,
-            lambda: self._index_ranges(which),
-            sorted_hashes,
-            self.prune_min_indexed_files,
-        )
+    def _record_scan(self, which: str, acct: dict | None) -> None:
+        """File accounting of the last pruned scan, keyed by component
+        ({"wins": {...}, "dup": {...}, "ids": {...}}) — the observable
+        the pruning tests gate on; only set when pruning RAN."""
         if acct is not None:
             if self.last_probe_scan is None:
                 self.last_probe_scan = {}
             self.last_probe_scan[which] = acct
-        return res
+
+    def _index_ranges(self, which: str) -> dict | None:
+        """Memoized advisory file-range index for wins/, dup/ or ids/
+        (StateComponent.ranges — the memo only changes under THIS
+        instance's compact_state, and a stale cache only over-reads)."""
+        return self._comp[which].ranges()
+
+    def _state_scan(self, which: str, sorted_hashes: list | None):
+        """The wins/ or dup/ scan for this batch's probe, FILE-PRUNED
+        when possible (StateComponent.scan_or_full). Returns a
+        DataFrame or None (no state rows / zero possible overlap).
+        ``sorted_hashes`` None ⇒ pruning not attempted (oversized
+        batch). Never loses candidates, only over-reads (the
+        prune_band_files contract — unindexed files always read)."""
+        df, acct = self._comp[which].scan_or_full(
+            sorted_hashes, self.prune_min_indexed_files
+        )
+        self._record_scan(which, acct)
+        return df
 
     # -- the per-batch computation ------------------------------------------
     def _empty_spans(self, docs: DataFrame) -> DataFrame:
@@ -559,8 +531,8 @@ class IncrementalSubstrDeduper:
         None-bid batches READ dup/ (unfiltered), so a dropped hash's
         duplication is still visible to them (r11 review: the drop
         would otherwise falsify their wins-count classification)."""
-        dup = _read_state(self.spark, self._dup_path)
-        ids = _read_state(self.spark, self._ids_path)
+        dup = self._comp["dup"].read()
+        ids = self._comp["ids"].read()
         if dup is None or ids is None:
             return None
         max_seq = ids.agg(F.max("batch_seq")).collect()[0][0]
@@ -599,15 +571,11 @@ class IncrementalSubstrDeduper:
         carrying it forever would make wins/ rival the corpus itself
         at 100 TB. Runs inside compact_parquet's write-then-swap, so a
         crash mid-rewrite loses nothing."""
-        from streamy_db_spark.sources.files import compact_parquet
-
-        def _recheck() -> None:
-            _guard_compact_vs_stream(
-                self.spark, self.state_path, force, stream_heartbeat_max_age_s
-            )
-
         from pyspark.storagelevel import StorageLevel
 
+        _recheck = compact_guard(
+            self.spark, self.state_path, force, stream_heartbeat_max_age_s
+        )
         _recheck()
         wins_transform = None
         droppable = None
@@ -630,55 +598,22 @@ class IncrementalSubstrDeduper:
                 )
         total = 0
         try:
-            for path, cluster, min_files, index_path, cache_attr, transform, key in (
-                # ids/ clustered + indexed on doc_id so the membership/
-                # re-send lookup can file-prune like the other scans
-                (
-                    self._ids_path,
-                    ["doc_id"],
-                    ids_min_files,
-                    self._ids_index_path,
-                    "_ids_index_cache",
-                    None,
-                    "doc_id",
-                ),
-                (
-                    self._wins_path,
-                    ["h"],
-                    wins_min_files,
-                    self._wins_index_path,
-                    "_wins_index_cache",
-                    wins_transform,
-                    "h",
-                ),
-                (
-                    self._dup_path,
-                    ["h"],
-                    dup_min_files,
-                    self._dup_index_path,
-                    "_dup_index_cache",
-                    None,
-                    "h",
-                ),
+            # ids/ is clustered + indexed on doc_id so the membership/
+            # re-send lookup can file-prune like the other scans; each
+            # component's compact handles the sidecar rewrite + memo
+            # invalidation (incremental_base.StateComponent.compact)
+            for which, min_files, transform in (
+                ("ids", ids_min_files, None),
+                ("wins", wins_min_files, wins_transform),
+                ("dup", dup_min_files, None),
             ):
-                if _read_state(self.spark, path) is None:
-                    continue
-                total += compact_parquet(
-                    self.spark,
-                    path,
+                total += self._comp[which].compact(
+                    self.state_path,
                     target_file_mb,
-                    cluster_cols=cluster,
-                    dedupe_rows=True,
-                    merge_schema=True,
-                    min_files=min_files,
-                    pre_swap_check=_recheck,
+                    min_files,
+                    _recheck,
                     transform=transform,
                 )
-                if index_path is not None:
-                    setattr(self, cache_attr, "unset")
-                    _write_file_range_index(
-                        self.spark, self.state_path, path, index_path, key
-                    )
         finally:
             if droppable is not None:
                 droppable.unpersist()

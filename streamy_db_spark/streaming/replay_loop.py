@@ -357,8 +357,22 @@ def _run_streaming_replay_inner(
         deadline = _t.time() + 60
         while _t.time() < deadline and q.isActive and q.lastProgress is None:
             _t.sleep(0.2)
-        q.stop()
-        q.awaitTermination(60)
+        # Violent kill: stop() interrupts the in-flight micro-batch, and
+        # under load the interruption can surface from stop()/await as a
+        # QueryExecution error instead of a clean termination. That error
+        # IS the simulated crash — swallow it; correctness is asserted on
+        # the restarted round's recovery (r11 verdict item 2 deflake).
+        try:
+            q.stop()
+        except Exception:  # noqa: BLE001 - the kill is the point
+            pass
+        try:
+            q.awaitTermination(60)
+        except Exception:  # noqa: BLE001
+            pass
+        deadline = _t.time() + 60
+        while _t.time() < deadline and q.isActive:
+            _t.sleep(0.2)
 
     for rnd in range(max_rounds):
         write_heartbeat(spark, requests_dir, rnd)

@@ -49,8 +49,10 @@ def test_compact_state_rechecks_heartbeat_before_swap(
 ):
     """The gates wire the heartbeat guard in as pre_swap_check: passes
     at entry, raises at the pre-swap re-check ⇒ compaction aborts and
-    the state stays fully usable."""
-    import streamy_db_spark.operators.incremental as inc
+    the state stays fully usable. (The guard lives in incremental_base
+    since the r12 scaffold extraction — patch it where compact_guard
+    resolves it.)"""
+    import streamy_db_spark.operators.incremental_base as inc
 
     d = IncrementalDeduper(spark, str(tmp_path / "state"))
     docs = spark.createDataFrame(

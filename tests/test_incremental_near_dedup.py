@@ -660,7 +660,9 @@ def test_heartbeat_age_uses_filesystem_clock(spark, tmp_path, monkeypatch):
     skewed two hours ahead, a just-touched heartbeat still reads ~0s."""
     import time as real_time
 
-    from streamy_db_spark.operators import incremental
+    # the heartbeat machinery lives in incremental_base since the r12
+    # scaffold extraction — skew the clock where age_s resolves it
+    from streamy_db_spark.operators import incremental_base as incremental
 
     p = tmp_path / "state"
     p.mkdir()

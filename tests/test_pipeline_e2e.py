@@ -256,3 +256,190 @@ def test_build_corpus_lands_packed_spans(spark, tmp_path_factory):
     packed = spark.read.parquet(out + ".packed")
     assert packed.count() == s["rows_packed"] > 0
     assert "n_toks" in packed.columns
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus build (r11 verdict item 6): the four gates composed
+# over shared state + the stateless publish tail must equal the one-shot
+# build over the concatenated corpus, on a fixture inside every gate's
+# coincidence regime (increasing-id batches, bridge-free near-dups,
+# chain-free semantic pairs — see each gate's docstring).
+
+_PASSAGE = (
+    "shared boilerplate license text repeated verbatim across documents "
+    "alpha beta gamma delta epsilon"
+)
+
+
+def _inc_corpus_rows():
+    rows = []
+    uniq = 0
+
+    def unique_text():
+        nonlocal uniq
+        uniq += 1
+        return " ".join(
+            f"unique{uniq}tok{j}word{(uniq * 7 + j) % 13}" for j in range(12)
+        )
+
+    # batch boundaries at 8/16: families deliberately cross them
+    # long base so a single-token mutation keeps shingle Jaccard ~0.93
+    # (one changed word of ~45 kills SHINGLE_W=3 trigrams ⇒ ~3 of ~43
+    # shingles) — safely above the 0.5 signature-agreement threshold
+    # even with 16-hash MinHash estimation noise
+    near_base = " ".join(
+        f"riverbank{j}story{(j * 3 + 1) % 11}" for j in range(44)
+    ) + " dawn"
+    for i in range(24):
+        if i in (2, 9, 17):  # exact-dup family (same text, 3 batches)
+            text = "exact duplicate family text " + "pad " * 8
+        elif i in (4, 12):  # near-dup pair (one mutated token)
+            text = near_base if i == 4 else near_base.replace("dawn", "dusk")
+        elif i in (6, 13, 20):  # substring family: planted passage
+            text = f"{unique_text()} {_PASSAGE} {unique_text()}"
+        else:
+            text = unique_text()
+        rows.append((i, f"src{i % 3}", text))
+    return rows
+
+
+def _inc_embeddings(spark):
+    # chain-free semantic space: docs 5 and 18 share one vector (the
+    # semantic-dup pair); every other embedded doc gets its own
+    # near-orthogonal one-hot direction, so no other pair clears 0.95
+    import math
+
+    # dim must exceed the doc count: at dim 16, k and k+16 would share
+    # BOTH the main and the (5k+3) % dim secondary direction — eight
+    # unintended exact-vector dup pairs
+    def onehot(k, dim=32):
+        v = [0.0] * dim
+        v[k % dim] = 1.0
+        v[(k * 5 + 3) % dim] = 0.1  # break exact ties between distinct docs
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [(i, onehot(i)) for i in range(0, 24, 1)]
+    rows[18] = (18, onehot(5))  # duplicate of doc 5's vector
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_incremental_build_equals_one_shot(spark, tmp_path):
+    """The family's standing equality bar lifted to the WHOLE pipeline:
+    ingest three increasing-id batches through
+    pipeline.build_corpus_incremental (all four gates on), publish, and
+    the landed artifacts must equal one-shot build_corpus over the
+    concatenated corpus with the same knobs and the same pinned
+    semantic centroid matrix."""
+    import os
+
+    from streamy_db_spark.operators.similarity import ivf_train_centroids
+    from streamy_db_spark.pipeline import build_corpus, build_corpus_incremental
+
+    rows = _inc_corpus_rows()
+    schema = "doc_id long, source string, text string"
+    emb = _inc_embeddings(spark)
+    centroids = ivf_train_centroids(emb, n_clusters=4)
+
+    # one-shot side: materialize the concatenated corpus as an sf-dir
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    emb.coalesce(1).write.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    knobs = dict(
+        mixture_total_tokens=10_000,
+        n_shards=4,
+        seq_tokens=64,
+        repetition_max=0.5,
+    )
+    one_shot = build_corpus(
+        spark,
+        sf,
+        str(tmp_path / "out_one"),
+        semantic_threshold=0.95,
+        semantic_centroids=centroids,
+        substring_window=8,
+        bench_docs=5,
+        **knobs,
+    )
+
+    # incremental side: same corpus in three increasing-id waves; the
+    # bench set mirrors build_corpus's (first 5 raw docs by id)
+    batches = [
+        spark.createDataFrame(rows[0:8], schema),
+        spark.createDataFrame(rows[8:16], schema),
+        spark.createDataFrame(rows[16:24], schema),
+    ]
+    bench = (
+        spark.createDataFrame(rows, schema)
+        .orderBy("doc_id")
+        .limit(5)
+        .select("text")
+    )
+    result = build_corpus_incremental(
+        spark,
+        batches,
+        str(tmp_path / "state"),
+        str(tmp_path / "out_inc"),
+        embeddings=emb,
+        bench=bench,
+        semantic_threshold=0.95,
+        semantic_centroids=centroids,
+        substring_window=8,
+        **knobs,
+    )
+    pub = result["publish"]
+
+    # per-gate receipts saw real work: the cross-batch families landed
+    receipts = result["batches"]
+    assert receipts[1]["rows_in"] - receipts[1]["rows_exact"] >= 1  # dup of 2
+    assert receipts[1]["rows_exact"] - receipts[1]["rows_near"] >= 1  # near 12
+    assert receipts[2]["rows_near"] - receipts[2]["rows_semantic"] >= 1  # 18
+    assert receipts[1].get("substring_spans_emitted", 0) >= 1  # retro for 6
+
+    # artifact equality: the landed train split and the packed spans
+    for key in ("rows_mixture", "rows_train", "rows_packed", "rows_landed",
+                "train_tokens"):
+        assert pub[key] == one_shot[key], (key, pub[key], one_shot[key])
+    one = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out_one")).collect()
+    }
+    inc = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out_inc")).collect()
+    }
+    assert one == inc
+    packed_one = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out_one") + ".packed")
+        .collect()
+    )
+    packed_inc = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out_inc") + ".packed")
+        .collect()
+    )
+    assert packed_one == packed_inc
+    assert pub["rows_landed"] > 0  # non-vacuous
+
+
+def test_incremental_build_replay_appends_nothing(spark, tmp_path):
+    """Crash-replay of a whole batch through the composed builder:
+    re-running the same (docs, batch_id) re-emits the original receipt
+    and leaves the survivor corpus unchanged (the gates' idempotent
+    replay contract lifted to the composition)."""
+    from streamy_db_spark.pipeline import IncrementalCorpusBuilder
+
+    rows = _inc_corpus_rows()
+    schema = "doc_id long, source string, text string"
+    b = IncrementalCorpusBuilder(spark, str(tmp_path / "state"))
+    first = b.process_batch(spark.createDataFrame(rows[0:8], schema), 0)
+    before = {r.doc_id for r in b.survivors().collect()}
+    replay = b.process_batch(spark.createDataFrame(rows[0:8], schema), 0)
+    after = {r.doc_id for r in b.survivors().collect()}
+    assert first["rows_accepted"] == replay["rows_accepted"]
+    assert before == after and before

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from streamy_db_spark.operators.temporal import q_follow_join
 from streamy_db_spark.streaming.joins import follow_join
+from tests.stream_kill import kill_query, start_with_retry
 from tests.test_streaming_windows import _events_stream, _run_stream
 
 
@@ -104,14 +105,16 @@ def test_streaming_follow_join_kill_and_restart(spark, sf_small, tmp_path):
             .start()
         )
 
-    q = start(throttle=True)
+    q = start_with_retry(lambda: start(throttle=True))
     t0 = time.time()
     while time.time() - t0 < 60 and q.isActive and q.lastProgress is None:
         time.sleep(0.2)
-    q.stop()
-    q.awaitTermination(60)
+    # Violent kill: any exception the dying query surfaces is part of the
+    # simulated crash (see tests/stream_kill.py), and the restart below
+    # retries the brief window where the killed twin still holds the id.
+    kill_query(q)
 
-    q = start(throttle=False)
+    q = start_with_retry(lambda: start(throttle=False))
     # availableNow: the query self-terminates when the backlog drains.
     # The timeout return value must be CHECKED — a silent timeout here
     # would read the sink mid-run below and fail on a partial pair set

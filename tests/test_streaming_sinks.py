@@ -10,6 +10,7 @@ import time
 from pyspark.sql import functions as F
 
 from streamy_db_spark.streaming.sinks import idempotent_parquet_sink, read_sink
+from tests.stream_kill import kill_query, start_with_retry
 
 SCHEMA = "k long, v string"
 
@@ -26,8 +27,8 @@ def _write_input_files(spark, in_dir: str, n_files: int = 4, rows_per: int = 5):
 
 
 def _run(spark, in_dir, out_dir, ckpt, stop_after_first_commit: bool):
-    q = (
-        spark.readStream.schema(SCHEMA)
+    q = start_with_retry(
+        lambda: spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
         .parquet(in_dir)
@@ -41,8 +42,7 @@ def _run(spark, in_dir, out_dir, ckpt, stop_after_first_commit: bool):
         deadline = time.time() + 60
         while time.time() < deadline and not q.recentProgress:
             time.sleep(0.2)
-        q.stop()
-        q.awaitTermination(60)
+        kill_query(q)
     else:
         q.awaitTermination(120)
         assert q.exception() is None
@@ -227,14 +227,15 @@ def test_substring_sink_kill_restart_union_equals_one_shot(spark, tmp_path):
             deadline = time.time() + 60
             while time.time() < deadline and not q.recentProgress:
                 time.sleep(0.05)
-            q.stop()  # kill mid-stream: checkpoint between batches
-            q.awaitTermination(60)
+            # kill mid-stream (checkpoint between batches); dying-query
+            # errors are part of the simulated crash (tests/stream_kill.py)
+            kill_query(q)
             # two-sided (r11 third review): the kill must land AFTER
             # the first query committed something — a from-scratch
             # restart exercises no replay
             pre = sum(p.numInputRows for p in q.recentProgress)
         with substring_dedup_sink(spark, state, out_dir, window=8) as sink:
-            q = start(sink, ckpt)
+            q = start_with_retry(lambda: start(sink, ckpt))
             q.awaitTermination(120)
             assert q.exception() is None
             drained = sum(p.numInputRows for p in q.recentProgress)

@@ -18,6 +18,7 @@ from streamy_db_spark.operators.relational import (
 )
 from streamy_db_spark.sources.tables import _normalize
 from streamy_db_spark.streaming import windows as sw
+from tests.stream_kill import kill_query, start_with_retry
 
 
 def _events_stream(spark, sf_dir):
@@ -170,16 +171,16 @@ def test_streaming_window_agg_kill_and_restart(spark, sf_small, tmp_path):
             .start()
         )
 
-    # Kill mid-run after ≥1 committed batch.
-    q = start(throttle=True)
+    # Kill mid-run after ≥1 committed batch. Dying-query errors are part
+    # of the simulated crash (tests/stream_kill.py).
+    q = start_with_retry(lambda: start(throttle=True))
     t0 = time.time()
     while time.time() - t0 < 60 and q.isActive and q.lastProgress is None:
         time.sleep(0.2)
-    q.stop()
-    q.awaitTermination(60)
+    kill_query(q)
 
     # Restart: finish ingestion from the same checkpoint.
-    q = start(throttle=False)
+    q = start_with_retry(lambda: start(throttle=False))
     q.awaitTermination(120)
     assert q.exception() is None
 
