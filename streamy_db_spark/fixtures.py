@@ -45,6 +45,11 @@ MIXES = {
     # DISTRIBUTEDLY (see generate_df_distributed): 1M rows of nested
     # Python objects through Py4J would dominate the bench.
     "scale_bench_1m": (1_000_000, 4, 1_000_000),
+    # The single-JVM ceiling probe (BASELINE §6/§8/§9) — NOT part of the
+    # per-round bench (needs ~64 GiB driver heap + GC-tolerant liveness
+    # confs, engine_batch.replay's sizing note); pinned here so the
+    # one-off runs are reproducible instead of living in shell history.
+    "scale_bench_10m": (10_000_000, 4, 10_000_000),
     # Wave-depth stress: ~16 writes per key ⇒ long per-key release
     # chains ⇒ many dependency waves. Not part of the per-round bench;
     # a one-off measurement recorded in BASELINE.md §4 (the wavefront's
