@@ -717,7 +717,6 @@ class IncrementalNearDeduper:
         (r9 review). Existence comes from the directory listing; the
         fallback paths build the full scan lazily."""
         self.last_probe_scan = None
-        keys = None
         if 0 < n_batch_docs <= self.prune_max_docs:
             self._migrate_legacy_state()
             keys = lambda: sorted(  # noqa: E731

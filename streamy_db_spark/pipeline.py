@@ -581,6 +581,23 @@ def build_corpus_incremental(
         "substring_window",
         "sig_threshold",
     }
+    publish_keys = {
+        "mixture_weights",
+        "mixture_total_tokens",
+        "n_shards",
+        "seq_tokens",
+        "repetition_max",
+    }
+    unknown = set(knobs) - builder_keys - publish_keys
+    if unknown:
+        # reject BEFORE ingesting: an unknown knob surfacing as a
+        # publish() TypeError after every batch was gated would discard
+        # minutes of state-mutating work at the last step (r12 review)
+        raise TypeError(
+            f"build_corpus_incremental: unknown knobs {sorted(unknown)}; "
+            f"builder knobs: {sorted(builder_keys)}, publish knobs: "
+            f"{sorted(publish_keys)}"
+        )
     builder = IncrementalCorpusBuilder(
         spark,
         state_dir,

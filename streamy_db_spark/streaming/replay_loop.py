@@ -299,6 +299,55 @@ def run_streaming_replay(
         )
 
 
+def kill_streaming_query(q, timeout_s: float = 60.0) -> None:
+    """Violently stop a streaming query — the crash-simulation
+    primitive shared by the replay loop's interrupt rounds and the
+    kill-restart tests (tests/stream_kill.py delegates here so the
+    contract lives in ONE place, r12 review). stop() interrupts the
+    in-flight micro-batch, and under load the interruption can surface
+    from stop()/awaitTermination as a QueryExecution error instead of a
+    clean termination; that error IS the simulated crash — swallow it.
+    Blocks until the instance actually releases (JVM-side cleanup lags
+    isActive) and raises if it never does, because a same-checkpoint
+    restart against a still-active twin fails with
+    'another instance of this query is already active'."""
+    import time as _t
+
+    try:
+        q.stop()
+    except Exception:  # noqa: BLE001 - the kill is the point
+        pass
+    try:
+        q.awaitTermination(timeout_s)
+    except Exception:  # noqa: BLE001
+        pass
+    deadline = _t.time() + timeout_s
+    while _t.time() < deadline and q.isActive:
+        _t.sleep(0.2)
+    if q.isActive:
+        raise RuntimeError("killed streaming query failed to release")
+
+
+def start_query_with_retry(start, attempts: int = 5, delay_s: float = 1.0):
+    """Start (or restart) a streaming query, retrying transient races —
+    chiefly 'another instance of this query is already active' when a
+    just-killed twin's JVM-side cleanup lags q.isActive going false
+    (the r12 review's gap: the tests got this retry in r12's deflake,
+    the library's restart-after-kill path did not)."""
+    import time as _t
+
+    last = None
+    for i in range(attempts):
+        try:
+            return start()
+        except Exception as exc:  # noqa: BLE001 - retried, re-raised last
+            last = exc
+            if i == attempts - 1:
+                raise
+            _t.sleep(delay_s)
+    raise last  # unreachable; keeps type-checkers honest
+
+
 def _run_streaming_replay_inner(
     spark, txns, tmp, max_rounds, duplicate_feedback, interrupt_rounds,
     return_dirs, watermark_delay, stats,
@@ -318,8 +367,11 @@ def _run_streaming_replay_inner(
             raise RuntimeError(f"streaming query failed: {exc}")
 
     def run_once(df_stream, out_dir, ckpt_name):
-        q = (
-            df_stream.writeStream.format("parquet")
+        # retried start: the round AFTER an interrupt restarts this
+        # query from the same checkpoint its killed twin may still be
+        # releasing (start_query_with_retry docstring)
+        q = start_query_with_retry(
+            lambda: df_stream.writeStream.format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", os.path.join(d["ckpt"], ckpt_name))
             .trigger(availableNow=True)
@@ -331,8 +383,8 @@ def _run_streaming_replay_inner(
         # txn stage + feedback derivation in ONE query (r9 verdict item
         # 4): the stateless feedback hop used to cost a third query
         # start/stop per round
-        q = (
-            _txn_stage_stream(spark, d)
+        q = start_query_with_retry(
+            lambda: _txn_stage_stream(spark, d)
             .writeStream.foreachBatch(_txn_fused_write(d))
             .option("checkpointLocation", os.path.join(d["ckpt"], "txn_stage"))
             .trigger(availableNow=True)
@@ -357,22 +409,10 @@ def _run_streaming_replay_inner(
         deadline = _t.time() + 60
         while _t.time() < deadline and q.isActive and q.lastProgress is None:
             _t.sleep(0.2)
-        # Violent kill: stop() interrupts the in-flight micro-batch, and
-        # under load the interruption can surface from stop()/await as a
-        # QueryExecution error instead of a clean termination. That error
-        # IS the simulated crash — swallow it; correctness is asserted on
+        # Violent kill (kill_streaming_query docstring): dying-query
+        # errors are the simulated crash; correctness is asserted on
         # the restarted round's recovery (r11 verdict item 2 deflake).
-        try:
-            q.stop()
-        except Exception:  # noqa: BLE001 - the kill is the point
-            pass
-        try:
-            q.awaitTermination(60)
-        except Exception:  # noqa: BLE001
-            pass
-        deadline = _t.time() + 60
-        while _t.time() < deadline and q.isActive:
-            _t.sleep(0.2)
+        kill_streaming_query(q)
 
     for rnd in range(max_rounds):
         write_heartbeat(spark, requests_dir, rnd)

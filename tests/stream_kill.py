@@ -6,17 +6,25 @@ once in the judge's full-suite run with a QueryExecution error raised
 Root cause class: `q.stop()` interrupts the in-flight micro-batch; Spark
 normally classifies the resulting task failure as caused-by-stop and
 swallows it, but under suite contention the interrupt can land in a spot
-(e.g. mid sink-commit, or after the batch already failed for a transient
-reason) where the stream thread records a genuine-looking exception —
-then `stop()`/`awaitTermination()` re-raise it on the driver. For a test
-whose *point* is to simulate a crash, any error surfaced by the DYING
-query is part of the crash being simulated, not a failure: correctness
-is asserted only on the restarted query's recovery and output.
+(e.g. mid sink-commit) where the stream thread records a genuine-looking
+exception — then `stop()`/`awaitTermination()` re-raise it on the
+driver. For a test whose *point* is to simulate a crash, any error
+surfaced by the DYING query is part of the crash being simulated, not a
+failure: correctness is asserted only on the restarted query's recovery
+and output.
+
+The primitives live in streamy_db_spark.streaming.replay_loop (the
+library's interrupt rounds share the same contract — r12 review: two
+copies of the kill sequencing would drift); this module is the thin
+test-facing alias so test imports stay stable.
 """
 
 from __future__ import annotations
 
-import time
+from streamy_db_spark.streaming.replay_loop import (
+    kill_streaming_query,
+    start_query_with_retry,
+)
 
 
 def kill_query(q, timeout: float = 60.0) -> None:
@@ -24,31 +32,11 @@ def kill_query(q, timeout: float = 60.0) -> None:
     until the instance has actually released, so a same-checkpoint
     restart can't collide with a still-active twin. Exceptions raised by
     the dying query are swallowed by design (see module docstring)."""
-    try:
-        q.stop()
-    except Exception:
-        pass
-    try:
-        q.awaitTermination(timeout)
-    except Exception:
-        pass
-    deadline = time.time() + timeout
-    while q.isActive and time.time() < deadline:
-        time.sleep(0.2)
-    assert not q.isActive, "killed query failed to release within timeout"
+    kill_streaming_query(q, timeout_s=timeout)
 
 
 def start_with_retry(start, attempts: int = 5, delay: float = 1.0):
     """Start (or restart) a streaming query, retrying transient races —
     chiefly 'another instance of this query is already active' when the
     JVM-side cleanup of a just-killed twin lags q.isActive going false."""
-    last = None
-    for i in range(attempts):
-        try:
-            return start()
-        except Exception as exc:  # noqa: BLE001 — retried, re-raised at the end
-            last = exc
-            if i == attempts - 1:
-                raise
-            time.sleep(delay)
-    raise last  # unreachable; keeps type-checkers honest
+    return start_query_with_retry(start, attempts=attempts, delay_s=delay)

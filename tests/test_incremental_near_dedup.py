@@ -614,12 +614,18 @@ def test_connect_session_refuses_legacy_flat_state(spark, tmp_path, monkeypatch)
     appends for a later migration's OVERWRITE to discard (r8 advice)."""
     import pytest
 
-    from streamy_db_spark.operators import incremental
+    from streamy_db_spark.operators import incremental, incremental_base
 
     p = tmp_path / "state"
     _write_legacy_flat_state(spark, p)
 
     monkeypatch.setattr(incremental, "_state_fs", lambda s, pth: (None, None))
+    # the scaffold resolves its own copy from incremental_base (r12
+    # extraction) — patch BOTH so the Connect simulation also covers
+    # the pruning ladder / heartbeat paths, not just migration
+    monkeypatch.setattr(
+        incremental_base, "_state_fs", lambda s, pth: (None, None)
+    )
     d = IncrementalNearDeduper(spark, str(p))
     with pytest.raises(RuntimeError, match="classic"):
         d.process_batch(_docs(spark, B2), batch_id=1)
@@ -631,7 +637,7 @@ def test_connect_session_refuses_legacy_flat_state(spark, tmp_path, monkeypatch)
 def test_connect_session_proceeds_on_v2_or_empty_state(spark, tmp_path, monkeypatch):
     """The Connect legacy probe must not false-positive: v2 state (subdirs
     only) and never-written state both proceed normally."""
-    from streamy_db_spark.operators import incremental
+    from streamy_db_spark.operators import incremental, incremental_base
 
     # build v2 state with a classic session first
     p = tmp_path / "state"
@@ -641,6 +647,12 @@ def test_connect_session_proceeds_on_v2_or_empty_state(spark, tmp_path, monkeypa
     } == {1, 2, 4}
 
     monkeypatch.setattr(incremental, "_state_fs", lambda s, pth: (None, None))
+    # the scaffold resolves its own copy from incremental_base (r12
+    # extraction) — patch BOTH so the Connect simulation also covers
+    # the pruning ladder / heartbeat paths, not just migration
+    monkeypatch.setattr(
+        incremental_base, "_state_fs", lambda s, pth: (None, None)
+    )
     d = IncrementalNearDeduper(spark, str(p))
     out = {r.doc_id for r in d.process_batch(_docs(spark, B2), batch_id=1).collect()}
     assert out == {11}  # same verdict as a classic session would give

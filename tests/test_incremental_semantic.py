@@ -455,6 +455,7 @@ def test_recluster_connect_fallback_consumes_pending_intent(
     any classic-session crash repair that adopts the file stays
     correct."""
     from streamy_db_spark.operators import incremental
+    from streamy_db_spark.operators import incremental_base
     from streamy_db_spark.operators.incremental import _read_state
 
     path = str(tmp_path / "state")
@@ -464,6 +465,12 @@ def test_recluster_connect_fallback_consumes_pending_intent(
     # simulate Connect for the state-dir FS only (compact_parquet's own
     # hadoop_fs stays real so the accepted/ rewrite can run)
     monkeypatch.setattr(incremental, "_state_fs", lambda s, pth: (None, None))
+    # the scaffold resolves its own copy from incremental_base (r12
+    # extraction) — patch BOTH so the Connect simulation also covers
+    # the pruning ladder / heartbeat paths, not just migration
+    monkeypatch.setattr(
+        incremental_base, "_state_fs", lambda s, pth: (None, None)
+    )
 
     planted = np.array([[0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]])
     d._write_matrix(planted, d._centroids_next_path)
