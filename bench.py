@@ -771,6 +771,21 @@ _SF1_REPLICAS = 10
 # jitter can't fabricate a ratio breach.
 _SF1_ADVISORY_RATIO = 12.0
 _SF1_FLOOR_S = 0.5
+# Slots EXEMPT from the advisory ceiling, with the reason recorded in
+# the JSON (r12 verdict item 4): q_semantic_dedup deliberately pins
+# K=32 so its DuckDB oracle stays parametric — under 10x data the
+# per-cluster O(B^2) scoring grows ~10x BY CONSTRUCTION (the documented
+# pinned-K artifact, BASELINE §8). Its measured ratio sat at 11.1-11.2x
+# on both r12 runs, one noise quantum below the 12x ceiling — a false
+# breach would erode the lane's signal. The PRODUCTION sizing (K ∝ N,
+# dedup.semantic_cluster_count) is measured alongside as
+# q_semantic_dedup_autok, which IS ceiling-gated.
+_SF1_CEILING_EXEMPT = {
+    "q_semantic_dedup": (
+        "pinned-K=32 oracle slot; super-linear by construction — the "
+        "production auto-K twin is gated as q_semantic_dedup_autok"
+    ),
+}
 _SF1_QUERIES = (
     "q_dedup_groups",
     "q_minhash_lsh_pairs_capped",
@@ -918,24 +933,58 @@ def bench_sf1(spark) -> dict:
         "replicas": _SF1_REPLICAS,
         "generate_seconds": gen_s,  # ~0 when the manifest cache hits
         "queries": {},
+        "rows_out": {},
         "ratios": {},
+        "rows_ratios": {},
         "advisory_ceiling": _SF1_ADVISORY_RATIO,
         "advisory_breaches": {},
+        "advisory_exempt": {},
         "errors": {},
     }
+
+    def _semantic_autok(spark, d):
+        # the PRODUCTION semantic-dedup path: K ∝ N sizing + IVF-trained
+        # centroids + the pandas scoring pass — the twin whose scale
+        # behavior the advisory ceiling should actually gate (the
+        # pinned-K oracle slot is exempt; _SF1_CEILING_EXEMPT)
+        from streamy_db_spark.operators.dedup import (
+            semantic_cluster_count,
+            semantic_dedup,
+        )
+        from streamy_db_spark.operators.similarity import ivf_train_centroids
+        from streamy_db_spark.sources.tables import load_table
+
+        emb = load_table(spark, d, "embeddings")
+        k = semantic_cluster_count(emb.count())
+        centroids = ivf_train_centroids(emb, n_clusters=k)
+        return semantic_dedup(emb, centroids, threshold=0.95)
+
+    lane_fns = {name: qfns[name] for name in _SF1_QUERIES}
+    lane_fns["q_semantic_dedup_autok"] = _semantic_autok
+
     corpus: dict[str, float] = {}
     for scale, d in (("sf0.1", SF_DIR), ("sf1", sf1_dir)):
         # fair ratio basis: both scales pay the full sketch/pair
         # pipeline, no memoized stage from earlier in the bench
         minhash.clear_corpus_caches(spark, d)
         similarity._IVF_CENTROID_CACHE.clear()
-        for name in _SF1_QUERIES:
+        for name, fn in lane_fns.items():
             try:
                 t0 = time.perf_counter()
-                _force(qfns[name](spark, d))
+                df = fn(spark, d)
+                _force(df)
                 block["queries"].setdefault(name, {})[scale] = round(
                     time.perf_counter() - t0, 3
                 )
+                # UNTIMED rows_out companion (r12 verdict item 2): a
+                # ratio is unattributable without the work volume — on
+                # the ~90%-duplicate corpus, pair/group volume grows
+                # super-linearly BY DATA SHAPE (intra-family pairs are
+                # quadratic in family size), and only flat counts under
+                # a >ceiling ratio indicate a plan regression. The
+                # count re-runs a pruned plan and never enters the
+                # timing.
+                block["rows_out"].setdefault(name, {})[scale] = df.count()
             except Exception as exc:  # noqa: BLE001 - lane is advisory
                 block["errors"][f"{name}@{scale}"] = (
                     f"{type(exc).__name__}: {exc}"[:300]
@@ -943,7 +992,7 @@ def bench_sf1(spark) -> dict:
         tmp = tempfile.mkdtemp(prefix="bench_sf1_corpus_")
         try:
             t0 = time.perf_counter()
-            build_corpus(
+            stats = build_corpus(
                 spark,
                 d,
                 os.path.join(tmp, "corpus"),
@@ -952,6 +1001,9 @@ def bench_sf1(spark) -> dict:
                 substring_window=8,
             )
             corpus[scale] = round(time.perf_counter() - t0, 3)
+            block["rows_out"].setdefault("corpus_build_full", {})[scale] = (
+                stats.get("rows_landed")
+            )
         except Exception as exc:  # noqa: BLE001
             block["errors"][f"corpus_build_full@{scale}"] = (
                 f"{type(exc).__name__}: {exc}"[:300]
@@ -965,13 +1017,25 @@ def bench_sf1(spark) -> dict:
         if "sf0.1" in rec and "sf1" in rec:
             ratio = round(rec["sf1"] / max(rec["sf0.1"], _SF1_FLOOR_S), 2)
             block["ratios"][name] = ratio
+            rows = block["rows_out"].get(name, {})
+            if rows.get("sf0.1"):
+                block["rows_ratios"][name] = round(
+                    rows.get("sf1", 0) / rows["sf0.1"], 2
+                )
             if ratio > _SF1_ADVISORY_RATIO:
+                if name in _SF1_CEILING_EXEMPT:
+                    block["advisory_exempt"][name] = {
+                        "ratio": ratio,
+                        "reason": _SF1_CEILING_EXEMPT[name],
+                    }
+                    continue
                 block["advisory_breaches"][name] = ratio
                 print(
                     f"bench: SF1 ADVISORY: {name} scaled {ratio}x for "
                     f"{_SF1_REPLICAS}x data (ceiling "
-                    f"{_SF1_ADVISORY_RATIO}x) — super-linear scaler, "
-                    "investigate before it meets real data",
+                    f"{_SF1_ADVISORY_RATIO}x; rows_out ratio "
+                    f"{block['rows_ratios'].get(name)}) — super-linear "
+                    "scaler, investigate before it meets real data",
                     file=sys.stderr,
                 )
     return block
@@ -1125,6 +1189,12 @@ def main() -> None:
     # reproducible context. Everything after this point runs warm, as
     # before.
     phase("starting cold 1M replay (pinned measurement context)")
+    # Every cold-basis 1M sample this bench takes, in order; the record
+    # reports min-of-N (BASELINE §9: same-code cold samples spread up
+    # to 4.2x with ambient host load on this VM, so only minima
+    # compare — r12 verdict item 3 folds that rule into the per-round
+    # record instead of prescribing it for hand-runs).
+    cold_1m_samples: list[dict] = []
     try:
         replay_s, rate, stats_1m = bench_protocol_replay(
             spark, "scale_bench_1m", warm=False
@@ -1132,6 +1202,13 @@ def main() -> None:
         replay_extra["protocol_replay_1m_seconds"] = round(replay_s, 3)
         replay_extra["1m_txn_per_sec"] = round(rate, 1)
         replay_extra["1m_waves"] = stats_1m.get("rounds")
+        cold_1m_samples.append(
+            {
+                "seconds": round(replay_s, 3),
+                "txn_per_sec": round(rate, 1),
+                "context": "in_session_cold",
+            }
+        )
     except Exception as exc:  # noqa: BLE001
         errors["protocol_replay_1m"] = f"{type(exc).__name__}: {exc}"[:500]
         print(
@@ -1438,6 +1515,13 @@ def main() -> None:
                     if cold is None:
                         return None
                     sec, rate, waves = cold
+                    cold_1m_samples.append(
+                        {
+                            "seconds": round(sec, 3),
+                            "txn_per_sec": round(rate, 1),
+                            "context": "retry_subprocess",
+                        }
+                    )
                     retry_rates[name] = rate
                     retry_fields[name] = {"1m_waves": waves}
                     return sec
@@ -1606,6 +1690,42 @@ def main() -> None:
                   file=sys.stderr)
     phase("sf1 lane done")
 
+    # Cold-1M min-of-N top-up (r12 verdict item 3): take fresh-JVM
+    # subprocess samples until N cold-basis samples exist, then record
+    # the min as the round's comparable figure. Runs LAST — each sample
+    # is its own subprocess session, and nothing gated runs after it.
+    # SPARK_GRAFT_COLD1M_N=1 effectively disables the top-up.
+    cold_1m_n = int(os.environ.get("SPARK_GRAFT_COLD1M_N", "3"))
+    if "protocol_replay_1m" not in errors:
+        while len(cold_1m_samples) < cold_1m_n:
+            phase(
+                f"cold-1m min-of-N top-up: sample "
+                f"{len(cold_1m_samples) + 1}/{cold_1m_n}"
+            )
+            cold = _cold_1m_subprocess()
+            if cold is None:
+                # a broken subprocess path would loop forever; record
+                # what exists — the min-of-N block states its own n
+                break
+            sec, rate, _waves = cold
+            cold_1m_samples.append(
+                {
+                    "seconds": round(sec, 3),
+                    "txn_per_sec": round(rate, 1),
+                    "context": "min_of_n_subprocess",
+                }
+            )
+    cold_1m_min: dict | None = None
+    if cold_1m_samples:
+        best = min(cold_1m_samples, key=lambda s: s["seconds"])
+        cold_1m_min = {
+            "n": len(cold_1m_samples),
+            "min_seconds": best["seconds"],
+            "txn_per_sec_at_min": best["txn_per_sec"],
+            "samples": cold_1m_samples,
+        }
+    phase("cold-1m min-of-N done")
+
     # A partial total reads as a speedup — invalidate the headline when
     # any query failed so round-over-round comparison can't use it.
     total = round(sum(timings.values()), 3) if not errors else None
@@ -1623,6 +1743,7 @@ def main() -> None:
                 "duckdb_skipped": duckdb_skipped,
                 "duckdb_total_seconds": round(sum(duckdb_sec.values()), 3),
                 "sf1": sf1_block,
+                "cold_1m_min_of_n": cold_1m_min,
                 "machine_slowdown": slowdown,
                 "budget_breaches": breaches,
                 "retried": retried,

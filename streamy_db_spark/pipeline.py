@@ -30,6 +30,9 @@ def build_corpus(
     spark: SparkSession,
     sf_dir: str,
     out_dir: str,
+    *,  # knobs keyword-only: inserting one mid-signature silently
+    # remapped positional callers twice (r11 substring gate, r12
+    # semantic_centroids) — this class of bug is now unrepresentable
     mixture_weights: dict[str, int] | None = None,
     mixture_total_tokens: int = 2_000_000,
     n_shards: int = 16,
@@ -305,15 +308,22 @@ class IncrementalCorpusBuilder:
     Crash safety is the gates': each carries the family's
     batch_id/batch_seq replay-vs-re-send contract, so a crashed batch
     re-run re-emits its original acceptances and appends nothing new;
-    ``corpus/`` appends are replay-safe the same way (acceptances are
-    deterministic per batch, and re-appended rows are exact-row
-    duplicates the builder drops on read via batch_seq-aware distinct).
+    ``corpus/`` and ``spans/`` land as per-batch ``batch=<id>``
+    directories written with OVERWRITE (the idempotent-sink recipe,
+    streaming/sinks.idempotent_parquet_sink) — acceptances are
+    deterministic per batch, so a crash-replayed batch REWRITES its own
+    directory with identical content instead of appending duplicates,
+    and ``survivors()`` needs no dedup pass at all (r12 verdict item 1:
+    the previous append-then-distinct form shuffled the entire accepted
+    TEXT once per publish — the single largest avoidable Exchange in
+    the pipeline; tests/test_pipeline_e2e.py plan-gates its absence).
 
     Scale shape: per-batch state traffic is the gates' — scan-only
     probes (no state-side Exchange), file-range pruned, O(batch) not
     O(state); the publish tail's only corpus-wide shuffles are the ONE
     layout shuffle of shuffle_corpus and the packing groupBy, exactly
-    the one-shot build's.
+    the one-shot build's (survivors() itself is a scan + the span-strip
+    broadcast join — shuffle-free).
     """
 
     def __init__(
@@ -339,6 +349,7 @@ class IncrementalCorpusBuilder:
         self.state_dir = root
         self.corpus_path = root + "/corpus"
         self.spans_path = root + "/spans"
+        self.publish_cache_path = root + "/publish_cache"
         self.exact = IncrementalDeduper(spark, root + "/exact")
         self.near = IncrementalNearDeduper(
             spark, root + "/near", sig_threshold=sig_threshold
@@ -408,9 +419,14 @@ class IncrementalCorpusBuilder:
         if self.substr is not None:
             spans = self.substr.process_batch(docs, batch_id=batch_id)
             if not spans.isEmpty():
+                # per-batch dir + overwrite = idempotent on batch_id
+                # (sinks.idempotent_parquet_sink recipe): a replay
+                # rewrites identical content, never duplicates
                 spans.withColumn(
                     "batch_seq", F.lit(int(batch_id)).cast("long")
-                ).write.mode("append").parquet(self.spans_path)
+                ).write.mode("overwrite").parquet(
+                    f"{self.spans_path}/batch={int(batch_id)}"
+                )
             stats["substring_spans_emitted"] = spans.count()
 
         if not docs.isEmpty():
@@ -419,18 +435,25 @@ class IncrementalCorpusBuilder:
                 "source",
                 "text",
                 F.lit(int(batch_id)).cast("long").alias("batch_seq"),
-            ).write.mode("append").parquet(self.corpus_path)
+            ).write.mode("overwrite").parquet(
+                f"{self.corpus_path}/batch={int(batch_id)}"
+            )
         stats["rows_accepted"] = stats.get(
             "rows_semantic", stats["rows_near"]
         )
         return stats
 
     def survivors(self) -> DataFrame:
-        """The accepted corpus so far, span-stripped. Crash-replayed
-        appends are exact-row duplicates (same doc_id/text/batch_seq) —
-        distinct drops them; span emissions merge across batches via
-        merge_spans (overlap/adjacency collapse), which is exactly how
-        the family's equality bar composes per-batch emissions."""
+        """The accepted corpus so far, span-stripped — a SCAN, not a
+        shuffle. Crash-replayed batches overwrote their own
+        ``batch=<id>`` directory (process_batch), so the read needs no
+        distinct: the previous append-then-distinct form exchanged the
+        entire accepted TEXT once per publish (r12 verdict item 1;
+        plan-gated shuffle-free in tests/test_pipeline_e2e.py). Span
+        emissions merge across batches via merge_spans
+        (overlap/adjacency collapse — identical retro spans emitted by
+        different batches collapse there too), which is exactly how the
+        family's equality bar composes per-batch emissions."""
         from streamy_db_spark.operators.incremental_base import _read_state
         from streamy_db_spark.operators.substring import (
             merge_spans,
@@ -442,7 +465,10 @@ class IncrementalCorpusBuilder:
             return self.spark.createDataFrame(
                 [], "doc_id long, source string, text string"
             )
-        corpus = corpus.select("doc_id", "source", "text").distinct()
+        # "batch" arrives as the partition-discovery column of the
+        # per-batch directory layout — an implementation detail, like
+        # the sink reader's (streaming/sinks.read_sink)
+        corpus = corpus.select("doc_id", "source", "text")
         if self.substr is None:
             return corpus
         spans = _read_state(self.spark, self.spans_path)
@@ -452,6 +478,34 @@ class IncrementalCorpusBuilder:
             spans.select("doc_id", "start_tok", "end_tok").distinct()
         )
         return strip_duplicated_spans(corpus, merged)
+
+    def _bench_fingerprint(self, bench: DataFrame, n: int) -> str:
+        """Content identity of the decontamination gate: md5 over the
+        SORTED distinct benchmark gram hashes (order-independent, so
+        partitioning can't change it). Benchmark sets are tiny by
+        nature (thousands of eval items), so the collect_list is
+        bench-gram-sized, never corpus-sized."""
+        from streamy_db_spark.operators.decontam import _gram_hashes
+
+        bg = (
+            _gram_hashes(bench.select("text"), "text", n, "__g")
+            .select("__g")
+            .distinct()
+        )
+        row = bg.agg(
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        ",",
+                        F.sort_array(
+                            F.collect_list(F.col("__g").cast("string"))
+                        ),
+                    ),
+                    "UTF-8",
+                )
+            ).alias("fp")
+        ).collect()[0]
+        return row.fp or "empty"
 
     def publish(
         self,
@@ -467,8 +521,26 @@ class IncrementalCorpusBuilder:
         land the same two artifacts as ``build_corpus`` (shuffled train
         split at ``out_dir``, packed spans at ``<out_dir>.packed``).
         ``bench`` is the decontamination benchmark set (one text
-        column); None skips that stage."""
-        from streamy_db_spark.operators.decontam import decontaminate, tokens
+        column); None skips that stage.
+
+        Decontamination and repetition verdicts are CACHED under
+        ``<state_dir>/publish_cache`` keyed on the md5 of the
+        POST-STRIP text (r12 verdict item 5): both are pure functions
+        of the document text (decontam additionally of the benchmark
+        gram set, folded into the cache key as a content fingerprint),
+        so at wave-by-wave publish cadence only changed/new documents
+        re-score — a retro span that shortens an old doc changes its
+        content key and re-scores exactly that doc. The receipt records
+        ``publish_rescored_decon`` / ``publish_rescored_rep`` (a second
+        publish over unchanged state re-scores 0). The repetition-max
+        and mixture knobs stay OUTSIDE the cache: the cache stores the
+        SCORE / the verdict inputs, never a knob-dependent filter
+        outcome."""
+        from streamy_db_spark.operators.decontam import (
+            contaminated_ids,
+            tokens,
+        )
+        from streamy_db_spark.operators.incremental_base import _read_state
         from streamy_db_spark.operators.sampling import (
             mixture_sample,
             shuffle_corpus,
@@ -484,18 +556,106 @@ class IncrementalCorpusBuilder:
         stats: dict[str, int] = {}
         docs = self.survivors().localCheckpoint(eager=True)
         stats["rows_survivors"] = docs.count()
+        # content key for both verdict caches: 128-bit md5, not a
+        # 64-bit hash — a collision here would transplant a VERDICT
+        # across documents (possibly keeping a contaminated doc), the
+        # anti-conservative direction
+        docs = docs.withColumn(
+            "__th", F.md5(F.encode(F.col("text"), "UTF-8"))
+        )
 
         if bench is not None:
-            docs = decontaminate(docs, bench, n=8)
+            decon_n = 8
+            bench_fp = self._bench_fingerprint(bench, decon_n)
+            cache_path = self.publish_cache_path + "/decon"
+            cache = _read_state(spark, cache_path)
+            if cache is not None:
+                cached = (
+                    cache.filter(
+                        (F.col("bench_fp") == bench_fp)
+                        & (F.col("n") == decon_n)
+                    )
+                    .select(
+                        F.col("text_hash").alias("__th"), "contaminated"
+                    )
+                    .distinct()
+                )
+            else:
+                cached = spark.createDataFrame(
+                    [], "__th string, contaminated boolean"
+                )
+            joined = docs.join(cached, "__th", "left")
+            misses = (
+                joined.filter(F.col("contaminated").isNull())
+                .drop("contaminated")
+                .localCheckpoint(eager=True)
+            )
+            n_miss = misses.count()
+            stats["publish_rescored_decon"] = n_miss
+            kept = joined.filter(F.col("contaminated") == F.lit(False)).drop(
+                "contaminated"
+            )
+            if n_miss:
+                bad = contaminated_ids(misses, bench, n=decon_n)
+                fresh = (
+                    misses.join(
+                        F.broadcast(
+                            bad.withColumn("contaminated", F.lit(True))
+                        ),
+                        "doc_id",
+                        "left",
+                    )
+                    .withColumn(
+                        "contaminated",
+                        F.coalesce(F.col("contaminated"), F.lit(False)),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                fresh.select(
+                    F.col("__th").alias("text_hash"),
+                    "contaminated",
+                    F.lit(bench_fp).alias("bench_fp"),
+                    F.lit(decon_n).alias("n"),
+                ).distinct().write.mode("append").parquet(cache_path)
+                kept = kept.unionByName(
+                    fresh.filter(~F.col("contaminated")).drop("contaminated")
+                )
+            docs = kept
             stats["rows_decontaminated"] = docs.count()
 
-        docs = (
-            docs.join(
-                repetition_scores(docs).select("doc_id", "top_bigram_frac"),
-                "doc_id",
+        rep_cache_path = self.publish_cache_path + "/rep"
+        cache = _read_state(spark, rep_cache_path)
+        if cache is not None:
+            cached = cache.select(
+                F.col("text_hash").alias("__th"), "top_bigram_frac"
+            ).distinct()
+        else:
+            cached = spark.createDataFrame(
+                [], "__th string, top_bigram_frac double"
             )
-            .filter(F.col("top_bigram_frac") < repetition_max)
+        joined = docs.join(cached, "__th", "left")
+        misses = (
+            joined.filter(F.col("top_bigram_frac").isNull())
             .drop("top_bigram_frac")
+            .localCheckpoint(eager=True)
+        )
+        n_miss = misses.count()
+        stats["publish_rescored_rep"] = n_miss
+        scored = joined.filter(F.col("top_bigram_frac").isNotNull())
+        if n_miss:
+            fresh = misses.join(
+                repetition_scores(misses).select(
+                    "doc_id", "top_bigram_frac"
+                ),
+                "doc_id",
+            ).localCheckpoint(eager=True)
+            fresh.select(
+                F.col("__th").alias("text_hash"), "top_bigram_frac"
+            ).distinct().write.mode("append").parquet(rep_cache_path)
+            scored = scored.unionByName(fresh)
+        docs = (
+            scored.filter(F.col("top_bigram_frac") < repetition_max)
+            .drop("top_bigram_frac", "__th")
             .localCheckpoint(eager=True)
         )
         stats["rows_quality_kept"] = docs.count()
@@ -531,31 +691,110 @@ class IncrementalCorpusBuilder:
         stats["rows_landed"] = spark.read.parquet(out_dir).count()
         return stats
 
-    def compact_state(self, **kwargs) -> int:
+    def compact_state(
+        self,
+        target_file_mb: int = 128,
+        force: bool = False,
+        stream_heartbeat_max_age_s: float = 600.0,
+    ) -> int:
         """Maintenance pass over every gate's state (small-files +
         re-cluster + sidecars; see each gate's compact_state) plus the
-        corpus/ and spans/ appends."""
-        from streamy_db_spark.operators.incremental_base import _read_state
-        from streamy_db_spark.sources.files import compact_parquet
+        corpus/ and spans/ batch directories.
 
-        total = self.exact.compact_state(**kwargs)
-        total += self.near.compact_state(**kwargs)
+        Only the knobs COMMON to all four gates are accepted (r12
+        advice: a blind ``**kwargs`` fan-out made any per-gate knob —
+        ``min_files`` vs ``bands_min_files`` etc. — a TypeError on the
+        sibling gates; tune an individual gate through its own
+        ``compact_state``).
+
+        corpus/ and spans/ are guarded exactly like the gate state dirs
+        (r12 verdict item 7): refuse while a stream heartbeat on the
+        directory is fresh, and re-check immediately before each swap
+        (compact_guard as ``pre_swap_check``) — the moment someone
+        wires process_batch into foreachBatch, a concurrent batch
+        overwrite racing the write-then-swap rename is the r6 race
+        again.
+
+        Compaction is PER ``batch=<id>`` DIRECTORY: merging batches
+        into flat files would break the replay contract (a replayed
+        batch overwrites ``batch=<id>``; if its rows had been folded
+        into a shared file they would now exist twice). Wave-granular
+        batches keep the directory count small; within a wave this
+        collapses the one-file-per-task write fanout."""
+        from streamy_db_spark.operators.incremental_base import (
+            _guard_compact_vs_stream,
+            compact_guard,
+        )
+        from streamy_db_spark.sources.files import compact_parquet, hadoop_fs
+
+        knobs = dict(
+            target_file_mb=target_file_mb,
+            force=force,
+            stream_heartbeat_max_age_s=stream_heartbeat_max_age_s,
+        )
+        total = self.exact.compact_state(**knobs)
+        total += self.near.compact_state(**knobs)
         if self.semantic is not None:
-            total += self.semantic.compact_state(**kwargs)
+            total += self.semantic.compact_state(**knobs)
         if self.substr is not None:
-            total += self.substr.compact_state(**kwargs)
+            total += self.substr.compact_state(**knobs)
         for path, cluster in (
             (self.corpus_path, ["doc_id"]),
             (self.spans_path, ["doc_id"]),
         ):
-            if _read_state(self.spark, path) is not None:
+            _guard_compact_vs_stream(
+                self.spark, path, force, stream_heartbeat_max_age_s
+            )
+            recheck = compact_guard(
+                self.spark, path, force, stream_heartbeat_max_age_s
+            )
+            fs, mk = hadoop_fs(self.spark, path)
+            if fs is None:  # Spark Connect: compact from a classic session
+                continue
+            statuses = fs.globStatus(mk(path + "/batch=*")) or []
+            for st in statuses:
+                if not st.isDirectory():
+                    continue
+                bdir = st.getPath().toString()
+                data_files = [
+                    f
+                    for f in fs.listStatus(st.getPath())
+                    if f.isFile()
+                    and not f.getPath().getName().startswith("_")
+                ]
+                if len(data_files) <= 1:
+                    continue  # already one file: nothing to collapse
                 total += compact_parquet(
                     self.spark,
-                    path,
+                    bdir,
+                    target_file_mb=target_file_mb,
                     cluster_cols=cluster,
-                    dedupe_rows=True,
                     merge_schema=True,
+                    pre_swap_check=recheck,
                 )
+        # publish verdict caches: flat append dirs (no batch layout —
+        # appended rows are pure (content key, verdict) facts, so
+        # crash-replay duplicates are EXACT rows dedupe_rows drops)
+        from streamy_db_spark.operators.incremental_base import _read_state
+
+        for sub in ("decon", "rep"):
+            path = f"{self.publish_cache_path}/{sub}"
+            if _read_state(self.spark, path) is None:
+                continue
+            _guard_compact_vs_stream(
+                self.spark, path, force, stream_heartbeat_max_age_s
+            )
+            total += compact_parquet(
+                self.spark,
+                path,
+                target_file_mb=target_file_mb,
+                cluster_cols=["text_hash"],
+                dedupe_rows=True,
+                merge_schema=True,
+                pre_swap_check=compact_guard(
+                    self.spark, path, force, stream_heartbeat_max_age_s
+                ),
+            )
         return total
 
 

@@ -328,19 +328,35 @@ def kill_streaming_query(q, timeout_s: float = 60.0) -> None:
         raise RuntimeError("killed streaming query failed to release")
 
 
+#: Substrings identifying the KNOWN-TRANSIENT start failures worth
+#: retrying. Anything else (bad checkpoint, missing path, analysis
+#: error) is deterministic and must surface immediately — retrying it
+#: 5x with sleeps only delays and blurs the real error (r12 advice).
+_TRANSIENT_START_MARKERS = (
+    # a just-killed twin's JVM-side cleanup lags q.isActive going false
+    "already active",
+    # same race, surfaced as the checkpoint dir's lock still held
+    "could not acquire lock",
+)
+
+
 def start_query_with_retry(start, attempts: int = 5, delay_s: float = 1.0):
-    """Start (or restart) a streaming query, retrying transient races —
-    chiefly 'another instance of this query is already active' when a
-    just-killed twin's JVM-side cleanup lags q.isActive going false
-    (the r12 review's gap: the tests got this retry in r12's deflake,
-    the library's restart-after-kill path did not)."""
+    """Start (or restart) a streaming query, retrying ONLY the known
+    transient races — chiefly 'another instance of this query is
+    already active' when a just-killed twin's JVM-side cleanup lags
+    q.isActive going false (the r12 review's gap: the tests got this
+    retry in r12's deflake, the library's restart-after-kill path did
+    not). Deterministic start failures re-raise on first sight."""
     import time as _t
 
     last = None
     for i in range(attempts):
         try:
             return start()
-        except Exception as exc:  # noqa: BLE001 - retried, re-raised last
+        except Exception as exc:  # noqa: BLE001 - transient-matched below
+            msg = str(exc).lower()
+            if not any(m in msg for m in _TRANSIENT_START_MARKERS):
+                raise
             last = exc
             if i == attempts - 1:
                 raise

@@ -443,3 +443,180 @@ def test_incremental_build_replay_appends_nothing(spark, tmp_path):
     after = {r.doc_id for r in b.survivors().collect()}
     assert first["rows_accepted"] == replay["rows_accepted"]
     assert before == after and before
+
+
+def test_survivors_is_shuffle_free_and_layout_idempotent(spark, tmp_path):
+    """r12 verdict item 1: survivors() must never Exchange the corpus
+    TEXT — the old append-then-distinct form shuffled every accepted
+    document's text once per publish. Without the substring gate the
+    plan is a pure scan (ZERO Exchange); with it, the only Exchanges
+    partition the span int-triples / merge ids (16 B rows), and the
+    strip join reaches the text side as a broadcast. Also pins the
+    mechanism that makes the distinct unnecessary: corpus/ lands as
+    per-batch ``batch=<id>`` directories whose replay overwrites
+    identical content."""
+    import os
+
+    from streamy_db_spark.pipeline import IncrementalCorpusBuilder
+    from streamy_db_spark.plans.inspect import executed_plan
+
+    rows = _inc_corpus_rows()
+    schema = "doc_id long, source string, text string"
+
+    # corpus-only path: a SCAN, full stop
+    b0 = IncrementalCorpusBuilder(spark, str(tmp_path / "state0"))
+    b0.process_batch(spark.createDataFrame(rows[0:8], schema), 0)
+    b0.process_batch(spark.createDataFrame(rows[8:16], schema), 1)
+    plan0 = executed_plan(b0.survivors())
+    assert "Exchange" not in plan0, plan0
+
+    state = str(tmp_path / "state")
+    b = IncrementalCorpusBuilder(spark, state, substring_window=8)
+    b.process_batch(spark.createDataFrame(rows[0:8], schema), 0)
+    b.process_batch(spark.createDataFrame(rows[8:16], schema), 1)
+
+    # the idempotent-sink layout is real: one batch=<id> dir per wave
+    dirs = sorted(os.listdir(os.path.join(state, "corpus")))
+    assert [d for d in dirs if d.startswith("batch=")] == ["batch=0", "batch=1"]
+
+    plan = executed_plan(b.survivors())
+    # the span-strip join rides a broadcast, like every text-side join;
+    # a SortMergeJoin would mean the corpus text shuffled to meet spans
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # every hash Exchange partitions SPAN-side rows (the triple
+    # distinct or the merge's per-doc id) — never the corpus text
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert ("start_tok" in line) or ("_id#" in line), line
+
+
+def test_corpus_compact_guarded_and_layout_preserving(spark, tmp_path):
+    """r12 verdict item 7: corpus/ and spans/ compaction refuses under
+    a fresh stream heartbeat exactly like every gate state dir, and the
+    compaction that does run preserves the per-batch directory layout
+    (folding batches into shared files would break replay overwrite)."""
+    import os
+
+    import pytest
+
+    from streamy_db_spark.operators.incremental_base import (
+        touch_stream_heartbeat,
+    )
+    from streamy_db_spark.pipeline import IncrementalCorpusBuilder
+
+    rows = _inc_corpus_rows()
+    schema = "doc_id long, source string, text string"
+    from pyspark.sql import functions as F
+
+    state = str(tmp_path / "state")
+    b = IncrementalCorpusBuilder(spark, state, substring_window=8)
+    b.process_batch(spark.createDataFrame(rows[0:8], schema), 0)
+    corpus_dir = os.path.join(state, "corpus")
+    # batch=1 written through the layout contract directly with 4
+    # partitions — the gate path coalesces tiny test batches to one
+    # file, and compaction needs a multi-file dir to bind on
+    spark.createDataFrame(rows[8:16], schema).withColumn(
+        "batch_seq", F.lit(1).cast("long")
+    ).repartition(4).write.mode("overwrite").parquet(
+        corpus_dir + "/batch=1"
+    )
+    before = {tuple(r) for r in b.survivors().collect()}
+    n_files_before = len(
+        [
+            f
+            for f in os.listdir(os.path.join(corpus_dir, "batch=1"))
+            if f.endswith(".parquet")
+        ]
+    )
+    assert n_files_before > 1
+
+    touch_stream_heartbeat(spark, corpus_dir)
+    with pytest.raises(RuntimeError, match="compact_state refused"):
+        b.compact_state()
+    # refusal left everything untouched
+    assert {tuple(r) for r in b.survivors().collect()} == before
+
+    out = b.compact_state(force=True)
+    assert out > 0
+    dirs = sorted(
+        d for d in os.listdir(corpus_dir) if d.startswith("batch=")
+    )
+    assert dirs == ["batch=0", "batch=1"]  # layout preserved
+    n_files_after = len(
+        [
+            f
+            for f in os.listdir(os.path.join(corpus_dir, "batch=1"))
+            if f.endswith(".parquet")
+        ]
+    )
+    assert n_files_after < n_files_before
+    assert {tuple(r) for r in b.survivors().collect()} == before
+
+    # per-gate-only knobs are rejected at the composition level (r12
+    # advice: the **kwargs fan-out turned them into sibling TypeErrors)
+    with pytest.raises(TypeError):
+        b.compact_state(min_files=2)
+
+
+def test_second_publish_rescores_nothing(spark, tmp_path):
+    """r12 verdict item 5: decontamination + repetition verdicts are
+    cached on post-strip content, so a second publish over unchanged
+    state re-scores 0 documents and lands identical artifacts — the
+    publish tail stops being the next super-linear term at wave
+    cadence. A NEW batch then re-scores only itself."""
+    import os
+
+    from streamy_db_spark.pipeline import IncrementalCorpusBuilder
+
+    rows = _inc_corpus_rows()
+    schema = "doc_id long, source string, text string"
+    bench = (
+        spark.createDataFrame(rows, schema)
+        .orderBy("doc_id")
+        .limit(5)
+        .select("text")
+    )
+    knobs = dict(
+        bench=bench, mixture_total_tokens=10_000, n_shards=4, seq_tokens=64
+    )
+    b = IncrementalCorpusBuilder(
+        spark, str(tmp_path / "state"), substring_window=8
+    )
+    b.process_batch(spark.createDataFrame(rows[0:8], schema), 0)
+    b.process_batch(spark.createDataFrame(rows[8:16], schema), 1)
+
+    out1 = str(tmp_path / "out1")
+    pub1 = b.publish(out1, **knobs)
+    assert pub1["publish_rescored_decon"] == pub1["rows_survivors"] > 0
+    assert pub1["publish_rescored_rep"] > 0
+
+    out2 = str(tmp_path / "out2")
+    pub2 = b.publish(out2, **knobs)
+    assert pub2["publish_rescored_decon"] == 0
+    assert pub2["publish_rescored_rep"] == 0
+    for key in ("rows_survivors", "rows_decontaminated", "rows_quality_kept",
+                "rows_mixture", "rows_train", "rows_packed", "rows_landed",
+                "train_tokens"):
+        assert pub2[key] == pub1[key], (key, pub2[key], pub1[key])
+    a1 = {tuple(r) for r in spark.read.parquet(out1).collect()}
+    a2 = {tuple(r) for r in spark.read.parquet(out2).collect()}
+    assert a1 == a2 and a1
+    p1 = sorted(
+        tuple(r) for r in spark.read.parquet(out1 + ".packed").collect()
+    )
+    p2 = sorted(
+        tuple(r) for r in spark.read.parquet(out2 + ".packed").collect()
+    )
+    assert p1 == p2
+
+    # a third wave re-scores ONLY its own novel docs (retro spans for
+    # earlier docs, if any, change those docs' content keys too — the
+    # cache key is content, not doc_id)
+    rec3 = b.process_batch(spark.createDataFrame(rows[16:24], schema), 2)
+    pub3 = b.publish(str(tmp_path / "out3"), **knobs)
+    assert 0 < pub3["publish_rescored_rep"] < pub3["rows_survivors"]
+    assert pub3["rows_survivors"] > pub1["rows_survivors"]
+    assert rec3["rows_accepted"] > 0
+    # the cache landed on disk under the state root
+    assert os.path.isdir(str(tmp_path / "state" / "publish_cache" / "rep"))

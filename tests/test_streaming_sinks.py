@@ -259,3 +259,50 @@ def test_substring_sink_kill_restart_union_equals_one_shot(spark, tmp_path):
     }
     assert one_shot  # three copies of _S1 planted — non-vacuous
     assert got == one_shot
+
+
+def test_start_query_with_retry_only_retries_transient_races():
+    """r12 advice: a deterministic start failure (bad checkpoint,
+    analysis error) must surface on FIRST sight — only the known
+    restart-after-kill races ('already active', checkpoint lock) are
+    worth the retry loop."""
+    import pytest
+
+    from streamy_db_spark.streaming.replay_loop import start_query_with_retry
+
+    calls = {"n": 0}
+
+    def deterministic():
+        calls["n"] += 1
+        raise ValueError("Path does not exist: /no/such/checkpoint")
+
+    with pytest.raises(ValueError):
+        start_query_with_retry(deterministic, attempts=5, delay_s=0.01)
+    assert calls["n"] == 1  # no blind retries
+
+    calls["n"] = 0
+
+    def transient_then_ok():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError(
+                "Cannot start query with id x as another instance of this "
+                "query is already active"
+            )
+        return "query"
+
+    assert (
+        start_query_with_retry(transient_then_ok, attempts=5, delay_s=0.01)
+        == "query"
+    )
+    assert calls["n"] == 3
+
+    calls["n"] = 0
+
+    def always_transient():
+        calls["n"] += 1
+        raise RuntimeError("already active")
+
+    with pytest.raises(RuntimeError, match="already active"):
+        start_query_with_retry(always_transient, attempts=3, delay_s=0.01)
+    assert calls["n"] == 3  # exhausted, last error re-raised
