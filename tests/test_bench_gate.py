@@ -320,3 +320,59 @@ def test_parse_cold_1m_picks_last_record_through_log_noise():
     assert _parse_cold_1m(out) == (91.2, 10964.9, 6)
     assert _parse_cold_1m("no json here\nat all") is None
     assert _parse_cold_1m("") is None
+
+
+def _sf1_block(queries, rows_out=None):
+    return {
+        "queries": queries,
+        "rows_out": rows_out or {},
+        "ratios": {},
+        "rows_ratios": {},
+        "advisory_breaches": {},
+        "advisory_exempt": {},
+    }
+
+
+def test_sf1_exempt_slot_never_breaches_but_is_recorded():
+    """r12 verdict item 4: the pinned-K semantic oracle slot is
+    super-linear BY CONSTRUCTION; its over-ceiling ratio must land in
+    advisory_exempt (with the documented reason), never in
+    advisory_breaches — while a genuinely super-linear non-exempt slot
+    still breaches loudly."""
+    from bench import sf1_apply_verdicts
+
+    block = _sf1_block(
+        {
+            "q_semantic_dedup": {"sf0.1": 1.0, "sf1": 13.0},
+            "q_semantic_dedup_autok": {"sf0.1": 1.0, "sf1": 3.0},
+            "q_dedup_substrings": {"sf0.1": 2.0, "sf1": 30.0},
+        },
+        rows_out={
+            "q_dedup_substrings": {"sf0.1": 100, "sf1": 2100},
+        },
+    )
+    sf1_apply_verdicts(block)
+    assert "q_semantic_dedup" not in block["advisory_breaches"]
+    assert block["advisory_exempt"]["q_semantic_dedup"]["ratio"] == 13.0
+    assert "auto-K twin" in block["advisory_exempt"]["q_semantic_dedup"][
+        "reason"
+    ] or "autok" in block["advisory_exempt"]["q_semantic_dedup"]["reason"]
+    # the production auto-K twin IS gated (here under ceiling: no breach)
+    assert "q_semantic_dedup_autok" not in block["advisory_breaches"]
+    assert block["ratios"]["q_semantic_dedup_autok"] == 3.0
+    # a non-exempt super-linear slot still breaches, with the rows_out
+    # ratio recorded for attribution (work-volume vs plan regression)
+    assert block["advisory_breaches"]["q_dedup_substrings"] == 15.0
+    assert block["rows_ratios"]["q_dedup_substrings"] == 21.0
+
+
+def test_sf1_floor_prevents_jitter_ratio_breach():
+    """Sub-second sf0.1 slots are floored so scheduler jitter cannot
+    fabricate a ratio breach."""
+    from bench import sf1_apply_verdicts
+
+    block = _sf1_block({"q_tpch_q5": {"sf0.1": 0.05, "sf1": 4.0}})
+    sf1_apply_verdicts(block)
+    # 4.0 / max(0.05, 0.5) = 8x, under the 12x ceiling
+    assert block["ratios"]["q_tpch_q5"] == 8.0
+    assert not block["advisory_breaches"]
