@@ -707,6 +707,21 @@ def bench_corpus_build_incremental(spark) -> tuple[float, dict]:
         )
         dt = time.perf_counter() - t0
         stats.update({f"publish_{k}": v for k, v in pub.items()})
+        # Second publish over unchanged state — the wave-cadence case
+        # the publish verdict cache (r12 verdict item 5) exists for.
+        # Untimed in the gated figure (dt stays 4 waves + first
+        # publish, the r12 basis); recorded alongside so the cache's
+        # win — and any regression that starts re-scoring the world —
+        # shows up in every round's record. rescored counts must be 0.
+        t1 = time.perf_counter()
+        pub2 = builder.publish(
+            os.path.join(tmp, "corpus2"),
+            bench=bench_set,
+            mixture_total_tokens=100_000,
+        )
+        stats["publish2_seconds"] = round(time.perf_counter() - t1, 3)
+        stats["publish2_rescored_decon"] = pub2["publish_rescored_decon"]
+        stats["publish2_rescored_rep"] = pub2["publish_rescored_rep"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return dt, stats
@@ -934,8 +949,10 @@ def bench_sf1(spark) -> dict:
         "generate_seconds": gen_s,  # ~0 when the manifest cache hits
         "queries": {},
         "rows_out": {},
+        "candidates": {},
         "ratios": {},
         "rows_ratios": {},
+        "candidates_ratios": {},
         "advisory_ceiling": _SF1_ADVISORY_RATIO,
         "advisory_breaches": {},
         "advisory_exempt": {},
@@ -958,6 +975,52 @@ def bench_sf1(spark) -> dict:
         k = semantic_cluster_count(emb.count())
         centroids = ivf_train_centroids(emb, n_clusters=k)
         return semantic_dedup(emb, centroids, threshold=0.95)
+
+    def _minhash_candidates(spark, d):
+        # candidate stage of q_minhash_lsh_pairs_capped in isolation:
+        # same sketch, same banding expression, same cap
+        from pyspark.sql import functions as F
+
+        sk = minhash.sketch_table_cached(spark, d)
+        bands = sk.select(
+            "doc_id",
+            F.posexplode(minhash.band_hashes(F.col("sig"))).alias(
+                "band", "band_hash"
+            ),
+        )
+        return minhash.lsh_candidate_pairs(
+            bands, max_bucket_size=minhash._CAPPED_Q_BUCKET_SIZE
+        )
+
+    def _simhash64_candidates(spark, d):
+        # candidate stage of q_simhash64_neardup_capped in isolation:
+        # same fingerprint/banding, same star cap (the verify pass
+        # delegates candidates to lsh_candidate_pairs since r13, so
+        # this IS the measured query's candidate plan)
+        from pyspark.sql import functions as F
+
+        from streamy_db_spark.sources.tables import load_table, spread
+
+        docs = load_table(spark, d, "documents")
+        fp = spread(docs.select("doc_id", "text"), "doc_id").select(
+            "doc_id",
+            minhash.simhash64_band_values(F.col("text")).alias("bands"),
+        )
+        buckets = fp.select(
+            "doc_id", F.posexplode("bands").alias("band", "band_hash")
+        )
+        return minhash.lsh_candidate_pairs(
+            buckets, max_bucket_size=minhash._SIMHASH64_CAPPED_BUCKET_SIZE
+        )
+
+    # UNTIMED candidate-volume companions for the pair slots (r12
+    # verdict item 2): a verified-pair ratio alone can't separate
+    # "LSH emitted quadratically more candidates" from "verification
+    # got slower" — candidates + verified at both scales can.
+    candidate_fns = {
+        "q_minhash_lsh_pairs_capped": _minhash_candidates,
+        "q_simhash64_neardup_capped": _simhash64_candidates,
+    }
 
     lane_fns = {name: qfns[name] for name in _SF1_QUERIES}
     lane_fns["q_semantic_dedup_autok"] = _semantic_autok
@@ -987,6 +1050,15 @@ def bench_sf1(spark) -> dict:
                 block["rows_out"].setdefault(name, {})[scale] = df.count()
             except Exception as exc:  # noqa: BLE001 - lane is advisory
                 block["errors"][f"{name}@{scale}"] = (
+                    f"{type(exc).__name__}: {exc}"[:300]
+                )
+        for name, fn in candidate_fns.items():
+            try:
+                block["candidates"].setdefault(name, {})[scale] = fn(
+                    spark, d
+                ).count()
+            except Exception as exc:  # noqa: BLE001 - lane is advisory
+                block["errors"][f"{name}_candidates@{scale}"] = (
                     f"{type(exc).__name__}: {exc}"[:300]
                 )
         tmp = tempfile.mkdtemp(prefix="bench_sf1_corpus_")
@@ -1019,7 +1091,8 @@ def bench_sf1(spark) -> dict:
             f"bench: SF1 ADVISORY: {name} scaled {ratio}x for "
             f"{_SF1_REPLICAS}x data (ceiling "
             f"{_SF1_ADVISORY_RATIO}x; rows_out ratio "
-            f"{block['rows_ratios'].get(name)}) — super-linear "
+            f"{block['rows_ratios'].get(name)}, candidates ratio "
+            f"{block['candidates_ratios'].get(name)}) — super-linear "
             "scaler, investigate before it meets real data",
             file=sys.stderr,
         )
@@ -1041,6 +1114,11 @@ def sf1_apply_verdicts(block: dict) -> dict:
             if rows.get("sf0.1"):
                 block["rows_ratios"][name] = round(
                     rows.get("sf1", 0) / rows["sf0.1"], 2
+                )
+            cand = block.get("candidates", {}).get(name, {})
+            if cand.get("sf0.1"):
+                block.setdefault("candidates_ratios", {})[name] = round(
+                    cand.get("sf1", 0) / cand["sf0.1"], 2
                 )
             if ratio > _SF1_ADVISORY_RATIO:
                 if name in _SF1_CEILING_EXEMPT:

@@ -866,27 +866,16 @@ def simhash64_neardup_pairs(
         )
     # Capped path: candidate ids first (small buckets all-pairs, hot
     # buckets star), then verify by joining the tiny fingerprint table
-    # back on each side — the same candidates→verify shape as the capped
-    # MinHash path. The sizes agg shuffles on the same (band, val) key
-    # as the join: co-partitioned, no extra exchange pattern.
-    buckets = exploded.select("doc_id", "band", "val")
-    sizes = buckets.groupBy("band", "val").agg(
-        F.count(F.lit(1)).alias("_bsz"), F.min("doc_id").alias("_brep")
+    # back on each side. The star-cap candidate construction is
+    # EXACTLY lsh_candidate_pairs' — the bucket key is (band, 16-bit
+    # value) instead of (band, md5 digest), which changes nothing in
+    # the size/rep/star algebra — so it delegates there instead of
+    # cloning the three-frame union (r13: one star-cap implementation
+    # for the whole dedup family).
+    buckets = exploded.select(
+        "doc_id", "band", F.col("val").alias("band_hash")
     )
-    tagged = buckets.join(sizes, ["band", "val"])
-    small = tagged.filter(F.col("_bsz") <= max_bucket_size)
-    s1 = small.select(F.col("doc_id").alias("id_a"), "band", "val")
-    s2 = small.select(F.col("doc_id").alias("id_b"), "band", "val")
-    pairs_small = (
-        s1.join(s2, ["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    # Star edges: rep = min doc_id, so id_a < id_b holds by construction.
-    pairs_hot = tagged.filter(
-        (F.col("_bsz") > max_bucket_size) & (F.col("doc_id") != F.col("_brep"))
-    ).select(F.col("_brep").alias("id_a"), F.col("doc_id").alias("id_b"))
-    cand = pairs_small.unionByName(pairs_hot).distinct()
+    cand = lsh_candidate_pairs(buckets, max_bucket_size=max_bucket_size)
     a = fp.select(F.col("doc_id").alias("id_a"), F.col("bands").alias("bands_a"))
     b = fp.select(F.col("doc_id").alias("id_b"), F.col("bands").alias("bands_b"))
     return (

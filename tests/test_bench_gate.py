@@ -366,6 +366,28 @@ def test_sf1_exempt_slot_never_breaches_but_is_recorded():
     assert block["rows_ratios"]["q_dedup_substrings"] == 21.0
 
 
+def test_sf1_candidate_counts_attribute_pair_ratios():
+    """r12 verdict item 2 (pair slots): the lane records CANDIDATE pair
+    volume alongside verified rows_out, so a super-linear time ratio on
+    a pair query is attributable — candidates growing with the ratio is
+    LSH volume (data shape), flat candidates under a hot ratio is a
+    plan/verify regression."""
+    from bench import sf1_apply_verdicts
+
+    block = _sf1_block(
+        {"q_minhash_lsh_pairs_capped": {"sf0.1": 2.0, "sf1": 26.0}},
+        rows_out={"q_minhash_lsh_pairs_capped": {"sf0.1": 10, "sf1": 100}},
+    )
+    block["candidates"] = {
+        "q_minhash_lsh_pairs_capped": {"sf0.1": 600, "sf1": 60_000}
+    }
+    sf1_apply_verdicts(block)
+    assert block["advisory_breaches"]["q_minhash_lsh_pairs_capped"] == 13.0
+    assert block["candidates_ratios"]["q_minhash_lsh_pairs_capped"] == 100.0
+    # absent candidate data (non-pair slots) must not fabricate a ratio
+    assert list(block["candidates_ratios"]) == ["q_minhash_lsh_pairs_capped"]
+
+
 def test_sf1_floor_prevents_jitter_ratio_breach():
     """Sub-second sf0.1 slots are floored so scheduler jitter cannot
     fabricate a ratio breach."""
