@@ -67,6 +67,32 @@ def bigrams(tokens_col: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def with_repetition_score(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "top_bigram_frac",
+) -> DataFrame:
+    """Append ``out_col`` (the most-frequent-bigram fraction — the
+    repetition filter's verdict input) as a PER-ROW projection, keeping
+    every input column. This is the quality-gate shape for corpus-sized
+    frames: the score is a pure function of the text, so computing it
+    in place costs one scan — joining ``repetition_scores`` output back
+    on doc_id (the pre-r13 pipeline shape) exchanged the corpus TEXT
+    across the cluster for a value a projection produces for free."""
+    for c in ("__ts", "__bg"):
+        if c in df.columns:
+            raise ValueError(f"column {c!r} collides in with_repetition_score")
+    tmp = df.withColumn("__ts", tokens(F.col(text_col))).withColumn(
+        "__bg", bigrams(F.col("__ts"))
+    )
+    top_n = F.expr(_TOP_RUN_EXPR.format(arr="__bg"))
+    return tmp.withColumn(
+        out_col,
+        top_n.cast("double")
+        / F.greatest(F.size("__bg").cast("long"), F.lit(1)),
+    ).drop("__ts", "__bg")
+
+
 def repetition_scores(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

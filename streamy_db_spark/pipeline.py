@@ -99,7 +99,7 @@ def build_corpus(
     )
     from streamy_db_spark.operators.text_quality import (
         pack_sequences,
-        repetition_scores,
+        with_repetition_score,
     )
     from streamy_db_spark.sources import files
     from streamy_db_spark.sources.tables import load_table
@@ -219,12 +219,11 @@ def build_corpus(
     docs = decontaminate(docs, bench, n=8)
     stats["rows_decontaminated"] = docs.count()
 
-    # 4. repetition filter
+    # 4. repetition filter — scored IN PLACE (per-row projection, one
+    # scan): the score is a pure function of the text, so the previous
+    # join-back-on-doc_id shape exchanged the corpus text for nothing
     docs = (
-        docs.join(
-            repetition_scores(docs).select("doc_id", "top_bigram_frac"),
-            "doc_id",
-        )
+        with_repetition_score(docs)
         .filter(F.col("top_bigram_frac") < repetition_max)
         .drop("top_bigram_frac")
     )
@@ -320,10 +319,14 @@ class IncrementalCorpusBuilder:
 
     Scale shape: per-batch state traffic is the gates' — scan-only
     probes (no state-side Exchange), file-range pruned, O(batch) not
-    O(state); the publish tail's only corpus-wide shuffles are the ONE
+    O(state); the publish tail's only TEXT-bearing shuffles are the ONE
     layout shuffle of shuffle_corpus and the packing groupBy, exactly
     the one-shot build's (survivors() itself is a scan + the span-strip
-    broadcast join — shuffle-free).
+    broadcast join — shuffle-free; the quality gates consult their
+    verdict caches over the NARROW (doc_id, text-md5) projection and
+    apply verdicts as drop-id anti-joins, so cache consultation moves
+    48-byte rows, never documents — plan-gated in
+    tests/test_pipeline_e2e.py).
     """
 
     def __init__(
@@ -507,6 +510,177 @@ class IncrementalCorpusBuilder:
         ).collect()[0]
         return row.fp or "empty"
 
+    def _restrict_to(
+        self, docs: DataFrame, ids: DataFrame, n_ids: int, n_docs: int
+    ) -> DataFrame:
+        """``docs`` rows whose doc_id is in ``ids`` — without touching
+        the text when it can be avoided: all-ids short-circuits to
+        ``docs`` (the first-publish case), otherwise a semi-join whose
+        id side AQE broadcasts at wave-cadence sizes. The corpus text
+        only moves if the id set is too large to broadcast — exactly
+        when the re-scoring work itself dwarfs the move."""
+        if n_ids == n_docs:
+            return docs
+        return docs.join(ids.select("doc_id"), "doc_id", "left_semi")
+
+    def _decon_gate(
+        self, docs: DataFrame, bench: DataFrame, stats: dict, n_docs: int
+    ) -> DataFrame:
+        """Decontamination as a DROP-ID anti-join (lazy result): consult
+        the verdict cache over the NARROW (doc_id, __th) projection,
+        re-score only misses, append their verdicts to the cache, and
+        return ``docs`` minus contaminated ids. The corpus text never
+        shuffles: cache consultation moves 48-byte rows, re-scoring
+        scans the miss docs in place (contaminated_ids is a broadcast
+        gram probe), and the final anti-join's id side is
+        verdict-derived (AQE broadcasts it)."""
+        from streamy_db_spark.operators.decontam import contaminated_ids
+        from streamy_db_spark.operators.incremental_base import _read_state
+
+        spark = self.spark
+        decon_n = 8
+        bench_fp = self._bench_fingerprint(bench, decon_n)
+        cache_path = self.publish_cache_path + "/decon"
+        cache = _read_state(spark, cache_path)
+        if cache is not None:
+            cached = (
+                cache.filter(
+                    (F.col("bench_fp") == bench_fp)
+                    & (F.col("n") == decon_n)
+                )
+                .select(F.col("text_hash").alias("__th"), "contaminated")
+                .distinct()
+            )
+        else:
+            cached = spark.createDataFrame(
+                [], "__th string, contaminated boolean"
+            )
+        verd = docs.select("doc_id", "__th").join(cached, "__th", "left")
+        miss = (
+            verd.filter(F.col("contaminated").isNull())
+            .select("doc_id", "__th")
+            .localCheckpoint(eager=True)
+        )
+        n_miss = miss.count()
+        stats["publish_rescored_decon"] = n_miss
+        bad_ids = verd.filter(F.col("contaminated")).select("doc_id")
+        if n_miss:
+            miss_docs = self._restrict_to(docs, miss, n_miss, n_docs)
+            bad = contaminated_ids(miss_docs, bench, n=decon_n)
+            fresh = (
+                miss.join(
+                    F.broadcast(bad.withColumn("contaminated", F.lit(True))),
+                    "doc_id",
+                    "left",
+                )
+                .withColumn(
+                    "contaminated",
+                    F.coalesce(F.col("contaminated"), F.lit(False)),
+                )
+                .localCheckpoint(eager=True)
+            )
+            fresh.select(
+                F.col("__th").alias("text_hash"),
+                "contaminated",
+                F.lit(bench_fp).alias("bench_fp"),
+                F.lit(decon_n).alias("n"),
+            ).distinct().write.mode("append").parquet(cache_path)
+            bad_ids = bad_ids.unionByName(
+                fresh.filter(F.col("contaminated")).select("doc_id")
+            )
+        return docs.join(bad_ids, "doc_id", "left_anti")
+
+    def _rep_gate(
+        self, docs: DataFrame, repetition_max: float, stats: dict, n_docs: int
+    ) -> DataFrame:
+        """Repetition filter as a DROP-ID anti-join (lazy result), same
+        shape as the decon gate: the score is a pure per-row projection
+        (text_quality.with_repetition_score), so misses re-score with
+        ZERO joins, and only ids move to apply the verdicts. The
+        repetition_max knob stays OUTSIDE the cache — it stores the
+        score, and the drop set is derived per publish."""
+        from streamy_db_spark.operators.incremental_base import _read_state
+        from streamy_db_spark.operators.text_quality import (
+            with_repetition_score,
+        )
+
+        spark = self.spark
+        rep_cache_path = self.publish_cache_path + "/rep"
+        cache = _read_state(spark, rep_cache_path)
+        if cache is not None:
+            cached = cache.select(
+                F.col("text_hash").alias("__th"), "top_bigram_frac"
+            ).distinct()
+        else:
+            cached = spark.createDataFrame(
+                [], "__th string, top_bigram_frac double"
+            )
+        verd = docs.select("doc_id", "__th").join(cached, "__th", "left")
+        miss = (
+            verd.filter(F.col("top_bigram_frac").isNull())
+            .select("doc_id", "__th")
+            .localCheckpoint(eager=True)
+        )
+        n_miss = miss.count()
+        stats["publish_rescored_rep"] = n_miss
+        drop_ids = verd.filter(
+            F.col("top_bigram_frac") >= repetition_max
+        ).select("doc_id")
+        if n_miss:
+            miss_docs = self._restrict_to(docs, miss, n_miss, n_docs)
+            scored = (
+                with_repetition_score(miss_docs)
+                .select("doc_id", "__th", "top_bigram_frac")
+                .localCheckpoint(eager=True)
+            )
+            scored.select(
+                F.col("__th").alias("text_hash"), "top_bigram_frac"
+            ).distinct().write.mode("append").parquet(rep_cache_path)
+            drop_ids = drop_ids.unionByName(
+                scored.filter(
+                    F.col("top_bigram_frac") >= repetition_max
+                ).select("doc_id")
+            )
+        return docs.join(drop_ids, "doc_id", "left_anti")
+
+    def gated_survivors(
+        self,
+        bench: DataFrame | None = None,
+        repetition_max: float = 0.5,
+    ) -> tuple[DataFrame, dict]:
+        """The survivor corpus with the decontamination + repetition
+        quality gates applied — the text-bearing head of ``publish``,
+        returned LAZY so its plan is inspectable (the e2e suite gates
+        that no Exchange carries the corpus text; the only wide ops on
+        text-bearing frames downstream are shuffle_corpus's ONE layout
+        shuffle and the packing groupBy).
+
+        Verdicts are CACHED under ``<state_dir>/publish_cache`` keyed
+        on the md5 of the POST-STRIP text (r12 verdict item 5): both
+        gates are pure functions of the document text (decontam
+        additionally of the benchmark gram set, folded into the cache
+        key as a content fingerprint), so at wave-by-wave publish
+        cadence only changed/new documents re-score — a retro span
+        that shortens an old doc changes its content key and re-scores
+        exactly that doc. The content key is 128-bit md5, not a 64-bit
+        hash: a collision would transplant a VERDICT across documents
+        (possibly keeping a contaminated doc), the anti-conservative
+        direction. Stats record ``publish_rescored_decon`` /
+        ``publish_rescored_rep`` (a second publish over unchanged
+        state re-scores 0) and ``rows_survivors`` /
+        ``rows_decontaminated``."""
+        stats: dict[str, int] = {}
+        docs = self.survivors().localCheckpoint(eager=True)
+        stats["rows_survivors"] = n_now = docs.count()
+        docs = docs.withColumn(
+            "__th", F.md5(F.encode(F.col("text"), "UTF-8"))
+        )
+        if bench is not None:
+            docs = self._decon_gate(docs, bench, stats, n_now)
+            stats["rows_decontaminated"] = n_now = docs.count()
+        docs = self._rep_gate(docs, repetition_max, stats, n_now)
+        return docs.drop("__th"), stats
+
     def publish(
         self,
         out_dir: str,
@@ -521,143 +695,23 @@ class IncrementalCorpusBuilder:
         land the same two artifacts as ``build_corpus`` (shuffled train
         split at ``out_dir``, packed spans at ``<out_dir>.packed``).
         ``bench`` is the decontamination benchmark set (one text
-        column); None skips that stage.
-
-        Decontamination and repetition verdicts are CACHED under
-        ``<state_dir>/publish_cache`` keyed on the md5 of the
-        POST-STRIP text (r12 verdict item 5): both are pure functions
-        of the document text (decontam additionally of the benchmark
-        gram set, folded into the cache key as a content fingerprint),
-        so at wave-by-wave publish cadence only changed/new documents
-        re-score — a retro span that shortens an old doc changes its
-        content key and re-scores exactly that doc. The receipt records
-        ``publish_rescored_decon`` / ``publish_rescored_rep`` (a second
-        publish over unchanged state re-scores 0). The repetition-max
-        and mixture knobs stay OUTSIDE the cache: the cache stores the
-        SCORE / the verdict inputs, never a knob-dependent filter
-        outcome."""
-        from streamy_db_spark.operators.decontam import (
-            contaminated_ids,
-            tokens,
-        )
-        from streamy_db_spark.operators.incremental_base import _read_state
+        column); None skips that stage. The quality gates and their
+        verdict caching live in ``gated_survivors`` (see its docstring
+        for the cache-key and scale-shape contract)."""
+        from streamy_db_spark.operators.decontam import tokens
         from streamy_db_spark.operators.sampling import (
             mixture_sample,
             shuffle_corpus,
             with_split,
         )
-        from streamy_db_spark.operators.text_quality import (
-            pack_sequences,
-            repetition_scores,
-        )
+        from streamy_db_spark.operators.text_quality import pack_sequences
         from streamy_db_spark.sources import files
 
         spark = self.spark
-        stats: dict[str, int] = {}
-        docs = self.survivors().localCheckpoint(eager=True)
-        stats["rows_survivors"] = docs.count()
-        # content key for both verdict caches: 128-bit md5, not a
-        # 64-bit hash — a collision here would transplant a VERDICT
-        # across documents (possibly keeping a contaminated doc), the
-        # anti-conservative direction
-        docs = docs.withColumn(
-            "__th", F.md5(F.encode(F.col("text"), "UTF-8"))
+        docs, stats = self.gated_survivors(
+            bench=bench, repetition_max=repetition_max
         )
-
-        if bench is not None:
-            decon_n = 8
-            bench_fp = self._bench_fingerprint(bench, decon_n)
-            cache_path = self.publish_cache_path + "/decon"
-            cache = _read_state(spark, cache_path)
-            if cache is not None:
-                cached = (
-                    cache.filter(
-                        (F.col("bench_fp") == bench_fp)
-                        & (F.col("n") == decon_n)
-                    )
-                    .select(
-                        F.col("text_hash").alias("__th"), "contaminated"
-                    )
-                    .distinct()
-                )
-            else:
-                cached = spark.createDataFrame(
-                    [], "__th string, contaminated boolean"
-                )
-            joined = docs.join(cached, "__th", "left")
-            misses = (
-                joined.filter(F.col("contaminated").isNull())
-                .drop("contaminated")
-                .localCheckpoint(eager=True)
-            )
-            n_miss = misses.count()
-            stats["publish_rescored_decon"] = n_miss
-            kept = joined.filter(F.col("contaminated") == F.lit(False)).drop(
-                "contaminated"
-            )
-            if n_miss:
-                bad = contaminated_ids(misses, bench, n=decon_n)
-                fresh = (
-                    misses.join(
-                        F.broadcast(
-                            bad.withColumn("contaminated", F.lit(True))
-                        ),
-                        "doc_id",
-                        "left",
-                    )
-                    .withColumn(
-                        "contaminated",
-                        F.coalesce(F.col("contaminated"), F.lit(False)),
-                    )
-                    .localCheckpoint(eager=True)
-                )
-                fresh.select(
-                    F.col("__th").alias("text_hash"),
-                    "contaminated",
-                    F.lit(bench_fp).alias("bench_fp"),
-                    F.lit(decon_n).alias("n"),
-                ).distinct().write.mode("append").parquet(cache_path)
-                kept = kept.unionByName(
-                    fresh.filter(~F.col("contaminated")).drop("contaminated")
-                )
-            docs = kept
-            stats["rows_decontaminated"] = docs.count()
-
-        rep_cache_path = self.publish_cache_path + "/rep"
-        cache = _read_state(spark, rep_cache_path)
-        if cache is not None:
-            cached = cache.select(
-                F.col("text_hash").alias("__th"), "top_bigram_frac"
-            ).distinct()
-        else:
-            cached = spark.createDataFrame(
-                [], "__th string, top_bigram_frac double"
-            )
-        joined = docs.join(cached, "__th", "left")
-        misses = (
-            joined.filter(F.col("top_bigram_frac").isNull())
-            .drop("top_bigram_frac")
-            .localCheckpoint(eager=True)
-        )
-        n_miss = misses.count()
-        stats["publish_rescored_rep"] = n_miss
-        scored = joined.filter(F.col("top_bigram_frac").isNotNull())
-        if n_miss:
-            fresh = misses.join(
-                repetition_scores(misses).select(
-                    "doc_id", "top_bigram_frac"
-                ),
-                "doc_id",
-            ).localCheckpoint(eager=True)
-            fresh.select(
-                F.col("__th").alias("text_hash"), "top_bigram_frac"
-            ).distinct().write.mode("append").parquet(rep_cache_path)
-            scored = scored.unionByName(fresh)
-        docs = (
-            scored.filter(F.col("top_bigram_frac") < repetition_max)
-            .drop("top_bigram_frac", "__th")
-            .localCheckpoint(eager=True)
-        )
+        docs = docs.localCheckpoint(eager=True)
         stats["rows_quality_kept"] = docs.count()
 
         if mixture_weights is None:

@@ -559,6 +559,52 @@ def test_corpus_compact_guarded_and_layout_preserving(spark, tmp_path):
         b.compact_state(min_files=2)
 
 
+def test_gated_survivors_never_shuffles_text(spark, tmp_path):
+    """r13: the publish quality gates consult their verdict caches over
+    the narrow (doc_id, text-md5) projection and apply verdicts as
+    drop-id anti-joins — the corpus TEXT must never ride an Exchange
+    (the r12 cache design joined the full docs frame on the hash key,
+    re-introducing at publish time the corpus-wide text shuffle item 1
+    had just removed from survivors()). Gated on the AQE FINAL plan in
+    both cache regimes: fully warm (steady publish) and partial-miss
+    (one new wave)."""
+    from streamy_db_spark.pipeline import IncrementalCorpusBuilder
+    from streamy_db_spark.plans.inspect import executed_plan
+
+    rows = _inc_corpus_rows()
+    schema = "doc_id long, source string, text string"
+    bench = (
+        spark.createDataFrame(rows, schema)
+        .orderBy("doc_id")
+        .limit(5)
+        .select("text")
+    )
+    b = IncrementalCorpusBuilder(spark, str(tmp_path / "state"))
+    b.process_batch(spark.createDataFrame(rows[0:8], schema), 0)
+    b.process_batch(spark.createDataFrame(rows[8:16], schema), 1)
+    b.publish(str(tmp_path / "out1"), bench=bench, mixture_total_tokens=10_000)
+
+    def assert_no_text_exchange():
+        df, stats = b.gated_survivors(bench=bench, repetition_max=0.5)
+        df.collect()  # let AQE finalize the join strategies
+        plan = executed_plan(df)
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "text#" not in line, line
+        return stats
+
+    # warm regime: every verdict cached, zero re-scores, zero text moves
+    stats = assert_no_text_exchange()
+    assert stats["publish_rescored_decon"] == 0
+    assert stats["publish_rescored_rep"] == 0
+
+    # partial-miss regime: a new wave re-scores only itself; the miss
+    # restriction and the drop-id application still move ids only
+    b.process_batch(spark.createDataFrame(rows[16:24], schema), 2)
+    stats = assert_no_text_exchange()
+    assert 0 < stats["publish_rescored_rep"] < stats["rows_survivors"]
+
+
 def test_second_publish_rescores_nothing(spark, tmp_path):
     """r12 verdict item 5: decontamination + repetition verdicts are
     cached on post-strip content, so a second publish over unchanged
