@@ -28,10 +28,33 @@ def fingerprint_documents(docs: DataFrame) -> DataFrame:
 
 
 def dedupe_exact(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id document per content fingerprint."""
-    fp = fingerprint_documents(docs)
-    keepers = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    return fp.join(keepers, ["fingerprint", id_col], "inner").drop("fingerprint")
+    """Keep the lowest-id document per content fingerprint.
+
+    Scale shape (r13): keeper resolution runs entirely on the NARROW
+    (fingerprint, id) projection — one map-side-combined min-agg plus
+    one 40-byte-row join — and the verdict lands on ``docs`` as a
+    loser-id ANTI-join, so the text column never rides an Exchange (the
+    previous form joined the full fingerprinted frame on the composite
+    key, shuffling every document's text to meet a keeper row). The
+    loser side is the duplicate excess only; AQE broadcasts it at
+    normal duplication rates, and a pathological all-duplicate corpus
+    degrades to the one text shuffle the old shape ALWAYS paid.
+
+    Null text ⇒ null fingerprint: such rows are dropped entirely —
+    null keys never equi-join, so the pre-r13 keeper join dropped them
+    and this form preserves that contract (the incremental gate
+    documents the same null-key rule)."""
+    fp = fingerprint_documents(docs).select("fingerprint", id_col)
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias("__keep"))
+    losers = (
+        fp.join(keep, "fingerprint")
+        .filter(F.col(id_col) != F.col("__keep"))
+        .select(id_col)
+        .unionByName(
+            fp.filter(F.col("fingerprint").isNull()).select(id_col)
+        )
+    )
+    return docs.join(losers, id_col, "left_anti")
 
 
 # --- q_dedup_exact: duplicate-group summary (oracle-checkable) --------------

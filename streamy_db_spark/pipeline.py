@@ -9,11 +9,14 @@ bench.py times this whole function at sf0.1 and records it as
 protocol replay's txn/s (r7 verdict item 5).
 
 Scale shape is inherited from the stages (each documents its own): the
-only corpus-wide shuffles are the near-dup pair pipeline's banded join,
-the groupBys behind dedup/packing, and the ONE layout shuffle of
-shuffle_corpus; everything else is scan-side. No driver collect()s on
-corpus-sized data (profile returns column-cardinality rows; dedup's
-union-find fold is capped).
+only corpus-wide shuffles are the near-dup pair pipeline's banded join
+(shingle-set payloads), the packing groupBy, and the ONE layout shuffle
+of shuffle_corpus; everything else is scan-side, and every dedup /
+quality VERDICT lands on the corpus as a drop-id anti-join over narrow
+id frames (r13) — the document text itself never rides an Exchange
+outside the two layout shuffles. No driver collect()s on corpus-sized
+data (profile returns column-cardinality rows; dedup's union-find fold
+is capped).
 
 No reference counterpart (SURVEY.md §2.3 — the reference is a KV
 protocol engine with no text surface); this composes the declared
@@ -89,7 +92,10 @@ def build_corpus(
     (what test_pipeline_e2e exercises).
     """
     from streamy_db_spark.operators.decontam import decontaminate, tokens
-    from streamy_db_spark.operators.dedup import dedup_groups, dedupe_exact
+    from streamy_db_spark.operators.dedup import (
+        connected_components,
+        dedupe_exact,
+    )
     from streamy_db_spark.operators.minhash import minhash_near_dup_pairs
     from streamy_db_spark.operators.profile import profile_table
     from streamy_db_spark.operators.sampling import (
@@ -118,13 +124,20 @@ def build_corpus(
     docs = dedupe_exact(docs)
     stats["rows_exact_dedup"] = docs.count()
 
-    # 2. near-dup group resolution → keepers only
+    # 2. near-dup group resolution → keepers only, applied as a
+    # loser-id ANTI-join: the losers are exactly the component nodes
+    # whose min-label isn't themselves (docs outside any pair are
+    # implicit singletons/keepers), so the verdict moves near-dup-loser
+    # ids only — the previous keeper inner-join shuffled the corpus
+    # text to meet a keeper row per doc (r13, same drop-id shape as
+    # the publish gates)
     pairs = minhash_near_dup_pairs(docs)
-    groups = dedup_groups(docs, pairs)
-    docs = docs.join(
-        groups.filter(F.col("doc_id") == F.col("keeper_id")).select("doc_id"),
-        "doc_id",
+    losers = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("keeper"))
+        .select(F.col("node").alias("doc_id"))
     )
+    docs = docs.join(losers, "doc_id", "left_anti")
     if materialize_stages:
         docs = docs.localCheckpoint(eager=True)
     stats["rows_near_dedup"] = docs.count()
@@ -172,16 +185,16 @@ def build_corpus(
         # has, or downstream accounting of the scale knob is wrong
         stats["semantic_clusters"] = len(centroids)
         verdicts = semantic_dedup(emb, centroids, threshold=semantic_threshold)
-        docs = (
-            docs.join(
-                verdicts.select(
-                    F.col("vec_id").alias("doc_id"), "keep"
-                ),
-                "doc_id",
-                "left",
-            )
-            .filter(F.coalesce(F.col("keep"), F.lit(True)))
-            .drop("keep")
+        # drop-id anti-join (r13): docs without an embedding row are
+        # kept by absence from the drop set — the same left-join
+        # keep-if-null semantics as before, moving dropped-dup ids
+        # instead of the corpus text
+        docs = docs.join(
+            verdicts.filter(~F.col("keep")).select(
+                F.col("vec_id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
         )
         if materialize_stages:
             # the per-cluster O(B²) verdict pass is this stage's cost —

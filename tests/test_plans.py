@@ -247,3 +247,23 @@ def test_mixture_sample_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_dedupe_exact_never_shuffles_text(spark):
+    """r13 drop-id discipline: exact dedup resolves keepers on the
+    narrow (fingerprint, id) projection and applies them as a loser-id
+    anti-join — no Exchange in the AQE FINAL plan may carry the text
+    column (the previous keeper inner-join shuffled every document's
+    text on the composite key)."""
+    from streamy_db_spark.operators.dedup import dedupe_exact
+    from streamy_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    )
+    out = dedupe_exact(docs)
+    out.collect()  # let AQE finalize the join strategies
+    plan = inspect.executed_plan(out)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
