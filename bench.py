@@ -706,7 +706,15 @@ def bench_corpus_build_incremental(spark) -> tuple[float, dict]:
             mixture_total_tokens=100_000,
         )
         dt = time.perf_counter() - t0
-        stats.update({f"publish_{k}": v for k, v in pub.items()})
+        # publish() already namespaces its cache-hit stats as
+        # publish_rescored_* — only prefix the rest, or the record
+        # grows a publish_publish_* key family nobody compares against
+        stats.update(
+            {
+                (k if k.startswith("publish_") else f"publish_{k}"): v
+                for k, v in pub.items()
+            }
+        )
         # Second publish over unchanged state — the wave-cadence case
         # the publish verdict cache (r12 verdict item 5) exists for.
         # Untimed in the gated figure (dt stays 4 waves + first
@@ -801,6 +809,12 @@ _SF1_CEILING_EXEMPT = {
         "production auto-K twin is gated as q_semantic_dedup_autok"
     ),
 }
+# An exemption is BOUNDED (r13 review): the pinned-K artifact measures
+# ~11x by construction, so up to 2x the advisory ceiling it stays an
+# informational record — beyond that the slot breaches like any other,
+# because a 50x ratio is a plan regression no documented artifact
+# explains and an unbounded exemption would swallow it silently.
+_SF1_EXEMPT_CEILING = 24.0
 _SF1_QUERIES = (
     "q_dedup_groups",
     "q_minhash_lsh_pairs_capped",
@@ -1025,6 +1039,8 @@ def bench_sf1(spark) -> dict:
     lane_fns = {name: qfns[name] for name in _SF1_QUERIES}
     lane_fns["q_semantic_dedup_autok"] = _semantic_autok
 
+    from pyspark import StorageLevel
+
     corpus: dict[str, float] = {}
     for scale, d in (("sf0.1", SF_DIR), ("sf1", sf1_dir)):
         # fair ratio basis: both scales pay the full sketch/pair
@@ -1033,21 +1049,32 @@ def bench_sf1(spark) -> dict:
         similarity._IVF_CENTROID_CACHE.clear()
         for name, fn in lane_fns.items():
             try:
-                t0 = time.perf_counter()
                 df = fn(spark, d)
-                _force(df)
-                block["queries"].setdefault(name, {})[scale] = round(
-                    time.perf_counter() - t0, 3
-                )
-                # UNTIMED rows_out companion (r12 verdict item 2): a
-                # ratio is unattributable without the work volume — on
-                # the ~90%-duplicate corpus, pair/group volume grows
+                # rows_out companion (r12 verdict item 2): a ratio is
+                # unattributable without the work volume — on the
+                # ~90%-duplicate corpus, pair/group volume grows
                 # super-linearly BY DATA SHAPE (intra-family pairs are
                 # quadratic in family size), and only flat counts under
                 # a >ceiling ratio indicate a plan regression. The
-                # count re-runs a pruned plan and never enters the
-                # timing.
-                block["rows_out"].setdefault(name, {})[scale] = df.count()
+                # result tables are verdict/pair-sized (never the
+                # corpus), so a DISK_ONLY persist lets the untimed
+                # count read the cached blocks instead of re-running
+                # the whole plan (r13 review: the re-execution was
+                # silently doubling the lane's wall cost). The persist
+                # write rides inside the timed force identically at
+                # both scales, so the ratio basis is unchanged.
+                df = df.persist(StorageLevel.DISK_ONLY)
+                try:
+                    t0 = time.perf_counter()
+                    _force(df)
+                    block["queries"].setdefault(name, {})[scale] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                    block["rows_out"].setdefault(name, {})[scale] = (
+                        df.count()
+                    )
+                finally:
+                    df.unpersist()
             except Exception as exc:  # noqa: BLE001 - lane is advisory
                 block["errors"][f"{name}@{scale}"] = (
                     f"{type(exc).__name__}: {exc}"[:300]
@@ -1096,16 +1123,28 @@ def bench_sf1(spark) -> dict:
             "scaler, investigate before it meets real data",
             file=sys.stderr,
         )
+    for name, rec in block["advisory_exempt"].items():
+        # informational, never silent (r13 review): an exempt slot's
+        # over-ceiling ratio still prints so drift toward the bounded
+        # exemption ceiling is visible round over round
+        print(
+            f"bench: SF1 exempt slot {name} at {rec['ratio']}x "
+            f"(ceiling {_SF1_ADVISORY_RATIO}x, exemption bound "
+            f"{_SF1_EXEMPT_CEILING}x): {rec['reason']}",
+            file=sys.stderr,
+        )
     return block
 
 
 def sf1_apply_verdicts(block: dict) -> dict:
     """Fill ratios / rows_ratios / advisory_breaches / advisory_exempt
     from the raw per-scale timings and rows_out in ``block`` (pure —
-    unit-tested in tests/test_bench_gate.py). Exempt slots never enter
-    ``advisory_breaches``; their over-ceiling ratios land in
-    ``advisory_exempt`` with the documented reason so the record still
-    shows the number without crying wolf (r12 verdict item 4)."""
+    unit-tested in tests/test_bench_gate.py). Exempt slots stay out of
+    ``advisory_breaches`` only up to ``_SF1_EXEMPT_CEILING`` (2x the
+    advisory ceiling — r13 review bound); inside the bound their
+    over-ceiling ratios land in ``advisory_exempt`` with the documented
+    reason so the record still shows the number without crying wolf
+    (r12 verdict item 4), beyond it they breach like any other slot."""
     for name, rec in block["queries"].items():
         if "sf0.1" in rec and "sf1" in rec:
             ratio = round(rec["sf1"] / max(rec["sf0.1"], _SF1_FLOOR_S), 2)
@@ -1121,7 +1160,10 @@ def sf1_apply_verdicts(block: dict) -> dict:
                     cand.get("sf1", 0) / cand["sf0.1"], 2
                 )
             if ratio > _SF1_ADVISORY_RATIO:
-                if name in _SF1_CEILING_EXEMPT:
+                if (
+                    name in _SF1_CEILING_EXEMPT
+                    and ratio <= _SF1_EXEMPT_CEILING
+                ):
                     block["advisory_exempt"][name] = {
                         "ratio": ratio,
                         "reason": _SF1_CEILING_EXEMPT[name],

@@ -366,6 +366,15 @@ class IncrementalCorpusBuilder:
         self.corpus_path = root + "/corpus"
         self.spans_path = root + "/spans"
         self.publish_cache_path = root + "/publish_cache"
+        # corpus/ and spans/ are batch=<id> partition dirs since the
+        # append→overwrite idempotence change; a state dir written by
+        # the older flat-append layout would make Spark's partition
+        # discovery fail ("conflicting directory structures") on the
+        # first mixed write — and, worse, its crash-replay duplicates
+        # would silently survive now that survivors() has no distinct.
+        # Refuse loudly instead of corrupting (r13 review).
+        for p in (self.corpus_path, self.spans_path):
+            self._reject_legacy_flat_layout(p)
         self.exact = IncrementalDeduper(spark, root + "/exact")
         self.near = IncrementalNearDeduper(
             spark, root + "/near", sig_threshold=sig_threshold
@@ -388,6 +397,30 @@ class IncrementalCorpusBuilder:
         if substring_window is not None:
             self.substr = IncrementalSubstrDeduper(
                 spark, root + "/substr", window=substring_window
+            )
+
+    @staticmethod
+    def _reject_legacy_flat_layout(path: str) -> None:
+        """Raise if ``path`` holds data files at its root (the pre-r13
+        flat-append layout) instead of ``batch=<id>`` directories."""
+        import os
+
+        if not os.path.isdir(path):
+            return
+        flat = [
+            e
+            for e in os.listdir(path)
+            if os.path.isfile(os.path.join(path, e))
+            and e.endswith(".parquet")
+        ]
+        if flat:
+            raise ValueError(
+                f"{path} uses the legacy flat-append state layout "
+                f"({len(flat)} root-level parquet files, e.g. "
+                f"{flat[0]!r}); this builder writes batch=<id> "
+                "directories and its replay-idempotence contract does "
+                "not hold over flat appends. Rebuild the state dir by "
+                "re-admitting the corpus through process_batch."
             )
 
     def process_batch(

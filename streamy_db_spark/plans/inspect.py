@@ -26,6 +26,32 @@ def formatted_explain(df: DataFrame) -> str:
     )
 
 
+def shuffle_exchange_inputs(df: DataFrame) -> list[str]:
+    """The ``Input [...]`` attribute list of every shuffle Exchange node
+    in the formatted plan (the FINAL plan once AQE has executed) — i.e.
+    the columns that actually ride each shuffle, keys AND payload.
+
+    This exists because the plan-STRING form (executed_plan) prints an
+    Exchange as ``Exchange hashpartitioning(<keys>, n)`` — partitioning
+    keys only, never the payload columns — so asserting a payload
+    column's absence on those lines is vacuous (r13 review: the
+    pre-r13 dedupe_exact shape shuffled every document's text yet no
+    Exchange line contained ``text#``). BroadcastExchange and
+    ReusedExchange nodes are excluded: a broadcast is the small-side
+    plan shape these gates WANT, and a reused exchange duplicates an
+    original that is already in the list."""
+    lines = formatted_explain(df).splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        head = line.strip()
+        if head.startswith("(") and head.split(") ", 1)[-1] == "Exchange":
+            for j in range(i + 1, min(i + 4, len(lines))):
+                if lines[j].startswith("Input"):
+                    out.append(lines[j])
+                    break
+    return out
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """The filter list that reached each parquet scan."""
     out = []

@@ -349,7 +349,6 @@ def start_query_with_retry(start, attempts: int = 5, delay_s: float = 1.0):
     not). Deterministic start failures re-raise on first sight."""
     import time as _t
 
-    last = None
     for i in range(attempts):
         try:
             return start()
@@ -357,11 +356,10 @@ def start_query_with_retry(start, attempts: int = 5, delay_s: float = 1.0):
             msg = str(exc).lower()
             if not any(m in msg for m in _TRANSIENT_START_MARKERS):
                 raise
-            last = exc
             if i == attempts - 1:
                 raise
             _t.sleep(delay_s)
-    raise last  # unreachable; keeps type-checkers honest
+    raise AssertionError("unreachable")  # loop always returns or raises
 
 
 def _run_streaming_replay_inner(

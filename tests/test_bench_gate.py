@@ -366,6 +366,21 @@ def test_sf1_exempt_slot_never_breaches_but_is_recorded():
     assert block["rows_ratios"]["q_dedup_substrings"] == 21.0
 
 
+def test_sf1_exemption_is_bounded():
+    """r13 review: the exemption covers the documented ~11x pinned-K
+    artifact, not arbitrary regressions — beyond 2x the advisory
+    ceiling the exempt slot breaches like any other, because a 50x
+    ratio is a plan regression no documented artifact explains."""
+    from bench import sf1_apply_verdicts
+
+    block = _sf1_block(
+        {"q_semantic_dedup": {"sf0.1": 1.0, "sf1": 50.0}},
+    )
+    sf1_apply_verdicts(block)
+    assert "q_semantic_dedup" not in block["advisory_exempt"]
+    assert block["advisory_breaches"]["q_semantic_dedup"] == 50.0
+
+
 def test_sf1_candidate_counts_attribute_pair_ratios():
     """r12 verdict item 2 (pair slots): the lane records CANDIDATE pair
     volume alongside verified rows_out, so a super-linear time ratio on

@@ -479,16 +479,49 @@ def test_survivors_is_shuffle_free_and_layout_idempotent(spark, tmp_path):
     dirs = sorted(os.listdir(os.path.join(state, "corpus")))
     assert [d for d in dirs if d.startswith("batch=")] == ["batch=0", "batch=1"]
 
-    plan = executed_plan(b.survivors())
+    surv = b.survivors()
+    plan = executed_plan(surv)
     # the span-strip join rides a broadcast, like every text-side join;
     # a SortMergeJoin would mean the corpus text shuffled to meet spans
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
-    # every hash Exchange partitions SPAN-side rows (the triple
-    # distinct or the merge's per-doc id) — never the corpus text
-    for line in plan.splitlines():
-        if "Exchange hashpartitioning" in line:
-            assert ("start_tok" in line) or ("_id#" in line), line
+    # every shuffle moves SPAN-side rows (the triple distinct or the
+    # merge's per-doc id) — never the corpus text. Checked on the
+    # formatted plan's Exchange INPUT lists: plan-string Exchange lines
+    # print only partitioning keys, so the old line check passed even
+    # for a doc_id-keyed shuffle of the text-bearing frame (r13
+    # review — '_id#' also matched 'doc_id#').
+    from streamy_db_spark.plans.inspect import shuffle_exchange_inputs
+
+    surv.collect()  # finalize AQE so the inputs are the real plan's
+    for inp in shuffle_exchange_inputs(surv):
+        assert "text#" not in inp, inp
+
+
+def test_legacy_flat_state_layout_is_refused(spark, tmp_path):
+    """r13 review: a state dir written by the pre-r13 flat-append
+    layout (part files at corpus/ root instead of batch=<id> dirs)
+    must be refused loudly at construction — mixing the layouts breaks
+    Spark partition discovery, and the old layout's crash-replay
+    duplicates would silently survive now that survivors() trusts the
+    per-batch overwrite for idempotence."""
+    import os
+
+    import pytest
+
+    from streamy_db_spark.pipeline import IncrementalCorpusBuilder
+
+    state = str(tmp_path / "state")
+    legacy = os.path.join(state, "corpus")
+    os.makedirs(legacy)
+    with open(os.path.join(legacy, "part-00000.snappy.parquet"), "wb") as f:
+        f.write(b"PAR1")
+    with pytest.raises(ValueError, match="legacy flat-append"):
+        IncrementalCorpusBuilder(spark, state)
+    # a batch=<id> layout (what this builder writes) constructs fine
+    state2 = str(tmp_path / "state2")
+    os.makedirs(os.path.join(state2, "corpus", "batch=0"))
+    IncrementalCorpusBuilder(spark, state2)
 
 
 def test_corpus_compact_guarded_and_layout_preserving(spark, tmp_path):
@@ -569,7 +602,6 @@ def test_gated_survivors_never_shuffles_text(spark, tmp_path):
     both cache regimes: fully warm (steady publish) and partial-miss
     (one new wave)."""
     from streamy_db_spark.pipeline import IncrementalCorpusBuilder
-    from streamy_db_spark.plans.inspect import executed_plan
 
     rows = _inc_corpus_rows()
     schema = "doc_id long, source string, text string"
@@ -585,12 +617,16 @@ def test_gated_survivors_never_shuffles_text(spark, tmp_path):
     b.publish(str(tmp_path / "out1"), bench=bench, mixture_total_tokens=10_000)
 
     def assert_no_text_exchange():
+        from streamy_db_spark.plans.inspect import shuffle_exchange_inputs
+
         df, stats = b.gated_survivors(bench=bench, repetition_max=0.5)
         df.collect()  # let AQE finalize the join strategies
-        plan = executed_plan(df)
-        for line in plan.splitlines():
-            if "Exchange" in line:
-                assert "text#" not in line, line
+        # formatted-plan Exchange INPUT lists, not plan-string lines:
+        # the string form prints only partitioning keys, so the r12
+        # cache regression (full docs frame shuffled on the __th hash
+        # key) would have passed a line-based check (r13 review)
+        for inp in shuffle_exchange_inputs(df):
+            assert "text#" not in inp, inp
         return stats
 
     # warm regime: every verdict cached, zero re-scores, zero text moves

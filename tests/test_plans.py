@@ -251,10 +251,15 @@ def test_mixture_sample_plan_shape(spark):
 
 def test_dedupe_exact_never_shuffles_text(spark):
     """r13 drop-id discipline: exact dedup resolves keepers on the
-    narrow (fingerprint, id) projection and applies them as a loser-id
-    anti-join — no Exchange in the AQE FINAL plan may carry the text
-    column (the previous keeper inner-join shuffled every document's
-    text on the composite key)."""
+    narrow (fingerprint, id) projection and applies them to the docs
+    frame as a loser-id ANTI-join that AQE broadcasts — so in the
+    final plan (a) the text-bearing frame meets its verdict through a
+    broadcast LeftAnti join, and (b) no shuffle Exchange's INPUT list
+    (formatted plan — Exchange plan-string lines print only keys, so
+    checking them is vacuous; r13 review) carries the text column.
+    The pre-r13 keeper INNER-join fails (a) outright, and any
+    re-introduced corpus-wide text shuffle (distinct/repartition/SMJ
+    over the full frame) fails (b)."""
     from streamy_db_spark.operators.dedup import dedupe_exact
     from streamy_db_spark.sources.tables import load_table
 
@@ -264,6 +269,7 @@ def test_dedupe_exact_never_shuffles_text(spark):
     out = dedupe_exact(docs)
     out.collect()  # let AQE finalize the join strategies
     plan = inspect.executed_plan(out)
-    for line in plan.splitlines():
-        if "Exchange" in line:
-            assert "text#" not in line, line
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for inp in inspect.shuffle_exchange_inputs(out):
+        assert "text#" not in inp, inp
