@@ -1049,7 +1049,12 @@ def bench_sf1(spark) -> dict:
         similarity._IVF_CENTROID_CACHE.clear()
         for name, fn in lane_fns.items():
             try:
-                df = fn(spark, d)
+                # the timed window starts BEFORE fn(): the memoized
+                # helpers (sketch/pair caches) do their heavy work
+                # eagerly inside the call, and excluding it collapsed
+                # every cached slot to sub-second on the first r13 run
+                # — same basis as every prior round.
+                t0 = time.perf_counter()
                 # rows_out companion (r12 verdict item 2): a ratio is
                 # unattributable without the work volume — on the
                 # ~90%-duplicate corpus, pair/group volume grows
@@ -1063,9 +1068,8 @@ def bench_sf1(spark) -> dict:
                 # silently doubling the lane's wall cost). The persist
                 # write rides inside the timed force identically at
                 # both scales, so the ratio basis is unchanged.
-                df = df.persist(StorageLevel.DISK_ONLY)
+                df = fn(spark, d).persist(StorageLevel.DISK_ONLY)
                 try:
-                    t0 = time.perf_counter()
                     _force(df)
                     block["queries"].setdefault(name, {})[scale] = round(
                         time.perf_counter() - t0, 3
