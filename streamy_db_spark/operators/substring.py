@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streamy_db_spark.operators.decontam import WS_RE, ngrams, tokens
+from streamy_db_spark.operators.decontam import WS_RE, ngram_keys, tokens
 from streamy_db_spark.sources.tables import load_table
 
 #: Window width in TOKENS. The paper uses 50 BPE tokens; the
@@ -50,17 +50,22 @@ SUBSTR_WINDOW = 8
 
 def _window_hashes(docs: DataFrame, window: int, id_col: str) -> DataFrame:
     """(id, pos, h): 64-bit xxhash64 of every ``window``-token rolling
-    window, 0-based token position. Reuses decontam.ngrams for the
-    windowing rule (one maintained copy — r9 review); docs shorter than
-    one window yield an empty gram array, which posexplode drops. The
-    8 B long key is the frame's whole shuffle payload per window (plus
-    id+pos); a collision merges two distinct windows with probability
-    ~|windows|²/2⁶⁵ — vanishing at corpus scale and conservative in
-    direction (it can only ADD a span, the anti-memorization side)."""
-    grams = ngrams(tokens(F.col("text")), window)
+    window, 0-based token position. Reuses decontam.ngram_keys for the
+    windowing+keying rule (one maintained copy — r9 review; r13 swaps
+    the per-window string build for hashing the token slice directly,
+    see ngram_keys); docs shorter than one window yield an empty key
+    array, which posexplode drops. The 8 B long key is the frame's
+    whole shuffle payload per window (plus id+pos); a collision merges
+    two distinct windows with probability ~|windows|²/2⁶⁵ — vanishing
+    at corpus scale and conservative in direction (it can only ADD a
+    span, the anti-memorization side). The key is internal to a run:
+    the incremental gate's ``wins`` state stores it, so all writers of
+    one state dir must share one ngram_keys version (a key-scheme
+    change invalidates persisted state, exactly like a tokenizer
+    change would)."""
     return docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.transform(grams, lambda g: F.xxhash64(g))).alias(
+        F.posexplode(ngram_keys(tokens(F.col("text")), window)).alias(
             "pos", "h"
         ),
     )

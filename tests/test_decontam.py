@@ -110,3 +110,32 @@ def test_exact_matches_are_a_subset_of_ngram_matches(spark):
     exact_flagged = {r.doc_id for r in corpus.collect()} - exact_kept
     ngram_flagged = {r.doc_id for r in contaminated_ids(corpus, bench, n=5).collect()}
     assert exact_flagged <= ngram_flagged
+
+
+def test_ngram_key_equality_mirrors_gram_string_equality(spark):
+    """r13: gram JOIN keys are xxhash64 over the token SLICE, not over
+    the space-joined gram string. Pin the load-bearing property — two
+    positions share a key exactly when they share the rendered gram
+    string — on the natural sf0.001 corpus (every pair of equal grams
+    must collide, and no unequal grams may)."""
+    from streamy_db_spark.operators.decontam import ngram_keys
+    from streamy_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = 5
+    both = docs.select(
+        F.explode(
+            F.arrays_zip(
+                ngrams(tokens(F.col("text")), n).alias("g"),
+                ngram_keys(tokens(F.col("text")), n).alias("k"),
+            )
+        ).alias("z")
+    ).select(F.col("z.g").alias("g"), F.col("z.k").alias("k"))
+    # each gram string maps to exactly one key, and each key to exactly
+    # one gram string (over this corpus) — join-key equivalence holds
+    assert both.groupBy("g").agg(F.count_distinct("k").alias("n")).filter(
+        F.col("n") != 1
+    ).count() == 0
+    assert both.groupBy("k").agg(F.count_distinct("g").alias("n")).filter(
+        F.col("n") != 1
+    ).count() == 0

@@ -273,3 +273,24 @@ def test_dedupe_exact_never_shuffles_text(spark):
     assert "SortMergeJoin" not in plan, plan
     for inp in inspect.shuffle_exchange_inputs(out):
         assert "text#" not in inp, inp
+
+
+def test_semantic_dedup_pair_join_broadcasts(spark):
+    """r13: the exact twin's same-cluster pair join must be a broadcast
+    hash join — cluster_id has only K distinct values, so a shuffled
+    join on it is K-way skewed by construction — and the assignment
+    subtree is materialized once (the result plan reads the checkpoint,
+    not three clones of the crossJoin+argmax chain)."""
+    plan = plan_of(spark, "q_semantic_dedup")
+    assert "SortMergeJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # the one materialized assignment
+
+
+def test_stats_agg_single_percentile_buffer(spark):
+    """r13: median and p90 come from ONE array-form percentile
+    aggregate (its buffer holds every group value, so two scalar calls
+    doubled the heaviest buffer and its exchange)."""
+    plan = plan_of(spark, "q_stats_agg")
+    # one buffer = exactly two mentions (partial + final agg of the one
+    # array-form aggregate); the two-scalar-call form showed four
+    assert plan.count("percentile(l_extendedprice") == 2
