@@ -171,7 +171,15 @@ _Q_MOD = 31
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document contamination verdict against the derived benchmark
-    (richer than the kept-set: both directions are value-checked)."""
+    (richer than the kept-set: both directions are value-checked).
+
+    The corpus gram side is ``spread`` first (r13, guide §2.6): the
+    sf table scans as ONE partition, and the gram stage — measured
+    3.1-3.5 s of the query's 3.8 s — ran in a single task with 31
+    cores idle. Same move as the minhash/media queries; on a real
+    corpus the scan already has thousands of splits."""
+    from streamy_db_spark.sources.tables import spread
+
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     bench = (
@@ -182,7 +190,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text")
         )
     )
-    bad = contaminated_ids(docs, bench, n=_Q_N)
+    bad = contaminated_ids(
+        spread(docs.select("doc_id", "text"), "doc_id"), bench, n=_Q_N
+    )
     return docs.select("doc_id").join(
         bad.withColumn("__c", F.lit(True)), "doc_id", "left"
     ).select(

@@ -242,8 +242,18 @@ def strip_duplicated_spans(
 
 def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr spans over the documents table (hash-checked against
-    the gaps-and-islands DuckDB oracle)."""
-    return duplicated_spans(load_table(spark, sf_dir, "documents"))
+    the gaps-and-islands DuckDB oracle). ``spread`` first (r13, guide
+    §2.6): the sf table scans as one partition, so the O(total tokens)
+    window-hash stage ran in a single task with 31 cores idle — same
+    move as the minhash queries."""
+    from streamy_db_spark.sources.tables import spread
+
+    return duplicated_spans(
+        spread(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            "doc_id",
+        )
+    )
 
 
 def substring_oracle_sql(window: int, min_docs: int) -> str:

@@ -111,8 +111,22 @@ def build_corpus(
     from streamy_db_spark.sources.tables import load_table
 
     stats: dict[str, int] = {}
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
+    from streamy_db_spark.sources.tables import spread
+
+    # spread ONCE at load (r13, guide §2.6): the sf documents table
+    # scans as a single partition, and every downstream doc-level
+    # stage applies its verdicts as broadcast anti-joins that PRESERVE
+    # the probe side's partitioning — so the repetition scoring,
+    # decontamination gram pass and substring windowing all ran as
+    # single tasks with 31 cores idle. One early hash exchange of the
+    # text buys full parallelism for the whole build; on a real corpus
+    # the scan already has thousands of splits and this is a cheap
+    # co-location (spread's own contract).
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        ),
+        "doc_id",
     )
 
     # 0. profile the raw input (the trust-but-verify pass)
