@@ -621,9 +621,23 @@ class IncrementalNearDeduper:
             minhash_signature,
             with_shingles,
         )
+        from streamy_db_spark.sources.tables import spread
 
+        # spread before the shingle+signature fold (r13, guide §2.6):
+        # a micro-batch arrives with the source's partitioning — often
+        # ONE partition locally (single-row-group files) — and the
+        # O(tokens) signature fold was the measured 3-5 s single-task
+        # hot spot of every near-gate trigger. One batch-sized exchange
+        # buys full-core compute; partition count follows
+        # defaultParallelism, so it scales with the session, not a
+        # constant.
         sh = (
-            with_shingles(docs.select(F.col(self.id_col).alias("doc_id"), "text"))
+            with_shingles(
+                spread(
+                    docs.select(F.col(self.id_col).alias("doc_id"), "text"),
+                    "doc_id",
+                )
+            )
             .filter(F.size("shingles") > 0)
             .select("doc_id", minhash_signature(F.col("shingles")).alias("sig"))
         )

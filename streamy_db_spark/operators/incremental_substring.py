@@ -298,10 +298,19 @@ class IncrementalSubstrDeduper:
             # below, and appends skip it via the novel-doc anti-join
         # ONE materialization of the batch's windows: the hash scan
         # feeds the stats, the needle collect, the emission join and
-        # the state append (r8 discipline shared by the whole family)
-        wins_b = _window_hashes(docs, self.window, self.id_col).localCheckpoint(
-            eager=True
-        )
+        # the state append (r8 discipline shared by the whole family).
+        # spread first (r13, guide §2.6): the O(tokens) window-hash
+        # fold otherwise runs with the source's partitioning — one
+        # task locally (single-row-group files) — and was a measured
+        # ~4 s single-task hot spot per trigger; the exchange is
+        # batch-sized and the count follows defaultParallelism.
+        from streamy_db_spark.sources.tables import spread
+
+        wins_b = _window_hashes(
+            spread(docs.select(self.id_col, "text"), self.id_col),
+            self.window,
+            self.id_col,
+        ).localCheckpoint(eager=True)
         n_windows = wins_b.count()
         decisions = None
         if n_windows == 0:

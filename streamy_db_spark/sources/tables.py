@@ -75,10 +75,13 @@ def spread(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
     a materialization barrier that pins the exchange before the compute.
     On a big cluster input this is a cheap hash exchange (or drop it —
     real scans already have thousands of splits)."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(n or sc.defaultParallelism, key).localCheckpoint(
-        eager=False
-    )
+    if n is None:
+        try:
+            n = df.sparkSession.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect: no SC handle — the session's
+            # shuffle-partition count is the same sizing signal
+            n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, key).localCheckpoint(eager=False)
 
 
 def write_bucketed(
