@@ -575,6 +575,14 @@ def semantic_dedup_exact(
         )
         .select("_id", (-F.col("_m._nc")).alias("cluster_id"))
     )
+    from streamy_db_spark.sources.tables import default_parallelism
+
+    # Pin the checkpoint's partition count explicitly: AQE coalesces
+    # the few-MB post-shuffle assignment down to ~one partition, and
+    # the checkpoint would freeze that — the pair join then streams
+    # the O(N·B) cosine fold through a single task (measured at sf1:
+    # 118 s single-task vs ~30 s spread). Explicit repartition counts
+    # are exempt from AQE coalescing and scale with the session.
     av = (
         assigned.join(v, "_id")
         .select(
@@ -583,6 +591,7 @@ def semantic_dedup_exact(
             "_vec",
             _safe_norm(F.col("_vec")).alias("_nrm"),
         )
+        .repartition(default_parallelism(emb.sparkSession), "_id")
         .localCheckpoint(eager=True)
     )
     a = av.select(

@@ -75,13 +75,19 @@ def spread(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
     a materialization barrier that pins the exchange before the compute.
     On a big cluster input this is a cheap hash exchange (or drop it —
     real scans already have thousands of splits)."""
-    if n is None:
-        try:
-            n = df.sparkSession.sparkContext.defaultParallelism
-        except Exception:  # Spark Connect: no SC handle — the session's
-            # shuffle-partition count is the same sizing signal
-            n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n, key).localCheckpoint(eager=False)
+    return df.repartition(n or default_parallelism(df.sparkSession), key
+                          ).localCheckpoint(eager=False)
+
+
+def default_parallelism(spark: SparkSession) -> int:
+    """The session's core-count parallelism signal — scale-adaptive
+    partition sizing for explicit repartitions (never a constant).
+    Spark Connect has no SparkContext handle; the session's
+    shuffle-partition conf carries the same signal there."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
 
 
 def write_bucketed(
