@@ -355,6 +355,7 @@ def bench_protocol_replay(spark, mix: str, warm: bool) -> tuple[float, float, di
     mix. Returns (seconds, txns_per_sec, replay stats)."""
     from streamy_db_spark import fixtures
     from streamy_db_spark.engine_batch import replay
+    from streamy_db_spark.session import release_local_checkpoints
 
     if warm:
         # Warm the replay's plan shapes on a tiny mix first: a cold run
@@ -365,6 +366,8 @@ def bench_protocol_replay(spark, mix: str, warm: bool) -> tuple[float, float, di
         w = fixtures.generate_df(spark, "ref_smoke").localCheckpoint(eager=True)
         r, s = replay(w)
         r.count(), s.count()
+        for f in (r, s, w):  # warm-run scratch: release before timing
+            release_local_checkpoints(f)
 
     txns = fixtures.generate_df(spark, mix)
     txns = txns.localCheckpoint(eager=True)  # exclude generation from timing
@@ -375,6 +378,14 @@ def bench_protocol_replay(spark, mix: str, warm: bool) -> tuple[float, float, di
     n_res = results.count()
     state.count()
     dt = time.perf_counter() - t0
+    # Fully consumed — release the replay's surviving checkpoints
+    # (input txns, per-round verdicts behind ``results``, the final
+    # working set behind ``state``) so a 1M replay's blocks stop
+    # pinning session memory for every entry measured after it
+    # (guide §5; the replay itself already frees its internals
+    # wave-by-wave). Outside the timed region on purpose.
+    for f in (results, state, txns):
+        release_local_checkpoints(f)
     if n_res != n:  # explicit raise: survives python -O (r8 review)
         raise RuntimeError(f"replay dropped transactions: {n_res}/{n}")
     return dt, n / dt, stats

@@ -81,6 +81,15 @@ class StreamyDB:
         results, state = replay(log, self._state)
         self._results = results.localCheckpoint(eager=True)
         self._state = state.localCheckpoint(eager=True)
+        # The fresh eager checkpoints above truncate lineage — the
+        # replay's surviving internals (per-round verdicts, final
+        # working set) are dead; free them so epochs don't accumulate
+        # pinned blocks (guide §5). Prior-epoch _results/_state are NOT
+        # released: results_df()/state_df() hand them to callers.
+        from streamy_db_spark.session import release_local_checkpoints
+
+        release_local_checkpoints(results)
+        release_local_checkpoints(state)
         self._epoch += 1
         return {
             r["transaction_id"]: r["succeeded"] for r in self._results.collect()

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from streamy_db_spark import schemas
+from streamy_db_spark.session import release_local_checkpoints
 
 INIT_TXN_ID = "__initial_state__"
 
@@ -318,6 +319,14 @@ def replay(
             tail_collapse_txns, int(tail_collapse_max_rows / (2 * avg_ops))
         )
 
+    # ``ops`` is fully consumed (n_asserts, round-0 ops_active and the
+    # avg_ops count are all materialized above) — release its checkpoint
+    # blocks now instead of pinning the largest frame of the whole replay
+    # for the rest of the session (guide §5). A 1M-txn replay otherwise
+    # holds every wave's superseded checkpoint too (released per round
+    # below), squeezing execution memory for everything that follows.
+    release_local_checkpoints(ops)
+
     w_prev = (
         Window.partitionBy("key")
         .orderBy(*_ORDER)
@@ -446,6 +455,7 @@ def replay(
         # Shrink the working set: decided reads leave; decided writes stay
         # only if committed (they carry state for later readers).
         nd = F.broadcast(newly.withColumnRenamed("succeeded", "new_outcome"))
+        superseded = ops_active
         ops_active = (
             ops_active.join(nd, "transaction_id", "left")
             .filter(
@@ -456,6 +466,16 @@ def replay(
             .drop("new_outcome")
             .localCheckpoint(eager=True)
         )
+        # The new eager checkpoint is materialized — the previous wave's
+        # working set is dead (nothing reads an old ops_active again).
+        # Keeping only the live wave caps the replay's pinned storage at
+        # O(one wave) instead of O(sum of all waves).
+        release_local_checkpoints(superseded)
+
+    # n_asserts' last reads are inside the loop (per-round decision join
+    # / tail-fold collect) — release it; decided0 and each round's
+    # ``newly`` stay live (the returned ``results`` union reads them).
+    release_local_checkpoints(n_asserts)
 
     if stats is not None:
         stats["rounds"] = rounds

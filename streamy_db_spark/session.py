@@ -43,6 +43,37 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED.add(key)
 
 
+def release_local_checkpoints(df) -> None:
+    """Deterministically free the storage blocks behind a DataFrame's
+    ``localCheckpoint`` leaves once nothing will read them again.
+
+    ``DataFrame.unpersist()`` is a no-op for checkpoints (the blocks
+    belong to the checkpointed internal RDD, not the CacheManager), so
+    without this the blocks linger until Python GC -> py4j detach ->
+    JVM GC -> ContextCleaner finally drops them — which in practice
+    means a long-lived session accumulates every checkpoint it ever
+    made (guide §5: cached data competes with execution memory;
+    unpersist when done). Walking the analyzed plan's LogicalRDD
+    leaves frees exactly the checkpoint blocks under ``df`` (unions
+    over several checkpoints release them all; LocalRelation and scan
+    leaves are skipped).
+
+    SAFETY: a localCheckpoint's lineage is truncated, so a released
+    checkpoint that something later tries to read fails LOUDLY
+    ("checkpoint block not found") rather than recomputing silently —
+    call this only when the frame (and every lazy derivative of it)
+    is finished. Best-effort by design: on Spark Connect there is no
+    ``_jdf`` and the call degrades to the old GC-eventually behavior."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:
+        pass  # Connect / exotic plan: ContextCleaner reclaims eventually
+
+
 def get_spark(app_name: str = "streamy_db_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)

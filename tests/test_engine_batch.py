@@ -213,3 +213,57 @@ def test_replay_stats_out_param(spark):
     assert results2.count() == 10
     assert stats2["tail_collapsed"] is False
     assert stats2["rounds"] >= 1
+
+
+def test_replay_releases_superseded_checkpoints(spark):
+    """r13 memory-lifecycle contract (guide §5): the replay frees its
+    internal checkpoints (ops, n_asserts, every superseded per-wave
+    ops_active) as soon as nothing can read them again, and
+    release_local_checkpoints() frees the surviving ones once the
+    caller has consumed results/state — a 1M replay must not pin every
+    wave's working set in storage memory for the rest of the session.
+
+    Wavefront mode (tail_collapse_txns=0) with a conflict chain forces
+    R >= 2 rounds: live blocks after consumption must be at most
+    txns + decided0 + R x newly + final ops_active = R + 3 (the
+    pre-fix lifetime also held ops + n_asserts + R superseded working
+    sets = 2R + 5), and zero after the explicit releases."""
+    from streamy_db_spark import fixtures
+    from streamy_db_spark.engine_batch import replay
+    from streamy_db_spark.session import release_local_checkpoints
+
+    sc = spark.sparkContext
+
+    def live():
+        infos = sc._jsc.sc().getRDDStorageInfo()
+        return [i.id() for i in infos]
+
+    base = set(live())  # tolerate unrelated session state
+
+    txns = fixtures.generate_df(spark, "conflict_heavy").localCheckpoint(
+        eager=True
+    )
+    stats = {}
+    results, state = replay(txns, tail_collapse_txns=0, stats=stats)
+    n = results.count()
+    state.count()
+    rounds = stats["rounds"]
+    assert rounds >= 2, "fixture must force a multi-wave replay"
+
+    after_consume = set(live()) - base
+    assert len(after_consume) <= rounds + 3, (
+        f"replay left {len(after_consume)} live checkpoint blocks for "
+        f"{rounds} rounds — superseded working sets not released?"
+    )
+
+    for f in (results, state, txns):
+        release_local_checkpoints(f)
+    assert not (set(live()) - base), "explicit release left blocks behind"
+
+    # the released frames were consumed before release; fresh replays
+    # still work (nothing shared/corrupted session-wide)
+    again, st2 = replay(
+        fixtures.generate_df(spark, "conflict_heavy"), tail_collapse_txns=0
+    )
+    assert again.count() == n
+    st2.count()
