@@ -223,14 +223,23 @@ def _txn_fused_write(d):
         # materialize ONCE: results write + feedback derivation both
         # consume the batch, the upstream is a stateful stage, and a
         # second action on a foreachBatch frame re-executes the plan
+        from streamy_db_spark.session import release_local_checkpoints
+
         b = batch_df.localCheckpoint(eager=True)
-        if b.isEmpty():
-            # nothing to land and empty feedback carries no signal; a
-            # crash-replayed batch is deterministic, so a batch that
-            # wrote content before can never replay as empty
-            return
-        write_results(b, batch_id)
-        write_feedback(es.derive_feedback(b), batch_id)
+        try:
+            if b.isEmpty():
+                # nothing to land and empty feedback carries no signal; a
+                # crash-replayed batch is deterministic, so a batch that
+                # wrote content before can never replay as empty
+                return
+            write_results(b, batch_id)
+            write_feedback(es.derive_feedback(b), batch_id)
+        finally:
+            # both sinks are synchronous parquet writes — the batch is
+            # fully consumed; release its checkpoint or a long-running
+            # query pins one per trigger forever (guide §5, the r13
+            # replay lifecycle rule)
+            release_local_checkpoints(b)
 
     return write
 
