@@ -48,7 +48,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from streamy_db_spark import schemas
-from streamy_db_spark.session import release_local_checkpoints
+from streamy_db_spark.session import (
+    partition_preserving_checkpoints,
+    release_local_checkpoints,
+)
 
 INIT_TXN_ID = "__initial_state__"
 
@@ -263,6 +266,36 @@ def replay(
     plan spreads the per-wave joins and the per-node heap never reaches
     this regime.
     """
+    # Every wavefront round windows ops_active BY THE SAME KEY the
+    # round-0 working set was laid out in (hash by ``key``, sorted by
+    # the serial order). Creating the eager checkpoints with AQE off
+    # lets each LogicalRDD advertise that layout, so EVERY round's
+    # window and the final-state aggregation skip their Exchange+Sort
+    # over the working set outright — the protocol pays its one
+    # fundamental hash-by-key shuffle exactly once, at round-0 build
+    # (guide §2.4). Downstream consumers still plan with the session's
+    # own AQE setting.
+    with partition_preserving_checkpoints(transactions.sparkSession):
+        return _replay_impl(
+            transactions,
+            initial_state,
+            max_rounds,
+            verbose,
+            tail_collapse_txns,
+            tail_collapse_max_rows,
+            stats,
+        )
+
+
+def _replay_impl(
+    transactions: DataFrame,
+    initial_state: DataFrame | None,
+    max_rounds: int,
+    verbose: bool,
+    tail_collapse_txns: int,
+    tail_collapse_max_rows: int,
+    stats: dict | None,
+) -> tuple[DataFrame, DataFrame]:
     spark = transactions.sparkSession
 
     # One checkpoint: the explode+dedup (window) plan feeds three
@@ -299,9 +332,21 @@ def replay(
     # Working set: every op row, annotated with the owner's outcome
     # (TRUE committed / NULL undecided). Aborted rows and decided reads
     # are removed as rounds progress.
+    #
+    # Lay the working set out ONCE in the wavefront's own geometry —
+    # hash-partitioned by ``key`` (partition count from
+    # spark.sql.shuffle.partitions, the conf-scaled driver contract) and
+    # sorted by the serial order inside each partition. Created under
+    # the AQE-off scope, the checkpoint ADVERTISES that layout, every
+    # round's update (broadcast join + filter + project) preserves it,
+    # and so every wave's window and the final-state aggregation run
+    # with ZERO Exchange and ZERO Sort (plan-gated) — the one shuffle
+    # here replaces the per-round Exchange+Sort the loop used to pay.
     ops_active = (
         ops.join(F.broadcast(round0), "transaction_id", "left")
         .filter(F.col("succeeded").isNull() | ((F.col("kind") == KIND_WRITE) & F.col("succeeded")))
+        .repartition("key")
+        .sortWithinPartitions("key", *_ORDER)
         .localCheckpoint(eager=True)
     )
 
@@ -362,8 +407,23 @@ def replay(
                 # the next attempt happens once the set genuinely shrank.
                 tail_collapse_txns = remaining // 2
             else:
-                und_txn_df = (
-                    ops_active.filter(undecided).select("transaction_id").distinct()
+                # The undecided transaction ids are already IN the
+                # collected rows (an undecided txn always retains its
+                # read rows, and every one of its keys is a tail key by
+                # construction) — derive them driver-side instead of
+                # paying another full ops_active scan + distinct here.
+                # n_asserts itself stays the independently-aggregated
+                # frame so the fold's observed-vs-expected guard keeps
+                # its independent basis.
+                und_ids = sorted(
+                    {
+                        r["transaction_id"]
+                        for r in rows
+                        if r["succeeded"] is None
+                    }
+                )
+                und_txn_df = spark.createDataFrame(
+                    [(t,) for t in und_ids], "transaction_id string"
                 )
                 na = {
                     r["transaction_id"]: r["n_asserts"]

@@ -9,6 +9,7 @@ pins timestamp semantics for oracle comparison (DuckDB is UTC-naive).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -72,6 +73,38 @@ def release_local_checkpoints(df) -> None:
                 leaf.rdd().unpersist(False)
     except Exception:
         pass  # Connect / exotic plan: ContextCleaner reclaims eventually
+
+
+@contextmanager
+def partition_preserving_checkpoints(spark: SparkSession):
+    """Scope in which eager ``localCheckpoint``s capture their plan's
+    hash partitioning and sort order for downstream reuse.
+
+    Under AQE the executed plan is an ``AdaptiveSparkPlanExec`` whose
+    final partitioning never reaches the ``LogicalRDD`` a checkpoint
+    creates, so every downstream operation keyed the same way re-pays
+    an Exchange (and Sort) over the checkpointed data. With AQE off at
+    checkpoint CREATION the LogicalRDD advertises outputPartitioning /
+    outputOrdering, and downstream windows / groupBys / joins on the
+    same key skip their Exchange+Sort entirely — even when the
+    downstream query itself is planned with AQE back on (measured:
+    Exchanges=0, Sorts=0; plan-gated in tests/test_plans.py). Guide
+    §2.4: remove shuffles outright.
+
+    Only checkpoint creation needs the scope; keep it tight so the
+    rest of the session retains AQE's skew/coalesce handling. The conf
+    flip is session-global — do not hold the scope across work on
+    OTHER driver threads."""
+    conf = spark.conf
+    try:
+        old = conf.get("spark.sql.adaptive.enabled")
+    except Exception:  # pragma: no cover - exotic conf backends
+        old = "true"
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old)
 
 
 def get_spark(app_name: str = "streamy_db_spark", cpus: int | None = None) -> SparkSession:

@@ -267,3 +267,26 @@ def test_replay_releases_superseded_checkpoints(spark):
     )
     assert again.count() == n
     st2.count()
+
+
+def test_multiround_replay_reuses_checkpoint_partitioning(spark):
+    """r13 optimization contract (guide §2.4): the per-wave eager
+    checkpoints are created with AQE off so they advertise their hash
+    partitioning by ``key`` — wave N+1's window and the final-state
+    aggregation must NOT re-shuffle the working set. Externally
+    visible: final_state aggregates the last wave's checkpoint by the
+    same key, so its physical plan must contain no Exchange."""
+    from streamy_db_spark import fixtures
+    from streamy_db_spark.engine_batch import replay
+    from streamy_db_spark.session import release_local_checkpoints
+
+    txns = fixtures.generate_df(spark, "conflict_heavy")
+    stats = {}
+    results, state = replay(txns, tail_collapse_txns=0, stats=stats)
+    assert stats["rounds"] >= 2, "fixture must force a multi-wave replay"
+    plan = state._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    results.count()
+    state.count()
+    for f in (results, state):
+        release_local_checkpoints(f)

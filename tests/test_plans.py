@@ -294,3 +294,34 @@ def test_stats_agg_single_percentile_buffer(spark):
     # one buffer = exactly two mentions (partial + final agg of the one
     # array-form aggregate); the two-scalar-call form showed four
     assert plan.count("percentile(l_extendedprice") == 2
+
+
+def test_partition_preserving_checkpoint_skips_exchange_and_sort(spark):
+    """r13: an eager localCheckpoint created inside
+    partition_preserving_checkpoints() (AQE off at creation only) must
+    advertise its hash partitioning AND sort order, so a downstream
+    window over the same key — planned with the session's AQE back on —
+    needs zero Exchange and zero Sort. This is the mechanism behind the
+    replay loop's shuffle-free waves (engine_batch.replay)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from streamy_db_spark.session import (
+        partition_preserving_checkpoints,
+        release_local_checkpoints,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    w = Window.partitionBy("k").orderBy("v")
+    first = df.select("*", F.row_number().over(w).alias("r"))
+    with partition_preserving_checkpoints(spark):
+        ck = first.localCheckpoint(eager=True)
+    # the scope restored the session's AQE setting
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    second = ck.select("*", F.sum("v").over(w).alias("s"))
+    plan = second._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Sort " not in plan, plan
+    release_local_checkpoints(ck)
