@@ -401,7 +401,15 @@ def _replay_impl(
             undecided = F.col("succeeded").isNull()
             tail_keys = ops_active.filter(undecided).select("key").distinct()
             tail_ops = ops_active.join(F.broadcast(tail_keys), "key")
-            rows = tail_ops.limit(tail_collapse_max_rows + 1).collect()
+            bounded = tail_ops.limit(tail_collapse_max_rows + 1)
+            try:
+                # Arrow transfer + plain dicts: ~4x cheaper than the
+                # pickled-Row path for the driver-bounded tail (both the
+                # transfer and the fold's per-field access), identical
+                # values (Arrow nulls -> None, timestamps -> datetime).
+                rows = bounded.toArrow().to_pylist()
+            except Exception:  # pragma: no cover - Connect/arrow-less
+                rows = bounded.collect()
             if len(rows) > tail_collapse_max_rows:
                 # Hot-key tail too large to collect — halve the trigger so
                 # the next attempt happens once the set genuinely shrank.
