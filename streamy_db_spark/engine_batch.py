@@ -305,10 +305,17 @@ def _replay_impl(
     # S3 completion-gate quantity: deduped assert count per transaction
     # (flink/StreamyDb.scala:165). Small (one row per txn with asserts);
     # broadcast everywhere it is joined.
+    # Sorted within its hash partitions so the checkpoint advertises
+    # BOTH the transaction_id partitioning and ordering: the per-round
+    # decision join and the round-0 anti join then merge-join against
+    # it with no Exchange and no Sort on this side (it is log-sized —
+    # one row per asserting transaction — so neither re-broadcasting it
+    # per round nor re-sorting it per round is acceptable).
     n_asserts = (
         ops.filter(F.col("kind") == KIND_READ)
         .groupBy("transaction_id")
         .agg(F.count("*").alias("n_asserts"))
+        .sortWithinPartitions("transaction_id")
         .localCheckpoint(eager=True)
     )
 
@@ -316,8 +323,13 @@ def _replay_impl(
 
     # Round 0: assert-free transactions commit unconditionally (empty
     # conjunction, flink:165-172 with asserts.size == 0).
+    # NOT broadcast (same rationale as the per-round decision join):
+    # all_txns is partitioned by transaction_id after its distinct and
+    # n_asserts' checkpoint advertises the same layout, so the anti
+    # join needs no Exchange — while a broadcast would collect and ship
+    # the whole log-sized assert table.
     decided0 = (
-        all_txns.join(F.broadcast(n_asserts), "transaction_id", "left_anti")
+        all_txns.join(n_asserts, "transaction_id", "left_anti")
         .select("transaction_id", F.lit(True).alias("succeeded"))
         .localCheckpoint(eager=True)
     )
@@ -433,11 +445,15 @@ def _replay_impl(
                 und_txn_df = spark.createDataFrame(
                     [(t,) for t in und_ids], "transaction_id string"
                 )
+                na_df = n_asserts.join(
+                    F.broadcast(und_txn_df), "transaction_id"
+                )
+                try:  # Arrow transfer (same rationale as the tail rows)
+                    na_rows = na_df.toArrow().to_pylist()
+                except Exception:  # pragma: no cover - Connect/arrow-less
+                    na_rows = na_df.collect()
                 na = {
-                    r["transaction_id"]: r["n_asserts"]
-                    for r in n_asserts.join(
-                        F.broadcast(und_txn_df), "transaction_id"
-                    ).collect()
+                    r["transaction_id"]: r["n_asserts"] for r in na_rows
                 }
                 verdicts = _serial_tail_fold(rows, na)
                 tail_fired = True
@@ -493,13 +509,19 @@ def _replay_impl(
         # (the optimization the reference left as a comment, flink:163).
         # Incremental abort also shortens lock-release chains: an aborted
         # writer's locks stop blocking readers a round earlier.
+        # NOT broadcast: n_asserts is one row per asserting transaction —
+        # log-sized — and re-broadcasting it EVERY round rebuilds and
+        # re-ships the whole relation per wave. Both join inputs are
+        # already hash-partitioned by transaction_id (the aggregation's
+        # own exchange; the checkpoint's advertised layout), so the
+        # non-broadcast join plans with zero additional Exchange.
         newly = (
             observable_reads.groupBy("transaction_id")
             .agg(
                 F.count("*").alias("n_obs"),
                 F.bool_and(F.expr("expected <=> observed")).alias("ok"),
             )
-            .join(F.broadcast(n_asserts), "transaction_id")
+            .join(n_asserts, "transaction_id")
             .filter((F.col("n_obs") == F.col("n_asserts")) | (~F.col("ok")))
             .select("transaction_id", F.col("ok").alias("succeeded"))
             .localCheckpoint(eager=True)
