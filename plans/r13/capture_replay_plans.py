@@ -54,16 +54,33 @@ def main() -> None:
     try:
         from streamy_db_spark.session import partition_preserving_checkpoints
 
-        scope = partition_preserving_checkpoints(spark)
-    except ImportError:  # pre-change tree: no scope, plain checkpoint
-        from contextlib import nullcontext
+        def ckpt(df):
+            with partition_preserving_checkpoints(spark):
+                return df.localCheckpoint(eager=True)
 
-        scope = nullcontext()
+    except ImportError:  # pre-change tree: plain checkpoint
+
+        def ckpt(df):
+            return df.localCheckpoint(eager=True)
     n_asserts = (
         ops.filter(F.col("kind") == engine_batch.KIND_READ)
         .groupBy("transaction_id")
         .agg(F.count("*").alias("n_asserts"))
     )
+    # Discriminate the decision-join change by what the tree's replay
+    # actually does (hasattr(_replay_impl) is too coarse: the layout
+    # change and the merge-join change landed in separate commits).
+    import inspect
+
+    try:
+        _replay_src = inspect.getsource(engine_batch._replay_impl)
+    except AttributeError:  # pre-layout tree
+        _replay_src = inspect.getsource(engine_batch.replay)
+    merge_join_decision = ".join(n_asserts, " in _replay_src
+    if merge_join_decision:  # post-change: sorted checkpoint, merge join
+        n_asserts_ck = ckpt(n_asserts.sortWithinPartitions("transaction_id"))
+    else:
+        n_asserts_ck = ckpt(n_asserts)
     decided0 = (
         txns.select("transaction_id")
         .distinct()
@@ -78,8 +95,7 @@ def main() -> None:
         base = base.repartition("key").sortWithinPartitions(
             "key", *engine_batch._ORDER
         )
-    with scope:
-        ops_active = base.localCheckpoint(eager=True)
+    ops_active = ckpt(base)
 
     from pyspark.sql import Window
 
@@ -101,10 +117,47 @@ def main() -> None:
         "wave window (u_cum running sum) physical plan over the round-0 "
         "working set:\n\n" + wplan
     )
+
+    # The per-round decision join (newly): post-change it must merge-join
+    # the sorted n_asserts checkpoint with no Exchange/Sort on that side
+    # (1 Exchange + 1 Sort total, both on the aggregated observable
+    # side); pre-change it re-broadcast log-sized n_asserts every round.
+    annotated = with_u.select(
+        "*",
+        F.last(
+            F.when(
+                is_write & (F.col("succeeded") == True),  # noqa: E712
+                F.struct(F.col("wvalue").alias("v"), F.col("u_cum").alias("u")),
+            ),
+            ignorenulls=True,
+        ).over(w_prev).alias("eff"),
+    )
+    obs = annotated.filter(
+        (F.col("kind") == engine_batch.KIND_READ)
+        & F.col("succeeded").isNull()
+        & (F.col("u_cum") - F.coalesce(F.col("eff.u"), F.lit(0)) == 0)
+    ).select("transaction_id", "expected", F.col("eff.v").alias("observed"))
+    agg = obs.groupBy("transaction_id").agg(
+        F.count("*").alias("n_obs"),
+        F.bool_and(F.expr("expected <=> observed")).alias("ok"),
+    )
+    if merge_join_decision:
+        newly = agg.join(n_asserts_ck, "transaction_id")
+    else:
+        newly = agg.join(F.broadcast(n_asserts_ck), "transaction_id")
+    newly = newly.filter(
+        (F.col("n_obs") == F.col("n_asserts")) | (~F.col("ok"))
+    ).select("transaction_id", F.col("ok").alias("succeeded"))
+    nplan = newly._jdf.queryExecution().executedPlan().toString()
+    (out_dir / f"protocol_replay_decision_join_{suffix}.txt").write_text(
+        "per-round decision join (newly) physical plan:\n\n" + nplan
+    )
     print(
         f"captured: state Exchanges={plan.count('Exchange')}, "
         f"wave window Exchanges={wplan.count('Exchange')} "
-        f"Sorts={wplan.count('Sort ')}"
+        f"Sorts={wplan.count('Sort ')}, "
+        f"decision join Exchanges={nplan.count('Exchange')} "
+        f"Sorts={nplan.count('Sort ')}"
     )
     spark.stop()
 

@@ -325,3 +325,55 @@ def test_partition_preserving_checkpoint_skips_exchange_and_sort(spark):
     assert "Exchange" not in plan, plan
     assert "Sort " not in plan, plan
     release_local_checkpoints(ck)
+
+
+def test_replay_decision_join_merge_joins_sorted_checkpoint(spark):
+    """r13: the replay's per-round decision gate joins the log-sized
+    n_asserts table EVERY round. It must NOT re-broadcast it per round
+    (driver collect + cluster ship per wave, 8 GB/512M-row ceiling at
+    10M+ txns): n_asserts is checkpointed hash-partitioned AND sorted
+    by transaction_id (engine_batch._replay_impl), so the decision join
+    plans as a SortMergeJoin whose only Exchange and Sort sit on the
+    shrinking observable-reads aggregate side. Built from the engine's
+    own ops/n_asserts construction (fixtures carry the unknown-size
+    stats the real log has — toy range sources would get broadcast by
+    size and gate nothing)."""
+    from pyspark.sql import functions as F
+
+    from streamy_db_spark import engine_batch, fixtures
+    from streamy_db_spark.session import (
+        partition_preserving_checkpoints,
+        release_local_checkpoints,
+    )
+
+    txns = fixtures.generate_df(spark, "conflict_heavy")
+    ops = engine_batch._build_ops(txns, None)
+    with partition_preserving_checkpoints(spark):
+        ops_ck = ops.localCheckpoint(eager=True)
+        n_asserts = (
+            ops_ck.filter(F.col("kind") == engine_batch.KIND_READ)
+            .groupBy("transaction_id")
+            .agg(F.count("*").alias("n_asserts"))
+            .sortWithinPartitions("transaction_id")
+            .localCheckpoint(eager=True)
+        )
+    agg = (
+        ops_ck.filter(F.col("kind") == engine_batch.KIND_READ)
+        .groupBy("transaction_id")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.bool_and(F.expr("expected <=> wvalue")).alias("ok"),
+        )
+    )
+    newly = agg.join(n_asserts, "transaction_id").filter(
+        (F.col("n_obs") == F.col("n_asserts")) | (~F.col("ok"))
+    )
+    plan = newly._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    # only the aggregate side shuffles and sorts; the checkpoint's
+    # advertised layout is reused as-is
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+    release_local_checkpoints(n_asserts)
+    release_local_checkpoints(ops_ck)
