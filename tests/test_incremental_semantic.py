@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from streamy_db_spark.operators.dedup import semantic_dedup
 from streamy_db_spark.operators.incremental import IncrementalSemanticDeduper
-from streamy_db_spark.plans.inspect import executed_plan
+from streamy_db_spark.plans.inspect import executed_plan, formatted_explain
 from streamy_db_spark.sources.tables import load_table
 
 THRESH = 0.9
@@ -147,6 +147,31 @@ def test_state_block_join_no_exchange_on_state_side(spark, tmp_path):
     # id column (O(batch), map-side combined), never on the state scan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange hashpartitioning(_id" in plan
+
+
+def test_state_block_join_folds_each_pair_once(spark, tmp_path):
+    """r13 optimization gate: the block join's per-PAIR predicate
+    carries exactly ONE array fold (the dot) — each side's norm is
+    projected once per ROW before the join (plans/r13/
+    semantic_gate_block_join_{before,after}.txt: the before-plan's
+    join condition folded every pair three times). The cosine stays
+    bit-identical (same doubles, same division), which the equality
+    suites in this file pin."""
+    d = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "state"), CENTROIDS, threshold=THRESH
+    )
+    d.process_batch(_emb(spark, B1), batch_id=0)
+    assigned = d._assigned(_emb(spark, B2)).localCheckpoint(eager=True)
+    blocked = d._state_blocked(assigned, n_batch_docs=4)
+    plan = formatted_explain(blocked)
+    # the join predicate (the only place both sides' columns meet)
+    # evaluates one zip_with fold per pair; the norm folds sit in
+    # per-row Projects.
+    join_cond = [
+        ln for ln in plan.splitlines() if "Join condition" in ln
+    ]
+    assert len(join_cond) == 1
+    assert join_cond[0].count("aggregate(zip_with") == 1
 
 
 def test_block_probe_prunes_state_files_with_verdict_parity(spark, tmp_path):
