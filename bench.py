@@ -1876,28 +1876,43 @@ def main() -> None:
     # A partial total reads as a speedup — invalidate the headline when
     # any query failed so round-over-round comparison can't use it.
     total = round(sum(timings.values()), 3) if not errors else None
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-                "protocol_txn_per_sec": round(txn_rate, 1),
-                **replay_extra,
-                "duckdb_seconds": duckdb_sec,
-                "duckdb_skipped": duckdb_skipped,
-                "duckdb_total_seconds": round(sum(duckdb_sec.values()), 3),
-                "sf1": sf1_block,
-                "cold_1m_min_of_n": cold_1m_min,
-                "machine_slowdown": slowdown,
-                "budget_breaches": breaches,
-                "retried": retried,
-                "errors": errors,
-            }
-        )
+    record = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": _sf_from_dir(SF_DIR),
+            "protocol_txn_per_sec": round(txn_rate, 1),
+            **replay_extra,
+            "duckdb_seconds": duckdb_sec,
+            "duckdb_skipped": duckdb_skipped,
+            "duckdb_total_seconds": round(sum(duckdb_sec.values()), 3),
+            "sf1": sf1_block,
+            "cold_1m_min_of_n": cold_1m_min,
+            "machine_slowdown": slowdown,
+            "budget_breaches": breaches,
+            "retried": retried,
+            "errors": errors,
+        }
     )
+    print(record)
+    # Belt for the one-line stdout contract: the r13 round lost its
+    # entire per-query round-over-round comparison because the DRIVER's
+    # capture of the r12 stdout tail truncated the JSON line
+    # (BENCH_r12 parsed: null). Persist the identical record to a file
+    # next to the bench so a prev-round stdout-capture failure can
+    # never blind the comparison again. Best-effort: a read-only cwd
+    # must not fail the run whose stdout IS the contract.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_out.json"),
+            "w",
+        ) as fh:
+            fh.write(record + "\n")
+    except OSError:
+        pass
     spark.stop()
     if errors or breaches:
         sys.exit(1)

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from streamy_db_spark import schemas
 from streamy_db_spark.session import (
-    partition_preserving_checkpoints,
+    checkpoint_preserving,
     release_local_checkpoints,
 )
 
@@ -269,22 +269,24 @@ def replay(
     # Every wavefront round windows ops_active BY THE SAME KEY the
     # round-0 working set was laid out in (hash by ``key``, sorted by
     # the serial order). Creating the eager checkpoints with AQE off
-    # lets each LogicalRDD advertise that layout, so EVERY round's
-    # window and the final-state aggregation skip their Exchange+Sort
-    # over the working set outright — the protocol pays its one
-    # fundamental hash-by-key shuffle exactly once, at round-0 build
-    # (guide §2.4). Downstream consumers still plan with the session's
-    # own AQE setting.
-    with partition_preserving_checkpoints(transactions.sparkSession):
-        return _replay_impl(
-            transactions,
-            initial_state,
-            max_rounds,
-            verbose,
-            tail_collapse_txns,
-            tail_collapse_max_rows,
-            stats,
-        )
+    # (checkpoint_preserving — the scope enters and exits PER
+    # CHECKPOINT, r14; r13 held it across the whole loop, disabling
+    # AQE for every count/collect/tail read and any concurrent driver
+    # thread) lets each LogicalRDD advertise that layout, so EVERY
+    # round's window and the final-state aggregation skip their
+    # Exchange+Sort over the working set outright — the protocol pays
+    # its one fundamental hash-by-key shuffle exactly once, at round-0
+    # build (guide §2.4). Everything that is not a checkpoint creation
+    # plans with the session's own AQE setting.
+    return _replay_impl(
+        transactions,
+        initial_state,
+        max_rounds,
+        verbose,
+        tail_collapse_txns,
+        tail_collapse_max_rows,
+        stats,
+    )
 
 
 def _replay_impl(
@@ -300,7 +302,7 @@ def _replay_impl(
 
     # One checkpoint: the explode+dedup (window) plan feeds three
     # consumers below — materialize once instead of recomputing per branch.
-    ops = _build_ops(transactions, initial_state).localCheckpoint(eager=True)
+    ops = checkpoint_preserving(_build_ops(transactions, initial_state))
 
     # S3 completion-gate quantity: deduped assert count per transaction
     # (flink/StreamyDb.scala:165). Small (one row per txn with asserts);
@@ -311,12 +313,11 @@ def _replay_impl(
     # it with no Exchange and no Sort on this side (it is log-sized —
     # one row per asserting transaction — so neither re-broadcasting it
     # per round nor re-sorting it per round is acceptable).
-    n_asserts = (
+    n_asserts = checkpoint_preserving(
         ops.filter(F.col("kind") == KIND_READ)
         .groupBy("transaction_id")
         .agg(F.count("*").alias("n_asserts"))
         .sortWithinPartitions("transaction_id")
-        .localCheckpoint(eager=True)
     )
 
     all_txns = transactions.select("transaction_id").distinct()
@@ -328,10 +329,9 @@ def _replay_impl(
     # n_asserts' checkpoint advertises the same layout, so the anti
     # join needs no Exchange — while a broadcast would collect and ship
     # the whole log-sized assert table.
-    decided0 = (
+    decided0 = checkpoint_preserving(
         all_txns.join(n_asserts, "transaction_id", "left_anti")
         .select("transaction_id", F.lit(True).alias("succeeded"))
-        .localCheckpoint(eager=True)
     )
     result_parts: list[DataFrame] = [decided0]
 
@@ -354,12 +354,11 @@ def _replay_impl(
     # and so every wave's window and the final-state aggregation run
     # with ZERO Exchange and ZERO Sort (plan-gated) — the one shuffle
     # here replaces the per-round Exchange+Sort the loop used to pay.
-    ops_active = (
+    ops_active = checkpoint_preserving(
         ops.join(F.broadcast(round0), "transaction_id", "left")
         .filter(F.col("succeeded").isNull() | ((F.col("kind") == KIND_WRITE) & F.col("succeeded")))
         .repartition("key")
         .sortWithinPartitions("key", *_ORDER)
-        .localCheckpoint(eager=True)
     )
 
     n_total = all_txns.count()
@@ -515,7 +514,7 @@ def _replay_impl(
         # already hash-partitioned by transaction_id (the aggregation's
         # own exchange; the checkpoint's advertised layout), so the
         # non-broadcast join plans with zero additional Exchange.
-        newly = (
+        newly = checkpoint_preserving(
             observable_reads.groupBy("transaction_id")
             .agg(
                 F.count("*").alias("n_obs"),
@@ -524,7 +523,6 @@ def _replay_impl(
             .join(n_asserts, "transaction_id")
             .filter((F.col("n_obs") == F.col("n_asserts")) | (~F.col("ok")))
             .select("transaction_id", F.col("ok").alias("succeeded"))
-            .localCheckpoint(eager=True)
         )
         n_new = newly.count()
         if n_new == 0:
@@ -546,7 +544,7 @@ def _replay_impl(
         # only if committed (they carry state for later readers).
         nd = F.broadcast(newly.withColumnRenamed("succeeded", "new_outcome"))
         superseded = ops_active
-        ops_active = (
+        ops_active = checkpoint_preserving(
             ops_active.join(nd, "transaction_id", "left")
             .filter(
                 F.col("new_outcome").isNull()  # untouched this round
@@ -554,7 +552,6 @@ def _replay_impl(
             )
             .withColumn("succeeded", F.coalesce("new_outcome", "succeeded"))
             .drop("new_outcome")
-            .localCheckpoint(eager=True)
         )
         # The new eager checkpoint is materialized — the previous wave's
         # working set is dead (nothing reads an old ops_active again).
