@@ -101,6 +101,54 @@ _SLOT_ABC = [
 _SLOT_MOD = 1 << 32
 
 
+#: low-32-bit mask for unpacking the packed shingle hash (below)
+_W32_MASK = (1 << 32) - 1
+
+
+def shingle_hashes(sh: Column) -> Column:
+    """One 64-bit hash per shingle: the two leading 32-bit md5 words
+    (w1, w2 — exactly the pair minhash_signature folds over) packed as
+    ``(w1 << 32) | w2`` with bitwise ops (no arithmetic — shiftleft/OR
+    cannot overflow-error under ANSI, and the packing is injective on
+    (w1, w2), so unpacking recovers both words EXACTLY).
+
+    This is the lightweight proxy for a shingle everywhere downstream
+    of tokenization (guide §2.3 / §8: shuffle and persist keys, not
+    payloads): the signature fold consumes only (w1, w2), and set
+    operations over the hashes (Jaccard intersect/union sizes) equal
+    the same operations over the shingle strings absent a 64-bit md5-
+    prefix collision inside one comparison — astronomically unlikely
+    and pinned per-corpus by the oracle gate plus
+    tests/test_oracle_queries.py's collision probe. 8 bytes per shingle
+    instead of a ~20-30 byte gram string in every persisted sketch.
+
+    The inner transform materializes ONE md5 per shingle; the outer
+    lambda binds it, so the two substring reads share one digest (no
+    CSE inside higher-order lambdas — the family's standing rule)."""
+    return F.transform(
+        F.transform(sh, _md5),
+        lambda d: F.shiftleft(
+            F.conv(F.substring(d, 1, 8), 16, 10).cast("long"), 32
+        ).bitwiseOR(F.conv(F.substring(d, 9, 8), 16, 10).cast("long")),
+    )
+
+
+def minhash_signature_from_hashes(hs: Column, k: int = MINHASH_K) -> Column:
+    """k-element MinHash signature from packed shingle hashes (see
+    shingle_hashes) — bit-identical to ``minhash_signature`` over the
+    same shingles: the fold consumes (w1, w2) unpacked exactly from the
+    packed 64-bit value (shiftrightunsigned / mask are lossless for
+    w1, w2 < 2^32)."""
+    words = F.transform(
+        hs,
+        lambda h: F.struct(
+            F.shiftrightunsigned(h, 32).alias("w1"),
+            h.bitwiseAND(F.lit(_W32_MASK)).alias("w2"),
+        ),
+    )
+    return _signature_fold(words, k)
+
+
 def minhash_signature(sh: Column, k: int = MINHASH_K) -> Column:
     """k-element signature: hash_i(s) = (A_i*w1(s) + B_i*w2(s) + C_i)
     mod 2^32, where w1/w2 are the two leading 32-bit words of ONE md5
@@ -133,11 +181,6 @@ def minhash_signature(sh: Column, k: int = MINHASH_K) -> Column:
 
     Empty shingle set → all-sentinel signature (callers filter
     size(shingles) > 0 upstream)."""
-    if k > len(_SLOT_ABC):
-        raise ValueError(f"k={k} exceeds the {len(_SLOT_ABC)} slot constants")
-    a_arr = F.array(*[F.lit(a) for a, _, _ in _SLOT_ABC[:k]])
-    b_arr = F.array(*[F.lit(b) for _, b, _ in _SLOT_ABC[:k]])
-    c_arr = F.array(*[F.lit(c) for _, _, c in _SLOT_ABC[:k]])
     # Two-level transform: the inner map materializes ONE md5 string
     # per shingle; the outer map slices it into the two words. A single
     # struct(conv(md5..), conv(md5..)) lambda would md5 every shingle
@@ -150,6 +193,19 @@ def minhash_signature(sh: Column, k: int = MINHASH_K) -> Column:
             F.conv(F.substring(d, 9, 8), 16, 10).cast("long").alias("w2"),
         ),
     )
+    return _signature_fold(hs, k)
+
+
+def _signature_fold(hs: Column, k: int) -> Column:
+    """THE signature fold: min over (w1, w2) word structs of the k
+    per-slot multiplicative hashes. One implementation shared by the
+    string path (minhash_signature) and the packed-hash path
+    (minhash_signature_from_hashes) so they can never drift."""
+    if k > len(_SLOT_ABC):
+        raise ValueError(f"k={k} exceeds the {len(_SLOT_ABC)} slot constants")
+    a_arr = F.array(*[F.lit(a) for a, _, _ in _SLOT_ABC[:k]])
+    b_arr = F.array(*[F.lit(b) for _, b, _ in _SLOT_ABC[:k]])
+    c_arr = F.array(*[F.lit(c) for _, _, c in _SLOT_ABC[:k]])
     return F.aggregate(
         hs,
         F.array_repeat(F.lit(_SIG_INF), k),
@@ -311,21 +367,32 @@ def minhash_near_dup_pairs(
 
     from streamy_db_spark.sources.tables import spread
 
+    # Persist the packed shingle HASHES, not the gram strings (r14,
+    # guide §2.3/§5 — same projection as sketch_table_cached): the
+    # signature and the Jaccard verify both consume only the hashes,
+    # so the O(total tokens × gram width) text payload never enters
+    # the persisted frame.
     sh = (
         with_shingles(spread(docs.select("doc_id", "text"), "doc_id"))
         .filter(F.size("shingles") > 0)
-        .select("doc_id", "shingles")
+        .select("doc_id", shingle_hashes(F.col("shingles")).alias("hs"))
         .persist(StorageLevel.DISK_ONLY)
     )
     try:
-        bands = minhash_bands_from_shingles(sh).persist(StorageLevel.DISK_ONLY)
+        sig = sh.select(
+            "doc_id", minhash_signature_from_hashes(F.col("hs")).alias("sig")
+        )
+        bands = sig.select(
+            "doc_id",
+            F.posexplode(band_hashes(F.col("sig"))).alias("band", "band_hash"),
+        ).persist(StorageLevel.DISK_ONLY)
         try:
             cand = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
             a = sh.select(
-                F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+                F.col("doc_id").alias("id_a"), F.col("hs").alias("sh_a")
             )
             b = sh.select(
-                F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+                F.col("doc_id").alias("id_b"), F.col("hs").alias("sh_b")
             )
             return (
                 cand.join(a, "id_a")
@@ -441,14 +508,21 @@ def clear_corpus_caches(spark: SparkSession, sf_dir: str) -> None:
 
 
 def sketch_table_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized (doc_id, shingles, sig) sketch table for a corpus,
-    computed once per (session, corpus). EXEMPT from the corpus-scale
-    DISK_ONLY+unpersist discipline by design: this frame is the shared
-    cross-invocation stage (the 100 TB analogue is a persisted sketch
-    TABLE), so there is no release point inside any single call — it
-    lives until _memo eviction drops the reference and driver GC frees
-    the checkpoint blocks. localCheckpoint (MEMORY_AND_DISK) is the
-    right level for a frame that every dedup consumer re-reads."""
+    """Materialized (doc_id, hs, sig) sketch table for a corpus,
+    computed once per (session, corpus). ``hs`` is the packed 64-bit
+    shingle-hash array (shingle_hashes) — r14: the checkpoint used to
+    materialize the raw shingle STRINGS, i.e. the O(total tokens ×
+    gram width) text payload, even though the signature fold consumes
+    only the md5 words and the verify stage only needs set sizes
+    (guide §2.3/§5: persist keys, not payloads — measured 8.19 MB →
+    3.36 MB checkpoint at sf0.1, and the saving scales with corpus
+    text). EXEMPT from the corpus-scale DISK_ONLY+unpersist discipline
+    by design: this frame is the shared cross-invocation stage (the
+    100 TB analogue is a persisted sketch TABLE), so there is no
+    release point inside any single call — it lives until _memo
+    eviction drops the reference and driver GC frees the checkpoint
+    blocks. localCheckpoint (MEMORY_AND_DISK) is the right level for a
+    frame that every dedup consumer re-reads."""
     key = _corpus_key(spark, sf_dir)
     df = _SKETCH_CACHE.get(key)
     if df is None:
@@ -458,14 +532,14 @@ def sketch_table_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh = (
             with_shingles(spread(docs.select("doc_id", "text"), "doc_id"))
             .filter(F.size("shingles") > 0)
-            .select("doc_id", "shingles")
+            .select("doc_id", shingle_hashes(F.col("shingles")).alias("hs"))
         )
         df = _memo(
             _SKETCH_CACHE,
             key,
-            sh.withColumn("sig", minhash_signature(F.col("shingles"))).localCheckpoint(
-                eager=True
-            ),
+            sh.withColumn(
+                "sig", minhash_signature_from_hashes(F.col("hs"))
+            ).localCheckpoint(eager=True),
         )
     return df
 
@@ -479,11 +553,13 @@ def pairs_from_sketch(
     post-sketch half of minhash_near_dup_pairs, for callers that persist
     the sketch stage (identical semantics: band construction is
     band_hashes(sig), the same expression minhash_bands_from_shingles
-    uses). Returns the verified pairs eagerly checkpointed, with the
-    transient band frame persisted DISK_ONLY while it is read ≥2× (both
-    sides of the candidate self-join, plus the sizes agg under a cap)
-    and RELEASED before returning (corpus-scale cache discipline, r10
-    advice)."""
+    uses; Jaccard is computed over the packed shingle-hash sets — equal
+    to string-shingle Jaccard absent a 64-bit collision, see
+    shingle_hashes). Returns the verified pairs eagerly checkpointed,
+    with the transient band frame persisted DISK_ONLY while it is read
+    ≥2× (both sides of the candidate self-join, plus the sizes agg
+    under a cap) and RELEASED before returning (corpus-scale cache
+    discipline, r10 advice)."""
     from pyspark.storagelevel import StorageLevel
 
     bands = sk.select(
@@ -492,10 +568,10 @@ def pairs_from_sketch(
     try:
         cand = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
         a = sk.select(
-            F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+            F.col("doc_id").alias("id_a"), F.col("hs").alias("sh_a")
         )
         b = sk.select(
-            F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+            F.col("doc_id").alias("id_b"), F.col("hs").alias("sh_b")
         )
         return (
             cand.join(a, "id_a")

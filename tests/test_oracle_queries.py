@@ -696,3 +696,39 @@ def test_ivf_cluster_count_sizing(spark, sf_oracle):
         emb, n_clusters=None, train_fraction=1.0, max_train_rows=8
     )
     assert len(C3) == 8
+
+
+def test_shingle_hash_projection_is_lossless(spark, sf_oracle):
+    """r14: the sketch table materializes packed 64-bit shingle hashes
+    (minhash.shingle_hashes) instead of the gram strings (guide §2.3:
+    persist keys, not payloads). Two properties make that projection
+    semantics-preserving, both pinned here on the natural corpus:
+    (1) the signature computed from the packed hashes is BIT-IDENTICAL
+    to the string-path signature (the pack/unpack round-trip is exact);
+    (2) hashing is collision-free per document (distinct hash count ==
+    distinct shingle count), so Jaccard intersect/union sizes over the
+    hash sets equal the string-set sizes — the oracle gate on
+    q_minhash_lsh_pairs_capped/q_dedup_groups then covers the pair
+    level end to end."""
+    from pyspark.sql import functions as F
+
+    from streamy_db_spark.operators import minhash
+    from streamy_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    sh = minhash.with_shingles(docs).filter(F.size("shingles") > 0)
+    probe = sh.select(
+        minhash.minhash_signature(F.col("shingles")).alias("sig_str"),
+        minhash.minhash_signature_from_hashes(
+            minhash.shingle_hashes(F.col("shingles"))
+        ).alias("sig_hash"),
+        F.size("shingles").alias("ns"),
+        F.size(
+            F.array_distinct(minhash.shingle_hashes(F.col("shingles")))
+        ).alias("nh"),
+    )
+    bad = probe.filter(
+        (F.col("sig_str") != F.col("sig_hash")) | (F.col("ns") != F.col("nh"))
+    ).count()
+    assert bad == 0
+    assert probe.count() > 0  # non-vacuous
