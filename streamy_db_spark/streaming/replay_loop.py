@@ -371,6 +371,35 @@ def start_query_with_retry(start, attempts: int = 5, delay_s: float = 1.0):
     raise AssertionError("unreachable")  # loop always returns or raises
 
 
+#: Trigger cadence for the round-driven loop's PERSISTENT queries — a
+#: drain-polling detail of this harness form (processAllAvailable does
+#: not force a trigger, it waits for one), not a deployment knob; the
+#: continuous runner keeps its production-shaped default.
+_ROUND_TRIGGER = "50 milliseconds"
+
+
+def _drain_all_available(q, name: str, timeout_s: float = 120.0) -> None:
+    """Block until ``q`` has processed every source file available now
+    — the awaitTermination-gated round primitive (r13 verdict item 1:
+    the loop used to STOP and RESTART both stateful queries every
+    feedback round, paying query teardown + state-store reload + plan
+    compile ~13 times per 10k replay; a living query pays only the
+    batch). processAllAvailable has no timeout parameter, so it runs on
+    a helper thread to preserve the loop's bounded failure mode, and
+    any query exception is re-raised here (PAA returns when the stream
+    dies)."""
+    import threading
+
+    t = threading.Thread(target=q.processAllAvailable, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise RuntimeError(f"{name} did not drain in {timeout_s:.0f}s")
+    exc = q.exception()
+    if exc is not None:
+        raise RuntimeError(f"{name} streaming query failed: {exc}")
+
+
 def _run_streaming_replay_inner(
     spark, txns, tmp, max_rounds, duplicate_feedback, interrupt_rounds,
     return_dirs, watermark_delay, stats,
@@ -378,42 +407,53 @@ def _run_streaming_replay_inner(
     d, requests_dir, n_txns = _loop_dirs(spark, txns, tmp)
     schema_results = es.TXN_RESULT_OUT
 
-    def _await(q):
-        q.awaitTermination(120)
-        # explicit raises, not asserts: this is LIBRARY failure
-        # detection (bench.py records throughput through it) and must
-        # survive python -O, where asserts are stripped (r8 review)
-        if q.isActive:
-            raise RuntimeError("streaming query did not finish in time")
-        exc = q.exception()
-        if exc is not None:
-            raise RuntimeError(f"streaming query failed: {exc}")
+    # The two stateful queries START ONCE and stay alive across feedback
+    # rounds (guide §2.6/§5; r13 verdict item 1 — the per-round
+    # availableNow restarts dominated the lane's wall clock: measured
+    # 2-7 s per round-and-query at the 10k shape even when the round
+    # carried a handful of rows, against a sub-second batch). Each round
+    # writes its heartbeat and then DRAINS key stage, then txn stage,
+    # with processAllAvailable — the same deterministic
+    # round-0..round-N fixpoint as the old restart form (the engine is
+    # feedback-arrival-order-insensitive by construction, and any
+    # overlap between the living queries only shortens the round count,
+    # never changes a verdict — oracle-parity suites pin this).
+    # Interrupt rounds keep the availableNow+kill machinery: the crash
+    # scenario NEEDS a mid-run stop against a throttled source, and the
+    # next normal round restarts the persistent query from the same
+    # checkpoint (trigger mode is not pinned into a checkpoint).
+    queries: dict[str, object] = {}
 
-    def run_once(df_stream, out_dir, ckpt_name):
-        # retried start: the round AFTER an interrupt restarts this
-        # query from the same checkpoint its killed twin may still be
-        # releasing (start_query_with_retry docstring)
-        q = start_query_with_retry(
-            lambda: df_stream.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", os.path.join(d["ckpt"], ckpt_name))
-            .trigger(availableNow=True)
+    def _start_key():
+        return (
+            _key_stage_stream(spark, d, requests_dir, watermark_delay)
+            .writeStream.format("parquet")
+            .option("path", d["read_results"])
+            .option("checkpointLocation", os.path.join(d["ckpt"], "key_stage"))
+            .trigger(processingTime=_ROUND_TRIGGER)
             .start()
         )
-        _await(q)
 
-    def run_fused_txn():
+    def _start_txn():
         # txn stage + feedback derivation in ONE query (r9 verdict item
         # 4): the stateless feedback hop used to cost a third query
-        # start/stop per round
-        q = start_query_with_retry(
-            lambda: _txn_stage_stream(spark, d)
+        return (
+            _txn_stage_stream(spark, d)
             .writeStream.foreachBatch(_txn_fused_write(d))
             .option("checkpointLocation", os.path.join(d["ckpt"], "txn_stage"))
-            .trigger(availableNow=True)
+            .trigger(processingTime=_ROUND_TRIGGER)
             .start()
         )
-        _await(q)
+
+    def _drain(name, start):
+        q = queries.get(name)
+        if q is None or not q.isActive:
+            # (re)start: retried because the round AFTER an interrupt
+            # restarts the key stage from the same checkpoint its
+            # killed twin may still be releasing
+            q = start_query_with_retry(start)
+            queries[name] = q
+        _drain_all_available(q, name)
 
     def run_and_kill(df_stream, out_dir, ckpt_name):
         """Start, wait for ≥1 committed micro-batch, then stop() mid-run:
@@ -437,78 +477,94 @@ def _run_streaming_replay_inner(
         # the restarted round's recovery (r11 verdict item 2 deflake).
         kill_streaming_query(q)
 
-    for rnd in range(max_rounds):
-        write_heartbeat(spark, requests_dir, rnd)
+    try:
+        for rnd in range(max_rounds):
+            write_heartbeat(spark, requests_dir, rnd)
 
-        throttle = (
-            {"maxFilesPerTrigger": "1"} if rnd in interrupt_rounds else None
-        )
-        key_df = _key_stage_stream(
-            spark, d, requests_dir, watermark_delay, throttle
-        )
-        if rnd in interrupt_rounds:
-            run_and_kill(key_df, d["read_results"], "key_stage")
-            # Crash landed mid-round; the NEXT round restarts the query
-            # from the same checkpoint and finishes the remaining files.
-            continue
-        run_once(key_df, d["read_results"], "key_stage")
-        run_fused_txn()
+            if rnd in interrupt_rounds:
+                # The crash must land on the ONE key-stage instance: a
+                # living persistent twin would hold the checkpoint lock
+                # (and keep processing through the "crash"), so it is
+                # killed first — which is itself part of the scenario.
+                live = queries.pop("key_stage", None)
+                if live is not None:
+                    kill_streaming_query(live)
+                key_df = _key_stage_stream(
+                    spark, d, requests_dir, watermark_delay,
+                    {"maxFilesPerTrigger": "1"},
+                )
+                run_and_kill(key_df, d["read_results"], "key_stage")
+                # Crash landed mid-round; the NEXT round restarts the
+                # persistent query from the same checkpoint and
+                # finishes the remaining files.
+                continue
+            _drain("key_stage", _start_key)
+            _drain("txn_stage", _start_txn)
 
-        # Footer-count gate first (no Spark job — same discipline as
-        # the continuous loop's done-poll): most rounds are provably
-        # not done from the footers alone, and the Spark-side distinct
-        # count this skips measured ~0.7 s × round — ~10% of the whole
-        # 10k replay's wall clock.
-        raw = _raw_result_rows(d["results"])
-        if raw is not None and raw < n_txns:
-            continue
-        try:
-            n_done = (
-                spark.read.schema(schema_results)
-                .option("recursiveFileLookup", "true")
-                .parquet(d["results"])
-                .select("transaction_id")
-                .distinct()
-                .count()
-            )
-        except Exception:
-            n_done = 0
-        if n_done >= n_txns:
-            if stats is not None:
-                # rounds = feedback-loop iterations until every txn had a
-                # verdict (the streaming analogue of the batch replay's
-                # wavefront count) — recorded by bench.py
-                stats["rounds"] = rnd + 1
-            break
+            # Footer-count gate first (no Spark job — same discipline
+            # as the continuous loop's done-poll): most rounds are
+            # provably not done from the footers alone, and the
+            # Spark-side distinct count this skips measured ~0.7 s ×
+            # round — ~10% of the whole 10k replay's wall clock.
+            raw = _raw_result_rows(d["results"])
+            if raw is not None and raw < n_txns:
+                continue
+            try:
+                n_done = (
+                    spark.read.schema(schema_results)
+                    .option("recursiveFileLookup", "true")
+                    .parquet(d["results"])
+                    .select("transaction_id")
+                    .distinct()
+                    .count()
+                )
+            except Exception:
+                n_done = 0
+            if n_done >= n_txns:
+                if stats is not None:
+                    # rounds = feedback-loop iterations until every txn
+                    # had a verdict (the streaming analogue of the batch
+                    # replay's wavefront count) — recorded by bench.py
+                    stats["rounds"] = rnd + 1
+                break
 
-    if duplicate_feedback:
-        # At-least-once delivery: redeliver EVERY commit notification,
-        # then run the two stateful stages once more. The S3 'done' gate
-        # must swallow the duplicates — no new result rows may appear
-        # (output-level exactly-once from at-least-once input, the
-        # property the reference relies on; SURVEY §2.3 exactly-once note).
-        import shutil
+        if duplicate_feedback:
+            # At-least-once delivery: redeliver EVERY commit
+            # notification, then drain the two stateful stages once
+            # more. The S3 'done' gate must swallow the duplicates — no
+            # new result rows may appear (output-level exactly-once
+            # from at-least-once input, the property the reference
+            # relies on; SURVEY §2.3 exactly-once note).
+            import shutil
 
-        # feedback lives in per-batch subdirectories since the r10
-        # fused sink — walk them; the copies keep their subdirectory
-        # (the file source's recursive listing sees any new path)
-        for root, _dirs, files in os.walk(d["feedback"]):
-            for f in files:
-                if f.endswith(".parquet"):
-                    shutil.copy(
-                        os.path.join(root, f),
-                        os.path.join(root, f"dup_{f}"),
-                    )
-        write_heartbeat(spark, requests_dir, 10_000)
-        # default (0 s) watermark on purpose: all request files were
-        # already admitted in earlier rounds; this pass only drains the
-        # duplicated feedback
-        run_once(
-            _key_stage_stream(spark, d, requests_dir),
-            d["read_results"],
-            "key_stage",
-        )
-        run_fused_txn()
+            # feedback lives in per-batch subdirectories since the r10
+            # fused sink — walk them; the copies keep their
+            # subdirectory (the file source's recursive listing sees
+            # any new path)
+            for root, _dirs, files in os.walk(d["feedback"]):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        shutil.copy(
+                            os.path.join(root, f),
+                            os.path.join(root, f"dup_{f}"),
+                        )
+            write_heartbeat(spark, requests_dir, 10_000)
+            # all request files were already admitted in earlier
+            # rounds; this pass only drains the duplicated feedback
+            # (kind-2 messages apply on arrival — the watermark plays
+            # no role in their application)
+            _drain("key_stage", _start_key)
+            _drain("txn_stage", _start_txn)
+    finally:
+        # _collect_verdicts must run strictly after every query has
+        # stopped (the fused sink's concurrent-reader contract); stop
+        # gracefully — these are healthy queries, not crash scenarios.
+        for q in queries.values():
+            try:
+                q.stop()
+                q.awaitTermination(60)
+            except Exception:  # noqa: BLE001 - teardown best-effort
+                pass
 
     # one verdict per transaction, ever — even under redelivery
     verdicts = _collect_verdicts(spark, d)
